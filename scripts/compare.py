@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: for each query result
+dumped by graft.Verify, run the recorded oracle SQL in DuckDB over the same
+parquet tables and compare row-by-row (columns sorted by name, exact values).
+
+Usage: compare.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    try:
+        import numpy as np
+        if isinstance(v, np.ndarray):
+            return tuple(norm(x) for x in v.tolist())
+        if isinstance(v, np.generic):
+            return norm(v.item())
+    except ImportError:
+        pass
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.description]
+            exp_rel = con.execute(sql)
+            exp = exp_rel.fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = [tuple(norm(r[i]) for i in gi) for r in got]
+        e = [tuple(norm(r[i]) for i in ei) for r in exp]
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
+            n_fail += 1
+            continue
+        bad = next((i for i, (a, b) in enumerate(zip(g, e)) if a != b), None)
+        if bad is not None:
+            print(f"FAIL {name}: first diff at row {bad}:\n  spark : {g[bad]}\n  oracle: {e[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Cols, GQuery}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Scan + aggregation family — the reference's part 2 (max_aggregation.cpp)
+  * generalized. The reference's partial-max-per-chunk then CAS/semaphore
+  * combine (max_aggregation.cpp:54-60, 91-96) is exactly Spark's
+  * partial→final HashAggregateExec: map-side partial aggregation, a
+  * shuffle of one row per (partition × group), final merge. No shared
+  * mutable state exists at any scale.
+  *
+  * Scale notes: all aggregates here are algebraic (partial+merge), so the
+  * shuffle carries #groups rows, not #input rows. Filters and projections
+  * reach the parquet scan (PushedFilters / ReadSchema — verified via
+  * explain in the test suite).
+  */
+object AggQueries {
+  import Cols._
+
+  /** q02 — the reference's global MAX (R6-R8) on lineitem. */
+  private val q02 = GQuery(
+    "q02_global_max",
+    (s, d) =>
+      Tables.lineitem(s, d).agg(
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        count(lit(1)).as("n_rows")),
+    Some("""SELECT max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price,
+                   count(*) AS n_rows FROM lineitem""")
+  )
+
+  /** q05 — scan + projection + predicate; both pushed to parquet. */
+  private val q05 = GQuery(
+    "q05_scan_project_filter",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_discount") > 0.05 &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+            WHERE l_discount > 0.05 AND l_shipdate >= TIMESTAMP '1996-01-01'
+            ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** q06 — TPC-H Q1-shaped multi-aggregate group-by. Money sums accumulate
+    * through exact decimal (Cols); l_quantity is integer-valued so its
+    * double sum is exact; averages divide two deterministic values. */
+  private val q06 = GQuery(
+    "q06_agg_groupby",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   sum(l_quantity)/count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** q07 — COUNT(DISTINCT): Spark plans Expand + two-phase aggregation;
+    * distinct-by-key stays distributed (shuffle on the distinct key). */
+  private val q07 = GQuery(
+    "q07_agg_distinct",
+    (s, d) =>
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders")),
+    Some("""SELECT count(DISTINCT o_custkey) AS n_cust,
+                   count(DISTINCT o_orderpriority) AS n_prio,
+                   count(*) AS n_orders FROM orders""")
+  )
+
+  /** q08 — ROLLUP: Expand (one replica per grouping set) + hash agg.
+    * Grouping-null rows are labeled 'ALL' (sentinel outside the domain)
+    * so ordering is deterministic across engines' null-order defaults. */
+  private val q08 = GQuery(
+    "q08_agg_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("flag"), col("status")),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                   coalesce(l_linestatus, 'ALL') AS status,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY flag, status""")
+  )
+
+  /** q09 — CUBE over orders, same Expand strategy as q08. */
+  private val q09 = GQuery(
+    "q09_agg_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("priority")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY status, priority""")
+  )
+
+  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09)
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort family — the reference's part 1 (parallel_sort.cpp:71-133) mapped
+  * onto Spark: a global `orderBy` is a range-partition shuffle followed by
+  * parallel per-partition sorts, which is the reference's map phase
+  * (per-chunk std::sort, parallel_sort.cpp:74-77) with the sequential
+  * merge reducer (parallel_sort.cpp:96-133) replaced by Spark's parallel
+  * SortExec — fixing the reference's own "reducer runs sequentially"
+  * limitation (reference README.md:170).
+  *
+  * Scale notes (100 TB): SortExec spills via UnsafeExternalSorter; range
+  * partitioning samples bounds so output partitions are balanced. Top-k
+  * uses TakeOrderedAndProject (per-partition heap + driver merge of k
+  * rows only, never a full sort).
+  */
+object SortQueries {
+
+  /** q01 — full global sort (reference R4+R5). Unique tie-break
+    * (l_orderkey, l_linenumber) keeps the row order hash-stable. */
+  private val q01 = GQuery(
+    "q01_global_sort",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber""")
+  )
+
+  /** q03 — map-phase-only sort generalized: per-group ranked runs via a
+    * partitioned window (reference R4, per-chunk sorted runs). Partitioned
+    * windows shuffle by the partition key only — no global sort. */
+  private val q03 = GQuery(
+    "q03_sort_within_partitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .select(col("l_returnflag"), col("rn"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+    Some("""SELECT l_returnflag, rn, l_extendedprice FROM (
+              SELECT l_returnflag, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem)
+            WHERE rn <= 100 ORDER BY l_returnflag, rn""")
+  )
+
+  /** q04 — sortedness verification as a query (reference R12's adjacent-
+    * pair scan, parallel_sort.cpp:137-142). NOTE: the unpartitioned window
+    * funnels through one partition; acceptable for a verification op on a
+    * sorted stream — the scalable variant checks within range partitions
+    * plus boundary rows, which is what SortExec already guarantees. */
+  private val q04 = GQuery(
+    "q04_sorted_check",
+    (s, d) => {
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("prev_price", lag(col("l_extendedprice"), 1).over(w))
+        .agg(count(when(col("prev_price") > col("l_extendedprice"), 1)).as("violations"))
+    },
+    Some("""SELECT count(CASE WHEN prev_price > l_extendedprice THEN 1 END) AS violations
+            FROM (SELECT l_extendedprice,
+                         lag(l_extendedprice) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS prev_price
+                  FROM lineitem)""")
+  )
+
+  /** q18 — top-k: TakeOrderedAndProjectExec, the scale-correct form of
+    * "sort then take 10" (no global sort materialized). */
+  private val q18 = GQuery(
+    "q18_topk",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""")
+  )
+
+  val all: Seq[GQuery] = Seq(q01, q03, q04, q18)
+}
