@@ -40,10 +40,12 @@ object AggQueries {
         .filter(col("l_discount") > 0.05 &&
           col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in this data — order by
+        // every output column so duplicate keys can't permute rows.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount")),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
             WHERE l_discount > 0.05 AND l_shipdate >= TIMESTAMP '1996-01-01'
-            ORDER BY l_orderkey, l_linenumber""")
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""")
   )
 
   /** q06 — TPC-H Q1-shaped multi-aggregate group-by. Money sums accumulate

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{Cols, GQuery}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Join family — absent from the reference (SURVEY §2-A absence audit);
+  * mandated by the engine's north star. All joins are declared, not
+  * hand-scheduled: Catalyst picks SMJ/broadcast, AQE re-plans skew at
+  * runtime.
+  *
+  * Scale notes (100 TB): fact-to-fact joins shuffle on the join key
+  * (sort-merge); dimension joins are hinted broadcast so the fact side
+  * never shuffles. The as-of join deliberately avoids the join+filter
+  * fan-out plan — see q15.
+  */
+object JoinQueries {
+  import Cols._
+
+  /** q10 — equi inner join orders ⋈ customer (FK → PK). At scale: shuffle
+    * hash/sort-merge on custkey; output re-sorted by unique o_orderkey. */
+  private val q10 = GQuery(
+    "q10_join_inner",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey""")
+  )
+
+  /** q11 — broadcast join: part is a dimension table, explicitly hinted so
+    * the lineitem side avoids any shuffle (BroadcastHashJoinExec). */
+  private val q11 = GQuery(
+    "q11_join_broadcast",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand""")
+  )
+
+  /** q12 — left outer join with null-aware aggregates: customers keep a
+    * row even with zero orders (count of the null key = 0). */
+  private val q12 = GQuery(
+    "q12_join_outer",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec2(col("o_totalprice"))).cast(DoubleType), lit(0.0)).as("sum_price"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+                   coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_price
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey""")
+  )
+
+  /** q13 — semi + anti join (EXISTS / NOT EXISTS). Both plan as SMJ
+    * semi/anti: no fan-out, left row emitted at most once. */
+  private val q13 = GQuery(
+    "q13_join_semi_anti",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("tag"))
+      semi.unionAll(anti).orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, tag FROM (
+              SELECT c_custkey, 'has_orders' AS tag FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              UNION ALL
+              SELECT c_custkey, 'no_orders' AS tag FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+            ORDER BY c_custkey""")
+  )
+
+  /** q14 — non-equi range join: event pairs of the same user within a
+    * 5-minute forward window. The equi component (user_id) keys the
+    * shuffle, the range predicate filters inside each joined group, so
+    * fan-out is bounded by per-user activity in 5 minutes. At 100 TB a
+    * time-bucketed key (user_id, ts_bucket) would bound the group size;
+    * per-user cardinality here scales with sf (~67 events/user). */
+  private val q14 = GQuery(
+    "q14_join_range_theta",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val e1 = e.select(col("user_id"), col("ts").as("ts1"))
+      val e2 = e.select(col("user_id").as("uid2"), col("ts").as("ts2"))
+      e1.join(e2,
+          col("user_id") === col("uid2") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL '5' MINUTE"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT e1.user_id, count(*) AS n_pairs
+            FROM events e1 JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+            GROUP BY e1.user_id ORDER BY e1.user_id""")
+  )
+
+  /** q15 — as-of join (latest order with o_orderdate <= event ts, per
+    * user). Spark SQL has no native as-of, and the naive plan
+    * (inequality join then keep rank 1) materializes every event×order
+    * pair before discarding all but one — quadratic per key. Instead we
+    * use the scalable union-merge form: interleave build rows (orders)
+    * and probe rows (events) on one per-user timeline, then carry the
+    * last build row forward with `last(..., ignoreNulls)` over an
+    * unbounded-preceding frame. One shuffle on user_id, O(n log n)
+    * per key, no fan-out. Build rows sort before probes at equal ts
+    * (inclusive <=); same-date orders tie-break by max o_orderkey. */
+  private val q15 = GQuery(
+    "q15_join_asof",
+    (s, d) => {
+      val probes = Tables.events(s, d).select(
+        col("user_id"), col("ts").as("t"), lit(1).as("is_probe"),
+        col("event_id"),
+        lit(null).cast("bigint").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"))
+      val builds = Tables.orders(s, d).select(
+        col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+        lit(0).as("is_probe"),
+        lit(null).cast("bigint").as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_probe"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probes.unionAll(builds)
+        .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("event_id"), col("user_id"), col("asof_orderkey"), col("asof_totalprice"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM (
+              SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+                     o.o_totalprice AS asof_totalprice,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e LEFT JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            WHERE rn = 1 ORDER BY event_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15)
+}

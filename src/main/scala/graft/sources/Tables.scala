@@ -23,7 +23,20 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "events")
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright. We read nanos as long
+    * (spark.sql.legacy.parquet.nanosAsLong) and convert to a microsecond
+    * timestamp with exact integer arithmetic (`DIV`, not double division —
+    * epoch-nanos exceed 2^53). The data's ns remainders are all zero, and
+    * DuckDB likewise truncates ns→us, so both engines see identical
+    * instants. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }
