@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.GQuery
+import graft.functions.TextOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the training-data pipeline surface: exact
+  * (hash-keyed), n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale notes (100 TB):
+  * - Exact dedup groups on md5(text) — the shuffle carries a 32-byte key
+  *   instead of the document body.
+  * - Jaccard candidates join on shingles with a frequency cap (stop-
+  *   shingle removal), the standard guard against quadratic blowup on
+  *   common shingles; the cap is mirrored in the oracle.
+  * - MinHash uses an 8-hash signature in 2 bands of 4 — band collision
+  *   probability j^4, so candidate volume stays near the true-duplicate
+  *   count rather than the pair count.
+  * - SimHash joins on 16-bit bands of the 64-bit signature (4 bands), the
+  *   classic pigeonhole trick: any pair within Hamming distance 3×16 shares
+  *   a band; full Hamming distance is then verified on candidates only.
+  */
+object DedupQueries {
+  import TextOps._
+
+  private val SHINGLE_N = 5
+  private val STOP_SHINGLE_CAP = 1000
+  private val MINHASH_K = 8
+
+  /** Shared shingle relation: (doc_id, sh), distinct per doc, with
+    * stop-shingles (appearing in > cap docs) removed. */
+  private def shingleDf(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), SHINGLE_N)).as("sh"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= STOP_SHINGLE_CAP)
+      .select(col("sh"))
+    sh.join(rare, Seq("sh"))
+  }
+
+  /** Oracle CTE prefix mirroring shingleDf. */
+  private val SHINGLE_SQL =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh0 AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+${SHINGLE_N - 1}], ' ')
+                  FOR i IN range(1, len(t) - ${SHINGLE_N - 2})])) AS sh
+                FROM toks WHERE len(t) >= $SHINGLE_N),
+        sh AS (SELECT doc_id, sh FROM sh0
+               WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $STOP_SHINGLE_CAP))"""
+
+  /** q24 — exact dedup keyed on md5(text): one representative (min doc_id)
+    * per distinct content. */
+  private val q24 = GQuery(
+    "q24_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_key"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY doc_id""")
+  )
+
+  /** q25 — near-duplicate candidates by n-gram Jaccard over distinct
+    * shingle sets (deterministic — no random permutations, SURVEY §7). */
+  private val q25 = GQuery(
+    "q25_dedup_near",
+    (s, d) => {
+      val sh = shingleDf(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val common = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.as("s1"), col("doc1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("doc2") === col("s2.doc_id"))
+        .withColumn("jaccard",
+          col("common") / (col("s1.nsh") + col("s2.nsh") - col("common")))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(SHINGLE_SQL +
+      """, sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc1, doc2,
+                round(common * 1.0 / (s1.nsh + s2.nsh - common), 6) AS jaccard
+         FROM pairs
+         JOIN sizes s1 ON doc1 = s1.doc_id
+         JOIN sizes s2 ON doc2 = s2.doc_id
+         WHERE common * 1.0 / (s1.nsh + s2.nsh - common) >= 0.2
+         ORDER BY doc1, doc2""")
+  )
+
+  /** q31 — MinHash + LSH banding. Signature = 8 md5-min hashes; 2 bands of
+    * 4 rows hashed to a band key; candidate pairs share a band. Fully
+    * deterministic and oracle-checkable (md5 in both engines). */
+  private val q31 = GQuery(
+    "q31_dedup_minhash",
+    (s, d) => {
+      val sigs = shingleDf(s, d).groupBy(col("doc_id"))
+        .agg(minhash(col("sh"), 0).as("h0"),
+          (1 until MINHASH_K).map(k => minhash(col("sh"), k).as(s"h$k")): _*)
+      val bands = sigs.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), md5(concat_ws("", col("h0"), col("h1"), col("h2"), col("h3"))).as("bh")),
+        struct(lit(1).as("band"), md5(concat_ws("", col("h4"), col("h5"), col("h6"), col("h7"))).as("bh"))
+      )).as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(SHINGLE_SQL +
+      """, sig AS (SELECT doc_id,
+                    min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+                    min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+                    min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+                    min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+                  FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bh FROM sig
+                  UNION ALL
+                  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bh FROM sig)
+         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM band a JOIN band b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         ORDER BY doc1, doc2""")
+  )
+
+  /** q32 — SimHash near-dup candidates (rows-only check: 64-bit xxhash64
+    * bit arithmetic has no DuckDB equivalent; correctness is covered by
+    * ScalaTest properties instead). Signature: sign of per-bit vote sums
+    * over distinct-token hashes; candidates via 16-bit band join, then
+    * exact Hamming distance filter on candidates only. */
+  private val q32 = GQuery(
+    "q32_dedup_simhash",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val votes = tok.groupBy(col("doc_id")).agg(
+        sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"b$b")): _*)
+      val sim = votes.select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*)).as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bh").as("bh"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 16)
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    None
+  )
+
+  val all: Seq[GQuery] = Seq(q24, q25, q31, q32)
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.GQuery
+import graft.functions.TextOps
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family for the training-data pipeline: term statistics,
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * Catalyst expression trees (codegen'd, no UDFs), each mirrored in DuckDB.
+  *
+  * Scale notes: q27 is explode→groupBy (shuffle keyed on token — the
+  * classic wordcount with map-side partial aggregation); everything else is
+  * a pure per-row projection — embarrassingly parallel, no shuffle at all
+  * beyond the final presentation sort.
+  */
+object TextQueries {
+  import TextOps._
+
+  /** q27 — tokenize → explode → term frequency, top-20. */
+  private val q27 = GQuery(
+    "q27_text_analysis",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20),
+    Some("""SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 20""")
+  )
+
+  /** Marker sets for the n-gram-free language-ID heuristic. Real language
+    * ID would use per-language stopword/character statistics; the corpus
+    * here is synthetic (one shared 31-word vocabulary), so the marker sets
+    * partition that vocabulary — the operator shape (per-language marker
+    * hit counts → argmax with deterministic tie-break) is the real thing.
+    */
+  private val MARKERS: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("order", "sort", "merge"),
+    "en" -> Seq("the", "a", "value"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("query", "filter", "join"),
+    "zh" -> Seq("spark", "stream", "batch"))
+
+  private def markerSqlList(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString("(", ", ", ")")
+
+  /** q33 — language ID: marker-hit scores per language, argmax with
+    * first-alphabetical tie-break (scores listed in tie-break order). */
+  private val q33 = GQuery(
+    "q33_lang_id",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val scored = Tables.documents(s, d).select(
+        (col("doc_id") +: col("lang").as("labeled_lang") +:
+          MARKERS.map { case (l, ms) => markerHits(toks, ms).as(s"s_$l") }): _*)
+      val pred = MARKERS.map(_._1).foldRight(lit("und"): Column) { (l, rest) =>
+        val others = MARKERS.map(_._1).filter(_ != l)
+        when(others.map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _) &&
+          col(s"s_$l") > 0, lit(l)).otherwise(rest)
+      }
+      val outCols = Seq(col("doc_id"), col("pred_lang"), col("labeled_lang")) ++
+        MARKERS.map { case (l, _) => col(s"s_$l").cast("bigint").as(s"s_$l") }
+      scored.withColumn("pred_lang", pred)
+        .select(outCols: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val scores = MARKERS.map { case (l, ms) =>
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${markerSqlList(ms)})) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val langs = MARKERS.map(_._1)
+      val cases = langs.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o") :+ s"s_$l > 0"
+        s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang, labeled_lang,
+                 ${langs.map(l => s"s_$l").mkString(", ")}
+          FROM (SELECT doc_id, lang AS labeled_lang, $scores FROM documents)
+          ORDER BY doc_id"""
+    }
+  )
+
+  /** Stopword-ish set for quality scoring (high-frequency glue words of
+    * the corpus). */
+  private val STOPWORDS = Seq("the", "a", "value", "data", "row")
+
+  /** q34 — quality scoring: length, lexical diversity, stopword ratio,
+    * composite score. All ratios derive from exact integers, so the double
+    * arithmetic is deterministic; the composite is rounded to 6 digits. */
+  private val q34 = GQuery(
+    "q34_quality_score",
+    (s, d) => {
+      val t = tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(t).cast("bigint").as("n_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("distinct_ratio"),
+        (markerHits(t, STOPWORDS).cast("double") / size(t)).as("stopword_ratio"))
+        .withColumn("quality_score", round(
+          lit(0.4) * col("distinct_ratio") +
+            lit(0.3) * (lit(1.0) - col("stopword_ratio")) +
+            lit(0.3) * least(col("n_tokens") / lit(100.0), lit(1.0)), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, n_tokens, n_chars, distinct_ratio, stopword_ratio,
+                    round(0.4 * distinct_ratio + 0.3 * (1.0 - stopword_ratio)
+                          + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+             FROM (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                          CAST(length(text) AS BIGINT) AS n_chars,
+                          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')) AS distinct_ratio,
+                          CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ${markerSqlList(STOPWORDS)})) AS DOUBLE)
+                            / len(string_split(text, ' ')) AS stopword_ratio
+                   FROM documents)
+             ORDER BY doc_id""")
+  )
+
+  /** q35 — token counting: whitespace tokens, regex word tokens, and the
+    * chars/4 BPE-count heuristic. */
+  private val q35 = GQuery(
+    "q35_token_count",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("bigint").as("re_tokens"),
+        ceil(length(col("text")) / lit(4.0)).cast("bigint").as("est_bpe_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** q36 — document fingerprint (md5 over sorted distinct tokens) plus a
+    * 16-bit shard bucket parsed from the fingerprint's leading hex. */
+  private val q36 = GQuery(
+    "q36_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fingerprint"))
+        .withColumn("shard",
+          pmod(conv(substring(col("fingerprint"), 1, 4), 16, 10).cast("long"), lit(64)))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, fingerprint,
+                   CAST(concat('0x', substr(fingerprint, 1, 4)) AS BIGINT) % 64 AS shard
+            FROM (SELECT doc_id,
+                         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+                  FROM documents)
+            ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36)
+}
