@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2-B s01/s02 + stateful s03).
+  *
+  * These transforms take an unbounded (streaming) DataFrame of the events
+  * schema and are verified with MemoryStream-driven ScalaTest (no DuckDB
+  * oracle — the driver's batch Verify can't execute streams).
+  *
+  * Scale notes: watermarks bound state; the tumbling agg and dedup are
+  * partial-aggregated before the state store; sessionization keeps one
+  * small state row per active (user, session) and emits on event-time
+  * timeout — state size tracks active users, not history.
+  */
+object StreamOps {
+
+  /** s01 — tumbling 1-hour window counts with a 10-minute watermark
+    * (append mode: a window emits once the watermark passes its end). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** s02 — streaming exact dedup on event_id; watermark bounds the
+    * dedup state (late duplicates beyond it are dropped by design). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessState(startMs: Long, endMs: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  private val GapMs = 30 * 60 * 1000L
+
+  /** s03 — streaming sessionization with custom state
+    * (flatMapGroupsWithState): a >30-min event-time gap closes a session;
+    * closed sessions are emitted either when a later event proves the gap
+    * or when the event-time timeout fires (watermark passed last event +
+    * gap). This is the streaming twin of batch q29. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.n, s.sum))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= GapMs =>
+                  cur = Some(SessState(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.startMs),
+                    new Timestamp(s.endMs), s.n, s.sum)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + GapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n-grams, distinctness, short-doc guard") {
+    val df = Seq(
+      "a b c d e f",     // 2 distinct 5-shingles
+      "a b c d e a b c d e a b c d e",  // repeated -> distinct set
+      "a b c"            // too short -> empty
+    ).toDF("text").select(TextOps.shingles(TextOps.tokens(col("text")), 5).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c d e", "b c d e f"))
+    assert(got(1).toSet == Set("a b c d e", "b c d e a", "c d e a b", "d e a b c", "e a b c d"))
+    assert(got(2).isEmpty)
+  }
+
+  test("fingerprint: order- and duplicate-insensitive over token sets") {
+    val df = Seq("b a c a", "c b a", "a b d").toDF("text")
+      .select(TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1))   // same token set
+    assert(fps(0) != fps(2))
+  }
+
+  test("q24 exact dedup is idempotent") {
+    val once = SparkEntry.queries("q24_dedup_exact")(spark, sfSmoke).collect()
+    assert(once.map(_.getLong(0)).distinct.length == once.length)
+    // all copies accounted for
+    val total = once.map(_.getLong(1)).sum
+    assert(total == graft.sources.Tables.documents(spark, sfSmoke).count())
+  }
+
+  test("q25 jaccard pairs are canonical and within [0.2, 1]") {
+    val rows = SparkEntry.queries("q25_dedup_near")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("q32 simhash: canonical pairs, hamming bound, identical docs collide") {
+    val rows = SparkEntry.queries("q32_dedup_simhash")(spark, sfSmoke).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 16)
+    }
+  }
+
+  test("minhash signatures agree for identical shingle sets") {
+    val df = Seq((1L, "x y z w v u"), (2L, "x y z w v u"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")), 5)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(TextOps.minhash(col("sh"), 0).as("h0"), TextOps.minhash(col("sh"), 1).as("h1"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan shape assertions — the "would this survive 100×" checks
+  * (builder prompt): filters/projections reach the parquet scan, small
+  * dimensions broadcast, top-k avoids a global sort, aggregates run
+  * partial+final. These lock the plans Catalyst currently picks so a
+  * refactor that silently de-optimizes fails CI. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sfSmoke).queryExecution.executedPlan.toString
+
+  test("q05 pushes filter and projection into the parquet scan") {
+    val p = plan("q05_scan_project_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_discount"), p)
+    // pruned read schema — no l_extendedprice in the scan
+    assert(!p.contains("l_extendedprice"), p)
+  }
+
+  test("q11 uses a broadcast hash join for the dimension side") {
+    val p = plan("q11_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q18 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q18_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q02/q06 aggregate partial then final (map-side combine)") {
+    assert(plan("q02_global_max").contains("partial_max"), plan("q02_global_max"))
+    val p6 = plan("q06_agg_groupby")
+    assert(p6.contains("HashAggregate"), p6)
+    assert(p6.contains("partial_"), p6)
+  }
+
+  test("q26 broadcasts the query vector (no shuffle of embeddings)") {
+    val p = plan("q26_similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 global sort is a range-partitioned parallel sort") {
+    val p = plan("q01_global_sort")
+    assert(p.contains("Sort"), p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** MemoryStream-driven tests for the streaming surface (SURVEY §5):
+  * tumbling windows emit on watermark passage, dedup drops duplicates,
+  * sessionization closes sessions on gap/timeout. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): Ev =
+    Ev(id, ts(minute), user, typ, value)
+
+  test("s01 tumbling window emits closed windows after watermark passes") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("s01_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: 3 events; then jump far past hour 0 + watermark
+      input.addData(ev(1, 10), ev(2, 20, typ = "view"), ev(3, 30))
+      q.processAllAvailable()
+      input.addData(ev(4, 200))   // 03:20 -> watermark 03:10 >> 01:00
+      q.processAllAvailable()
+      val rows = spark.table("s01_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L),
+        (ts(0), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("s02 streaming dedup drops duplicate event_ids within watermark") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("s02_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 10), ev(1, 10), ev(2, 11))
+      q.processAllAvailable()
+      input.addData(ev(1, 12), ev(3, 13))
+      q.processAllAvailable()
+      val ids = spark.table("s02_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("s03 stateful sessionization closes sessions on >30min gaps") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("s03_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session 1: minutes 0-10 (3 events); gap > 30min; session 2 at 60
+      input.addData(ev(1, 0), ev(2, 5), ev(3, 10))
+      q.processAllAvailable()
+      input.addData(ev(4, 60))   // proves the gap -> closes session 1
+      q.processAllAvailable()
+      val sessions = spark.table("s03_out").collect()
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(sessions.toSeq == Seq((ts(0), ts(10), 3L)))
+      // advance watermark far past session 2 + gap -> timeout closes it
+      input.addData(ev(5, 300, user = 2L))
+      q.processAllAvailable()
+      input.addData(ev(6, 301, user = 2L))
+      q.processAllAvailable()
+      val all = spark.table("s03_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(all.contains((1L, ts(60), ts(60), 1L)), all.mkString(", "))
+    } finally q.stop()
+  }
+}

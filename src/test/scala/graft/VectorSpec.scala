@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.{CosineSim, Udfs, VectorAvg}
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vdf = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 1.0f, 0.0f)),
+    (4L, Array(2.0f, 0.0f, 0.0f))
+  ).toDF("id", "v")
+
+  test("CosineSim native expression: known geometry") {
+    CosineSim.register(spark)
+    val q = typedLit(Array(1.0f, 0.0f, 0.0f))
+    val got = vdf.select(col("id"), CosineSim(col("v"), q).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)        // identical direction
+    assert(math.abs(got(2L) - 0.0) < 1e-12)        // orthogonal
+    assert(math.abs(got(3L) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(got(4L) - 1.0) < 1e-12)        // scale-invariant
+  }
+
+  test("CosineSim: null for zero vectors and length mismatch") {
+    CosineSim.register(spark)
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    val rows = df.select(CosineSim(col("a"), col("b"))).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("CosineSim matches the cosine_udf baseline on real embeddings") {
+    CosineSim.register(spark)
+    Udfs.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sfSmoke).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      CosineSim(col("embedding"), col("qv")).as("native"),
+      call_udf("cosine_udf", col("embedding"), col("qv")).as("viaUdf"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("VectorAvg aggregator computes element-wise centroids") {
+    val centroid = vdf.select(udaf(VectorAvg).apply(col("v")).as("c"))
+      .collect()(0).getSeq[Float](0)
+    assert(centroid == Seq(1.0f, 0.5f, 0.0f))
+  }
+
+  test("q37 ANN results are a subset of brute-force candidates with sane sims") {
+    val ann = SparkEntry.queries("q37_ann_ivf")(spark, sfSmoke).collect()
+    val brute = SparkEntry.queries("q26_similarity_topk")(spark, sfSmoke).collect()
+    assert(ann.length == 10 && brute.length == 10)
+    assert(ann.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+    // the probed buckets must recover at least a few of the true top-10
+    val bruteIds = brute.map(_.getLong(0)).toSet
+    assert(ann.map(_.getLong(0)).count(bruteIds) >= 3)
+  }
+}
