@@ -1,23 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): one JSON line on stdout with total
+  * and per-query wall-clock seconds over SparkEntry.queries at
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Method: results are forced through the noop datasource (full plan
+  * execution, nothing pruned the way a bare count() would allow, nothing
+  * collected to the driver); a warmup pass at sf0.001 JIT-compiles the
+  * generated code paths before anything is timed.
+  */
 object Bench {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val benched = SparkEntry.registry.filter(_.bench)
+    // warmup at the smoke scale: codegen + JIT + parquet footer caches
+    benched.foreach { q =>
+      try force(q.run(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = benched.map { q =>
+      val t0 = System.nanoTime()
+      val ok = try { force(q.run(spark, sfDir)); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.key} failed: ${e.getMessage}"); false
+      }
+      q.key -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

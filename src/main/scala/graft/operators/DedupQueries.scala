@@ -3,7 +3,7 @@ package graft.operators
 import graft.GQuery
 import graft.functions.TextOps
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for the training-data pipeline surface: exact
@@ -29,16 +29,28 @@ object DedupQueries {
   private val STOP_SHINGLE_CAP = 1000
   private val MINHASH_K = 8
 
-  /** Shared shingle relation: (doc_id, sh), distinct per doc, with
-    * stop-shingles (appearing in > cap docs) removed. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  /** Shingle buckets: one row per shingle with the sorted list of doc_ids
+    * containing it, stop-shingles (> cap docs) dropped. This is the
+    * candidate-generation shape that scales: a single shuffle on the
+    * shingle key, pair blowup bounded by cap², and no self-join that would
+    * recompute the explode subtree. */
+  private def shingleBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(tokens(col("text")), SHINGLE_N)).as("sh"))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= STOP_SHINGLE_CAP)
-      .select(col("sh"))
-    sh.join(rare, Seq("sh"))
-  }
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= STOP_SHINGLE_CAP)
+
+  /** (doc_id, sh) pairs surviving the stop-shingle cap. */
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    shingleBuckets(s, d).select(col("sh"), explode(col("docs")).as("doc_id"))
+
+  /** All ordered pairs (d1 < d2) from a sorted array — in-bucket candidate
+    * generation without a self-join. */
+  private def orderedPairs(docs: Column): Column =
+    flatten(transform(docs, (x, i) =>
+      transform(slice(docs, i + 2, size(docs)),
+        y => struct(x.as("d1"), y.as("d2")))))
 
   /** Oracle CTE prefix mirroring shingleDf. */
   private val SHINGLE_SQL =
@@ -70,9 +82,9 @@ object DedupQueries {
     (s, d) => {
       val sh = shingleDf(s, d)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val common = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      val common = shingleBuckets(s, d)
+        .select(explode(orderedPairs(col("docs"))).as("p"))
+        .groupBy(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
         .agg(count(lit(1)).as("common"))
       common
         .join(sizes.as("s1"), col("doc1") === col("s1.doc_id"))
@@ -110,10 +122,11 @@ object DedupQueries {
         struct(lit(0).as("band"), md5(concat_ws("", col("h0"), col("h1"), col("h2"), col("h3"))).as("bh")),
         struct(lit(1).as("band"), md5(concat_ws("", col("h4"), col("h5"), col("h6"), col("h7"))).as("bh"))
       )).as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      bands.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) >= 2)
+        .select(explode(orderedPairs(col("docs"))).as("p"))
+        .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
         .distinct()
         .orderBy(col("doc1"), col("doc2"))
     },
@@ -141,25 +154,29 @@ object DedupQueries {
   private val q32 = GQuery(
     "q32_dedup_simhash",
     (s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val votes = tok.groupBy(col("doc_id")).agg(
-        sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
-        (1 until 64).map(b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"b$b")): _*)
-      val sim = votes.select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+      // Per-row signature — no tokenize shuffle at all: the 64 bit-votes
+      // are higher-order folds over the distinct-token hash array inside
+      // one projection. At 100 TB this is a map-only pass; only the tiny
+      // (doc_id, simhash) relation ever shuffles (for the band buckets).
+      val sim = Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(array_distinct(tokens(col("text"))), t => xxhash64(t)).as("hs"))
+        .select(col("doc_id"),
+          (0 until 64).map { b =>
+            val ones = aggregate(col("hs"), lit(0L),
+              (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
+            when(ones * 2 > size(col("hs")), lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_.bitwiseOR(_)).as("simhash"))
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*)).as("e"))
         .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bh").as("bh"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      bands.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
+        .filter(size(col("docs")) >= 2)
+        .select(explode(orderedPairs(col("docs"))).as("p"))
+        .select(col("p.d1.doc_id").as("doc1"), col("p.d2.doc_id").as("doc2"),
+          bit_count(col("p.d1.simhash").bitwiseXOR(col("p.d2.simhash"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 16)
         .orderBy(col("doc1"), col("doc2"))
