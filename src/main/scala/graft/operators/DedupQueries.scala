@@ -80,17 +80,21 @@ object DedupQueries {
   private val q25 = GQuery(
     "q25_dedup_near",
     (s, d) => {
-      val sh = shingleDf(s, d)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val common = shingleBuckets(s, d)
+      // One linear pipeline, one scan: per-doc shingle counts (post-cap)
+      // are attached via a window and carried through the bucket structs,
+      // so no sizes-relation re-join (which would recompute the whole
+      // shingle subtree — Spark does not reuse those exchanges).
+      import org.apache.spark.sql.expressions.Window
+      val shN = shingleDf(s, d)
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      shN.groupBy(col("sh"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("docs"))
         .select(explode(orderedPairs(col("docs"))).as("p"))
-        .groupBy(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
+        .groupBy(col("p.d1.doc_id").as("doc1"), col("p.d1.nsh").as("nsh1"),
+          col("p.d2.doc_id").as("doc2"), col("p.d2.nsh").as("nsh2"))
         .agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.as("s1"), col("doc1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("doc2") === col("s2.doc_id"))
         .withColumn("jaccard",
-          col("common") / (col("s1.nsh") + col("s2.nsh") - col("common")))
+          col("common") / (col("nsh1") + col("nsh2") - col("common")))
         .filter(col("jaccard") >= 0.2)
         .select(col("doc1"), col("doc2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc1"), col("doc2"))
