@@ -34,6 +34,10 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // map/reduce phase split (reference R13 parity) over the timed pass
+    val phases = new PhaseTiming
+    spark.sparkContext.addSparkListener(phases)
+
     val results = benched.map { q =>
       val t0 = System.nanoTime()
       val ok = try { force(q.run(spark, sfDir)); true }
@@ -45,7 +49,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","phases":${phases.report}}""")
     spark.stop()
   }
 }

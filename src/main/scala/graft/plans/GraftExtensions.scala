@@ -1,0 +1,28 @@
+package graft.plans
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions installer — the deployment-grade way to ship the
+  * engine's custom Catalyst surface into any session (SURVEY §4):
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * Injects the native cosine_sim expression into the function registry so
+  * it is available from SQL text and the Column API without touching
+  * internal session state. (Runtime registration via CosineSim.register
+  * remains for sessions the library does not construct, e.g. the driver's
+  * Verify session.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSim(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink utilities beyond the driver's parquet tables: schema-
+  * enforced CSV/JSON ingestion and partitioned parquet output.
+  *
+  * Scale notes: explicit schemas always (inference double-reads the data —
+  * unacceptable at 100 TB); CSV/JSON land in PERMISSIVE mode with a
+  * corrupt-record column so bad rows are quarantined, not dropped
+  * silently; writes partition by low-cardinality columns only and rely on
+  * AQE-coalesced upstream shuffles for file sizing.
+  */
+object Io {
+  val CorruptCol = "_corrupt_record"
+
+  /** Read CSV with an enforced schema + quarantine column. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
+  /** Read newline-delimited JSON with an enforced schema + quarantine. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Rows that failed parsing (quarantine stream). */
+  def corruptRows(df: DataFrame): DataFrame =
+    df.filter(df(CorruptCol).isNotNull)
+
+  /** Clean rows with the quarantine column dropped. */
+  def cleanRows(df: DataFrame): DataFrame =
+    df.filter(df(CorruptCol).isNull).drop(CorruptCol)
+
+  /** Hive-style partitioned parquet write. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Plain parquet sink (CSV/JSON sinks mirror spark.write natively). */
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+}

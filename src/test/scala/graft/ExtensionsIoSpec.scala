@@ -1,0 +1,97 @@
+package graft
+
+import graft.plans.GraftExtensions
+import graft.sources.Io
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ExtensionsIoSpec extends SparkSpec {
+
+  test("GraftExtensions injects cosine_sim into a fresh session") {
+    // getOrCreate returns the active session, so detach it, build an
+    // extension-bearing session on the same SparkContext, then restore.
+    val prev = SparkSession.getDefaultSession
+    spark.sparkContext // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[8]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val sim = s2.sql(
+        """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(sim - 1.0) < 1e-12)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
+  test("csv round-trip with enforced schema; corrupt rows quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.write.option("header", "true").mode("overwrite").csv(s"$dir/csv")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    // cache: Spark disallows lazy queries whose referenced columns reduce
+    // to only the corrupt-record column (UNSUPPORTED_FEATURE)
+    val back = Io.cleanRows(Io.readCsv(spark, s"$dir/csv", schema).cache())
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+  }
+
+  test("json read quarantines malformed rows instead of dropping silently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"doc_id": 1, "lang": "en"}
+        |{"doc_id": "NOT_A_NUMBER", "lang": "de"}
+        |{"doc_id": 3, "lang": "fr"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType)))
+    val df = Io.readJson(spark, s"$dir/in.json", schema).cache()
+    assert(Io.cleanRows(df).count() == 2)
+    assert(Io.corruptRows(df).count() == 1)
+  }
+
+  test("partitioned parquet write produces hive-style partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Io.writePartitioned(docs, s"$dir/part", Seq("lang"))
+    val dirs = new java.io.File(s"$dir/part").listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.toSet == Set("lang=en", "lang=es", "lang=de", "lang=fr", "lang=zh"))
+    val back = spark.read.parquet(s"$dir/part")
+    assert(back.count() == docs.count())
+    // partition pruning: a lang filter scans one partition only
+    val pruned = back.filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+  }
+
+  test("PhaseTiming splits stages into map and reduce phases") {
+    val pt = new PhaseTiming
+    spark.sparkContext.addSparkListener(pt)
+    try {
+      graft.sources.Tables.lineitem(spark, sfSmoke)
+        .groupBy(col("l_returnflag")).count().collect()
+      // listener bus is async; give stage-completed events time to drain
+      Thread.sleep(2000)
+      val r = pt.report
+      assert(r.contains("\"map_stages\":"), r)
+      val mapStages = "\"map_stages\":(\\d+)".r.findFirstMatchIn(r).get.group(1).toInt
+      val reduceStages = "\"reduce_stages\":(\\d+)".r.findFirstMatchIn(r).get.group(1).toInt
+      assert(mapStages >= 1, r)       // the scan/partial-agg stage
+      assert(reduceStages >= 1, r)    // the final-agg stage after shuffle
+    } finally spark.sparkContext.removeSparkListener(pt)
+  }
+}
