@@ -133,5 +133,30 @@ object AggQueries {
             ORDER BY status, priority""")
   )
 
-  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09)
+  /** q40 — statistical aggregates: stddev, correlation, exact interpolated
+    * median. Rounded to 6 digits: the estimators accumulate in doubles
+    * (merge-order differences ~1e-10 relative), and 6 digits is far above
+    * that noise while far below data resolution. avg(discount) goes
+    * through exact decimal like all money averages. */
+  private val q40 = GQuery(
+    "q40_agg_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("median_price"),
+          round(sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1)), 6).as("avg_disc"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40)
 }

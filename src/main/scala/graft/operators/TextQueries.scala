@@ -158,5 +158,42 @@ object TextQueries {
             ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36)
+  /** q42 — TF-IDF: per-document top term by tf·ln(N/df). One linear
+    * pipeline: document frequency rides in via a window over the token
+    * partition (no tf-relation re-join), the corpus size N broadcasts as
+    * a one-row scalar. Ranking uses the rounded score (+ token tie-break)
+    * so 1-ulp libm differences between engines cannot flip the top term. */
+  private val q42 = GQuery(
+    "q42_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val wf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      wf.crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_token"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tf AS (SELECT doc_id, token, count(*) AS tf
+                        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+                        GROUP BY doc_id, token),
+                 wf AS (SELECT doc_id, token, tf,
+                               count(*) OVER (PARTITION BY token) AS df FROM tf),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 sc AS (SELECT doc_id, token,
+                               round(tf * ln(n_docs / df), 6) AS score FROM wf, n),
+                 r AS (SELECT doc_id, token, score,
+                              row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rn FROM sc)
+            SELECT doc_id, token AS top_token, score FROM r WHERE rn = 1
+            ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42)
 }

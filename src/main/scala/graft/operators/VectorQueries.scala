@@ -128,6 +128,36 @@ object VectorQueries {
              ORDER BY sim DESC, a.vec_id LIMIT 10""")
   )
 
+  /** q41 — embedding-cosine near-duplicate candidates, blocked by label
+    * (the blocking key bounds the pair blowup: B blocks shrink the
+    * quadratic term ~B-fold; at 100 TB the block key would be an LSH
+    * bucket à la q31 rather than a given label). Similarities rounded to
+    * 4 with (v1,v2) canonical ordering. */
+  private val q41 = GQuery(
+    "q41_dedup_embedding",
+    (s, d) => {
+      CosineSim.register(s)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(CosineSim(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+        .filter(col("sim") >= 0.25)
+        .orderBy(col("v1"), col("v2"))
+    },
+    Some("""WITH p AS (SELECT a.vec_id v1, a.embedding ea, b.vec_id v2, b.embedding eb
+                       FROM embeddings a JOIN embeddings b
+                         ON a.label = b.label AND a.vec_id < b.vec_id),
+                 s AS (SELECT v1, v2,
+                              sum(CAST(ea[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE)) AS dot,
+                              sum(CAST(ea[i.i] AS DOUBLE) ** 2) AS na,
+                              sum(CAST(eb[i.i] AS DOUBLE) ** 2) AS nb
+                       FROM p, range(1, 65) i(i) GROUP BY v1, v2)
+            SELECT v1, v2, round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim
+            FROM s WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.25
+            ORDER BY v1, v2""")
+  )
+
   /** Oracle helper at 6-digit rounding (centroid assignment). */
   private def cosineSql6(vecExpr: String, qvExpr: String): String =
     s"""round(
@@ -138,5 +168,5 @@ object VectorQueries {
              * sqrt((SELECT sum(CAST($qvExpr[i.i] AS DOUBLE) * CAST($qvExpr[i.i] AS DOUBLE))
                      FROM range(1, 65) i(i)))), 6)"""
 
-  val all: Seq[GQuery] = Seq(q26, q28, q37)
+  val all: Seq[GQuery] = Seq(q26, q28, q37, q41)
 }

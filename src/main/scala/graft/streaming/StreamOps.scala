@@ -19,6 +19,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** File-source stream over a DIRECTORY of events parquet files (the
+    * file streaming source contract; new files appearing in the directory
+    * become new micro-batches). Same TIMESTAMP(NANOS) handling as the
+    * batch loader; driven in tests with Trigger.AvailableNow. */
+  def eventsFileStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   /** s01 — tumbling 1-hour window counts with a 10-minute watermark
     * (append mode: a window emits once the watermark passes its end). */
   def tumblingCounts(events: DataFrame): DataFrame =

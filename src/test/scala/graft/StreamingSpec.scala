@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 /** MemoryStream-driven tests for the streaming surface (SURVEY §5):
@@ -37,6 +38,35 @@ class StreamingSpec extends SparkSpec {
         (ts(0), "click", 2L),
         (ts(0), "view", 1L)))
     } finally q.stop()
+  }
+
+  test("s01 over the real parquet file source matches batch q30 (closed windows)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // file streaming sources want a directory: stage the table file there
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfSmoke/events.parquet"),
+      streamDir.resolve("part-00000.parquet"))
+    val q = StreamOps.tumblingCounts(StreamOps.eventsFileStream(spark, streamDir.toString))
+      .writeStream.format("memory").queryName("s01_file")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("s01_file").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // append mode emits only windows the final watermark (max ts - 10min)
+    // has closed; compare against the batch result restricted to those
+    val batch = SparkEntry.queries("q30_events_tumbling")(spark, sfSmoke).collect()
+    val maxTs = graft.sources.Tables.events(spark, sfSmoke)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val cutoffMs = maxTs.getTime - 10 * 60 * 1000
+    val closed = batch.filter(_.getTimestamp(0).getTime + 3600000 <= cutoffMs)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == closed)
+    assert(streamed.nonEmpty)
   }
 
   test("s02 streaming dedup drops duplicate event_ids within watermark") {
