@@ -158,19 +158,15 @@ object DedupQueries {
   private val q32 = GQuery(
     "q32_dedup_simhash",
     (s, d) => {
-      // Per-row signature — no tokenize shuffle at all: the 64 bit-votes
-      // are higher-order folds over the distinct-token hash array inside
-      // one projection. At 100 TB this is a map-only pass; only the tiny
-      // (doc_id, simhash) relation ever shuffles (for the band buckets).
+      // Per-row signature — no tokenize shuffle at all: the whole 64-bit
+      // SimHash is one native codegen kernel (graft.functions.SimHash64)
+      // over the distinct-token array. At 100 TB this is a map-only pass;
+      // only the tiny (doc_id, simhash) relation ever shuffles (for the
+      // band buckets).
+      graft.functions.SimHash64.register(s)
       val sim = Tables.documents(s, d)
         .select(col("doc_id"),
-          transform(array_distinct(tokens(col("text"))), t => xxhash64(t)).as("hs"))
-        .select(col("doc_id"),
-          (0 until 64).map { b =>
-            val ones = aggregate(col("hs"), lit(0L),
-              (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
-            when(ones * 2 > size(col("hs")), lit(1L << b)).otherwise(lit(0L))
-          }.reduce(_.bitwiseOR(_)).as("simhash"))
+          graft.functions.SimHash64(array_distinct(tokens(col("text")))).as("simhash"))
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*)).as("e"))

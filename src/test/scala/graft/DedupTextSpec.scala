@@ -51,6 +51,28 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("SimHash64 expression: bit votes match per-token xxhash64 folding") {
+    graft.functions.SimHash64.register(spark)
+    val toks = Seq("spark", "data", "join", "window", "scan")
+    // independent fold over the SQL builtin's per-token hashes
+    val hashes = toks.toDF("t").select(xxhash64(col("t"))).collect().map(_.getLong(0))
+    var expected = 0L
+    for (b <- 0 until 64) {
+      val ones = hashes.count(h => ((h >>> b) & 1L) != 0L)
+      if (ones * 2 > hashes.length) expected |= (1L << b)
+    }
+    val got = Seq((1, toks)).toDF("id", "arr")
+      .select(graft.functions.SimHash64(col("arr"))).head().getLong(0)
+    assert(got == expected)
+    // identical inputs collide; a perturbed input differs
+    val sig2 = Seq((2, toks)).toDF("id", "arr")
+      .select(graft.functions.SimHash64(col("arr"))).head().getLong(0)
+    assert(sig2 == got)
+    val sig3 = Seq((3, toks :+ "extra")).toDF("id", "arr")
+      .select(graft.functions.SimHash64(col("arr"))).head().getLong(0)
+    assert(sig3 != got)
+  }
+
   test("minhash signatures agree for identical shingle sets") {
     val df = Seq((1L, "x y z w v u"), (2L, "x y z w v u"), (3L, "p q r s t u"))
       .toDF("doc_id", "text")
