@@ -158,5 +158,24 @@ object AggQueries {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
-  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40)
+  /** q43 — sketch aggregates (rows-only: HLL/quantile-sketch internals
+    * have no cross-engine SQL parity; accuracy vs exact is asserted in
+    * ScalaTest). At 100 TB these replace exact distinct/percentile where
+    * a bounded-memory mergeable sketch is the only sane plan: constant
+    * state per partition, one tiny merge shuffle. */
+  private val q43 = GQuery(
+    "q43_agg_approx",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    None
+  )
+
+  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43)
 }

@@ -17,7 +17,8 @@ class QueriesSmokeSpec extends SparkSpec {
     val oracleKeys = SparkEntry.oracleSql.keySet
     assert(oracleKeys.subsetOf(keys))
     // the only rows-only queries are the declared non-SQL-expressible ones
-    assert(keys -- oracleKeys == Set("q32_dedup_simhash", "q39_multimodal_decode"))
+    assert(keys -- oracleKeys ==
+      Set("q32_dedup_simhash", "q39_multimodal_decode", "q43_agg_approx"))
   }
 
   SparkEntry.registry.foreach { q =>
