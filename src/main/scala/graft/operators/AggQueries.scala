@@ -177,5 +177,46 @@ object AggQueries {
     None
   )
 
-  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43)
+  /** q44 — GROUPING SETS beyond rollup/cube (the general form), expressed
+    * through the engine's SQL-text interface over registered views — the
+    * same Expand-based physical plan as q08/q09. */
+  private val q44 = GQuery(
+    "q44_grouping_sets",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                      coalesce(l_linestatus, 'ALL') AS status,
+                      sum(l_quantity) AS sum_qty, count(*) AS n
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY flag, status""")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                   coalesce(l_linestatus, 'ALL') AS status,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY flag, status""")
+  )
+
+  /** q45 — pivot (wide aggregation): per returnflag, one quantity-sum
+    * column per linestatus. Explicit pivot values keep the output schema
+    * deterministic; the oracle mirrors with CASE aggregation. */
+  private val q45 = GQuery(
+    "q45_pivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+                   sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43, q44, q45)
 }

@@ -57,6 +57,19 @@ class JoinSemanticsSpec extends SparkSpec {
     try {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_customer")
+      // a crashed prior run can leave the managed location behind with no
+      // metastore entry -> LOCATION_ALREADY_EXISTS on recreate
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq("b_orders", "b_customer").foreach { t =>
+        val dir = new java.io.File(wh, t)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(dir)
+        }
+      }
       graft.sources.Tables.orders(spark, sfSmoke)
         .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
         .saveAsTable("b_orders")
