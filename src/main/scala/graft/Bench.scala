@@ -38,13 +38,18 @@ object Bench {
     val phases = new PhaseTiming
     spark.sparkContext.addSparkListener(phases)
 
+    // median of 3 timed runs per query: single-run noise on this shared
+    // machine is ±30%+, the median is stable across bench invocations
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = benched.map { q =>
-      val t0 = System.nanoTime()
-      val ok = try { force(q.run(spark, sfDir)); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.key} failed: ${e.getMessage}"); false
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { force(q.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.key} failed: ${e.getMessage}"); None
+        }
       }
-      q.key -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      q.key -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -150,5 +150,45 @@ object ScalarQueries {
             FROM embeddings ORDER BY vec_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q19, q20, q21, q22, q23)
+  /** q46 — ordered string aggregation: canonical (sorted, distinct)
+    * concatenation per group — cross-engine stable where raw
+    * listagg/string_agg input order would not be. */
+  private val q46 = GQuery(
+    "q46_string_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+                   string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** q47 — MapType surface (SURVEY §1: props JSON → map via from_json):
+    * key listing, map access, and size over the parsed map. */
+  private val q47 = GQuery(
+    "q47_map_ops",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")).as("m"))
+        .select(
+          col("event_id"),
+          size(col("m")).cast("bigint").as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+          col("m")("k").as("k_val"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+                   CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+                   array_to_string(list_sort(json_keys(props)), ',') AS keys,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events ORDER BY event_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q19, q20, q21, q22, q23, q46, q47)
 }

@@ -32,16 +32,24 @@ object WindowQueries {
         .withColumn("rn", row_number().over(wFull))
         .withColumn("rk", rank().over(wPrice))
         .withColumn("drk", dense_rank().over(wPrice))
+        .withColumn("prk", round(percent_rank().over(wPrice), 6))
+        .withColumn("cd", round(cume_dist().over(wPrice), 6))
+        .withColumn("nt", ntile(4).over(wFull))
         .filter(col("rn") <= 50)
-        .select(col("l_returnflag"), col("rn"), col("rk"), col("drk"), col("l_extendedprice"))
+        .select(col("l_returnflag"), col("rn"), col("rk"), col("drk"),
+          col("prk"), col("cd"), col("nt"), col("l_extendedprice"))
         .orderBy(col("l_returnflag"), col("rn"))
     },
-    Some("""SELECT l_returnflag, rn, rk, drk, l_extendedprice FROM (
+    Some("""SELECT l_returnflag, rn, rk, drk, prk, cd, nt, l_extendedprice FROM (
               SELECT l_returnflag, l_extendedprice,
                      row_number() OVER (PARTITION BY l_returnflag
                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
                      rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rk,
-                     dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS drk
+                     dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS drk,
+                     round(percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC), 6) AS prk,
+                     round(cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC), 6) AS cd,
+                     ntile(4) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS nt
               FROM lineitem)
             WHERE rn <= 50 ORDER BY l_returnflag, rn""")
   )

@@ -53,6 +53,18 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** s04 — stream-static enrichment join: the unbounded event stream
+    * joins a bounded dimension (customer) on user_id. Spark re-plans the
+    * static side per micro-batch; with a small dimension this is a
+    * broadcast join per batch — the standard streaming-enrichment shape
+    * (no state store involved). */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      customer.select(col("c_custkey"), col("c_mktsegment")),
+      events("user_id") === col("c_custkey"), "left")
+      .select(events("event_id"), events("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"))
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessState(startMs: Long, endMs: Long, n: Long, sum: Double)

@@ -84,6 +84,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s04 stream-static enrichment join tags events with customer segment") {
+    val input = MemoryStream[Ev](spark)
+    val customer = graft.sources.Tables.customer(spark, sfSmoke)
+    val q = StreamOps.enrich(input.toDF(), customer)
+      .writeStream.format("memory").queryName("s04_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 10, user = 3L), ev(2, 11, user = 999999L))
+      q.processAllAvailable()
+      val rows = spark.table("s04_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+      assert(rows(1L).isDefined)       // user 3 exists in customer
+      assert(rows(2L).isEmpty)         // unknown user -> null segment
+    } finally q.stop()
+  }
+
   test("s03 stateful sessionization closes sessions on >30min gaps") {
     val input = MemoryStream[Ev](spark)
     val q = StreamOps.sessionize(input.toDS())
