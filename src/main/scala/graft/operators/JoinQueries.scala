@@ -165,5 +165,53 @@ object JoinQueries {
             WHERE rn = 1 ORDER BY event_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15)
+  /** q48 — full outer join over per-nation aggregates: customer nations
+    * without suppliers survive from the left, supplier nations without
+    * customers from the right; both counts null-coalesce to 0. */
+  private val q48 = GQuery(
+    "q48_join_full_outer",
+    (s, d) => {
+      val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("nk_c") === col("nk_s"), "full_outer")
+        .select(
+          coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT coalesce(nk_c, nk_s) AS nationkey,
+                   coalesce(n_cust, 0) AS n_cust,
+                   coalesce(n_supp, 0) AS n_supp
+            FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust
+                  FROM customer GROUP BY c_nationkey) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS nk_s, count(*) AS n_supp
+                  FROM supplier GROUP BY s_nationkey) s
+              ON nk_c = nk_s
+            ORDER BY nationkey""")
+  )
+
+  /** q49 — correlated scalar subquery (per-customer max order value):
+    * Catalyst decorrelates this into an aggregate + outer join (SURVEY §4
+    * "subquery decorrelation — free"); expressed through the SQL-text
+    * interface to exercise exactly that path. */
+  private val q49 = GQuery(
+    "q49_scalar_subquery",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""SELECT c_custkey,
+                      (SELECT max(o_totalprice) FROM orders
+                       WHERE o_custkey = c_custkey) AS max_order
+               FROM customer ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey,
+                   (SELECT max(o_totalprice) FROM orders
+                    WHERE o_custkey = c_custkey) AS max_order
+            FROM customer ORDER BY c_custkey""")
+  )
+
+  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15, q48, q49)
 }
