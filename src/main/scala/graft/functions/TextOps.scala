@@ -23,13 +23,16 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash of a shingle set for a given seed, as a min over md5 hex
-    * strings. Using md5 (available with identical output in DuckDB) makes
-    * the signature oracle-checkable — a cross-engine deterministic stand-in
-    * for the usual (a*x+b) mod p permutations. Uniformity of md5 makes the
-    * min-hex-string estimator behave like classic MinHash. */
+  /** MinHash of a shingle set for a given seed: min over 60-bit integers
+    * parsed from the leading 15 hex digits of md5. md5 produces identical
+    * output in DuckDB, so the signature is oracle-checkable — a
+    * cross-engine deterministic stand-in for the usual (a*x+b) mod p
+    * permutations, with md5 uniformity giving classic MinHash behavior.
+    * Integer (not hex-string) form so the aggregation takes
+    * HashAggregate's fast fixed-width path instead of SortAggregate. */
   def minhash(shingle: Column, seed: Int): Column =
-    min(md5(concat(lit(s"$seed|"), shingle)))
+    min(conv(substring(md5(concat(lit(s"$seed|"), shingle)), 1, 15), 16, 10)
+      .cast("long"))
 
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — a locality-insensitive content key for exact bag-of-words

@@ -123,8 +123,8 @@ object DedupQueries {
         .agg(minhash(col("sh"), 0).as("h0"),
           (1 until MINHASH_K).map(k => minhash(col("sh"), k).as(s"h$k")): _*)
       val bands = sigs.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), md5(concat_ws("", col("h0"), col("h1"), col("h2"), col("h3"))).as("bh")),
-        struct(lit(1).as("band"), md5(concat_ws("", col("h4"), col("h5"), col("h6"), col("h7"))).as("bh"))
+        struct(lit(0).as("band"), md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))).as("bh")),
+        struct(lit(1).as("band"), md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))).as("bh"))
       )).as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
       bands.groupBy(col("band"), col("bh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
@@ -136,14 +136,20 @@ object DedupQueries {
     },
     Some(SHINGLE_SQL +
       """, sig AS (SELECT doc_id,
-                    min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
-                    min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
-                    min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
-                    min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+                    min(CAST(concat('0x', substr(md5('0|' || sh), 1, 15)) AS BIGINT)) AS h0,
+                    min(CAST(concat('0x', substr(md5('1|' || sh), 1, 15)) AS BIGINT)) AS h1,
+                    min(CAST(concat('0x', substr(md5('2|' || sh), 1, 15)) AS BIGINT)) AS h2,
+                    min(CAST(concat('0x', substr(md5('3|' || sh), 1, 15)) AS BIGINT)) AS h3,
+                    min(CAST(concat('0x', substr(md5('4|' || sh), 1, 15)) AS BIGINT)) AS h4,
+                    min(CAST(concat('0x', substr(md5('5|' || sh), 1, 15)) AS BIGINT)) AS h5,
+                    min(CAST(concat('0x', substr(md5('6|' || sh), 1, 15)) AS BIGINT)) AS h6,
+                    min(CAST(concat('0x', substr(md5('7|' || sh), 1, 15)) AS BIGINT)) AS h7
                   FROM sh GROUP BY doc_id),
-         band AS (SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bh FROM sig
+         band AS (SELECT doc_id, 0 AS band,
+                         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
                   UNION ALL
-                  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bh FROM sig)
+                  SELECT doc_id, 1 AS band,
+                         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bh FROM sig)
          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
          FROM band a JOIN band b
            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id

@@ -148,5 +148,57 @@ object WindowQueries {
             FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")
   )
 
-  val all: Seq[GQuery] = Seq(q16, q17, q29, q30)
+  /** q50 — native session windows (SessionWindow expression): gap-merged
+    * sessions per user, session end = last event + gap (half-open
+    * semantics: a gap of exactly 30min starts a NEW session — mirrored in
+    * the oracle with >=, unlike q29's strict->). */
+  private val q50 = GQuery(
+    "q50_session_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+              FROM (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN prev_ts IS NULL
+                              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1
+                            ELSE 0 END AS new_sess
+                FROM (
+                  SELECT user_id, event_id, ts, value,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)))
+            GROUP BY user_id, sess ORDER BY user_id, session_start""")
+  )
+
+  /** q51 — sliding (hopping) windows: 2-hour windows every hour, each
+    * event lands in two windows (TimeWindow expands rows). The oracle
+    * reconstructs the covering window starts arithmetically. */
+  private val q51 = GQuery(
+    "q51_hopping_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type")),
+    Some("""SELECT make_timestamp(epoch_us(ts) - ((epoch_us(ts) - o.off) % 7200000000)) AS win_start,
+                   event_type, count(*) AS n
+            FROM events, (VALUES (0::BIGINT), (3600000000::BIGINT)) o(off)
+            GROUP BY 1, 2 ORDER BY win_start, event_type""")
+  )
+
+  val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51)
 }

@@ -79,7 +79,7 @@ class DedupTextSpec extends SparkSpec {
       .select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")), 5)).as("sh"))
       .groupBy(col("doc_id"))
       .agg(TextOps.minhash(col("sh"), 0).as("h0"), TextOps.minhash(col("sh"), 1).as("h1"))
-    val m = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val m = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m(1L) == m(2L))
     assert(m(1L) != m(3L))
   }
