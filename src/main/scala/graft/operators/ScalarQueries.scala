@@ -24,7 +24,14 @@ object ScalarQueries {
       val richOnly = rich.except(building).select(col("c_custkey"), lit("rich_only").as("tag"))
       val any = rich.unionAll(building).distinct()
         .select(col("c_custkey"), lit("any").as("tag"))
-      both.unionAll(richOnly).unionAll(any).orderBy(col("tag"), col("c_custkey"))
+      // bag semantics over a multiset key (nationkey repeats): INTERSECT
+      // ALL keeps min(m1,m2) copies, EXCEPT ALL keeps m1-m2 copies
+      val richN = c.filter(col("c_acctbal") > 5000).select(col("c_nationkey").cast("bigint").as("c_custkey"))
+      val buildN = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey").cast("bigint").as("c_custkey"))
+      val intAll = richN.intersectAll(buildN).select(col("c_custkey"), lit("int_all").as("tag"))
+      val excAll = richN.exceptAll(buildN).select(col("c_custkey"), lit("exc_all").as("tag"))
+      both.unionAll(richOnly).unionAll(any).unionAll(intAll).unionAll(excAll)
+        .orderBy(col("tag"), col("c_custkey"))
     },
     Some("""SELECT c_custkey, tag FROM (
               SELECT c_custkey, 'both' AS tag FROM
@@ -40,7 +47,17 @@ object ScalarQueries {
               SELECT DISTINCT c_custkey, 'any' AS tag FROM
                 (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
                  UNION ALL
-                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+                 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              UNION ALL
+              SELECT c_custkey, 'int_all' AS tag FROM
+                (SELECT CAST(c_nationkey AS BIGINT) AS c_custkey FROM customer WHERE c_acctbal > 5000
+                 INTERSECT ALL
+                 SELECT CAST(c_nationkey AS BIGINT) AS c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              UNION ALL
+              SELECT c_custkey, 'exc_all' AS tag FROM
+                (SELECT CAST(c_nationkey AS BIGINT) AS c_custkey FROM customer WHERE c_acctbal > 5000
+                 EXCEPT ALL
+                 SELECT CAST(c_nationkey AS BIGINT) AS c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
             ORDER BY tag, c_custkey""")
   )
 

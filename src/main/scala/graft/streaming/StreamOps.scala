@@ -65,6 +65,25 @@ object StreamOps {
       .select(events("event_id"), events("user_id"), col("event_type"),
         col("value"), col("c_mktsegment"))
 
+  /** s05 — stream-stream interval join: clicks correlated with purchases
+    * of the same user within 5 minutes. Both sides are watermarked and the
+    * join condition carries the event-time band, so Spark can bound both
+    * state stores (a side's row is dropped once the other side's watermark
+    * passes its join window). The unbatched form of q14. */
+  def streamStreamCorrelate(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val a = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val b = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    a.join(b,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL '5' MINUTE"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessState(startMs: Long, endMs: Long, n: Long, sum: Double)

@@ -100,6 +100,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s05 stream-stream interval join correlates within the time band") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = StreamOps.streamStreamCorrelate(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("s05_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 10, user = 1L), ev(2, 40, user = 2L))
+      purchases.addData(
+        ev(101, 12, user = 1L),   // within 2 min of click 1 -> match
+        ev(102, 30, user = 1L),   // 20 min after click 1 -> no match
+        ev(103, 41, user = 2L))   // within 1 min of click 2 -> match
+      q.processAllAvailable()
+      val pairs = spark.table("s05_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 101L), (2L, 103L)))
+    } finally q.stop()
+  }
+
   test("s03 stateful sessionization closes sessions on >30min gaps") {
     val input = MemoryStream[Ev](spark)
     val q = StreamOps.sessionize(input.toDS())
