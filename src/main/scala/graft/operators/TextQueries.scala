@@ -195,5 +195,31 @@ object TextQueries {
             ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42)
+  /** q52 — deterministic per-stratum quota sample (dataset curation):
+    * 20 documents per language, selected by a stable content-hash order so
+    * the quota spreads over the key space. Same shape as
+    * Sampling.quotaPerGroup (which uses xxhash64 — no DuckDB equivalent);
+    * here the order key is md5(doc_id), identical in both engines, making
+    * the selection fully oracle-checkable. */
+  private val q52 = GQuery(
+    "q52_quota_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 20 ORDER BY lang, doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52)
 }
