@@ -221,5 +221,20 @@ object TextQueries {
             WHERE rk <= 20 ORDER BY lang, doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52)
+  /** q53 — positional explode (Generate with ordinality): leading trigram
+    * of every document with 0-based positions. */
+  private val q53 = GQuery(
+    "q53_posexplode",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("col").as("token"))
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""SELECT doc_id, i - 1 AS pos, t[i] AS token
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), range(1, 4) r(i)
+            WHERE i <= len(t) ORDER BY doc_id, pos""")
+  )
+
+  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53)
 }

@@ -74,15 +74,22 @@ object WindowQueries {
           sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("mov_avg_qty",
           avg(col("l_quantity")).over(w.rowsBetween(-2, Window.currentRow)))
+        .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+        .withColumn("first_qty",
+          first(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("running_qty"), col("mov_avg_qty"), col("l_shipdate"))
+          col("running_qty"), col("mov_avg_qty"), col("next_qty"),
+          col("first_qty"), col("l_shipdate"))
         .orderBy(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"),
           col("l_linenumber"), col("running_qty"))
     },
-    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, running_qty, mov_avg_qty, l_shipdate FROM (
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, running_qty, mov_avg_qty,
+                   next_qty, first_qty, l_shipdate FROM (
               SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
                      sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
-                     avg(l_quantity) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg_qty
+                     avg(l_quantity) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg_qty,
+                     lead(l_quantity) OVER w AS next_qty,
+                     first_value(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_qty
               FROM lineitem
               WINDOW w AS (PARTITION BY l_returnflag
                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity,
