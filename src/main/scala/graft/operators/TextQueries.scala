@@ -236,5 +236,27 @@ object TextQueries {
             WHERE i <= len(t) ORDER BY doc_id, pos""")
   )
 
-  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53)
+  /** q54 — text normalization / redaction (cleaning stage of a training
+    * pipeline): whitespace collapse, case fold, alphanumeric-only strip,
+    * digit redaction. Pure per-row projection, regexes chosen for
+    * identical semantics in both engines. */
+  private val q54 = GQuery(
+    "q54_normalize",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"),
+        regexp_replace(col("text"), "[^a-z0-9 ]", "").as("alnum_only"),
+        regexp_replace(col("text"), "[0-9]", "#").as("redacted"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("bigint").as("n_alpha"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+                   regexp_replace(text, '[^a-z0-9 ]', '', 'g') AS alnum_only,
+                   regexp_replace(text, '[0-9]', '#', 'g') AS redacted,
+                   CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+            FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54)
 }

@@ -69,6 +69,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("s01 in Complete mode emits every window, matching the batch aggregation") {
+    val input = MemoryStream[Ev](spark)
+    // Complete mode re-emits the full result table each trigger (no
+    // watermark-based finalization needed) — the monitoring-dashboard mode
+    val q = input.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("s01_complete")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(ev(1, 10), ev(2, 20, typ = "view"), ev(3, 70))
+      q.processAllAvailable()
+      val rows = spark.table("s01_complete").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (ts(0), "click", 1L), (ts(0), "view", 1L), (ts(60), "click", 1L)))
+      // late-arriving data updates the already-emitted window
+      input.addData(ev(4, 15, typ = "view"))
+      q.processAllAvailable()
+      val rows2 = spark.table("s01_complete").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows2 == Set(
+        (ts(0), "click", 1L), (ts(0), "view", 2L), (ts(60), "click", 1L)))
+    } finally q.stop()
+  }
+
   test("s02 streaming dedup drops duplicate event_ids within watermark") {
     val input = MemoryStream[Ev](spark)
     val q = StreamOps.dedupEvents(input.toDF())
