@@ -258,5 +258,33 @@ object TextQueries {
             FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54)
+  /** q55 — dataset profiling (the audit stage before training): row and
+    * null counts, cardinalities, ranges, token totals — one aggregation
+    * pass over the corpus. */
+  private val q55 = GQuery(
+    "q55_profile",
+    (s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(tokens(col("text"))).cast("bigint")).as("total_tokens"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts")),
+    Some("""SELECT count(*) AS n_rows,
+                   count(text) AS n_text,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                   count(DISTINCT md5(text)) AS n_distinct_texts
+            FROM documents""")
+  )
+
+  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54, q55)
 }
