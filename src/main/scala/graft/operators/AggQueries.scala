@@ -183,7 +183,7 @@ object AggQueries {
   private val q44 = GQuery(
     "q44_grouping_sets",
     (s, d) => {
-      Tables.registerViews(s, d)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
                       coalesce(l_linestatus, 'ALL') AS status,
                       sum(l_quantity) AS sum_qty, count(*) AS n

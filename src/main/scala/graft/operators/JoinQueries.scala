@@ -201,7 +201,8 @@ object JoinQueries {
   private val q49 = GQuery(
     "q49_scalar_subquery",
     (s, d) => {
-      Tables.registerViews(s, d)
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
       s.sql("""SELECT c_custkey,
                       (SELECT max(o_totalprice) FROM orders
                        WHERE o_custkey = c_custkey) AS max_order
