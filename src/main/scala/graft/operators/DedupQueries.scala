@@ -7,7 +7,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for the training-data pipeline surface: exact
-  * (hash-keyed), n-gram Jaccard, MinHash+LSH, and SimHash.
+  * (hash-keyed), n-gram Jaccard, MinHash+LSH, and SimHash. Absent from the
+  * reference (SURVEY §2-A absence audit); mandated by the north star. The
+  * signature aggregations reuse the reference's partial-state-then-merge
+  * pattern (local extremum per chunk, then combine —
+  * max_aggregation.cpp:54-60) as per-doc MIN/vote aggregates.
   *
   * Scale notes (100 TB):
   * - Exact dedup groups on md5(text) — the shuffle carries a 32-byte key

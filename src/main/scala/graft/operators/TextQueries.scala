@@ -7,8 +7,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis family for the training-data pipeline: term statistics,
-  * language ID, quality scoring, token counting, fingerprinting. All pure
-  * Catalyst expression trees (codegen'd, no UDFs), each mirrored in DuckDB.
+  * language ID, quality scoring, token counting, fingerprinting,
+  * normalization, profiling. Absent from the reference (SURVEY §2-A
+  * absence audit: no string functions of any kind); mandated by the north
+  * star. All pure Catalyst expression trees (codegen'd, no UDFs), each
+  * mirrored in DuckDB.
   *
   * Scale notes: q27 is explode→groupBy (shuffle keyed on token — the
   * classic wordcount with map-side partial aggregation); everything else is

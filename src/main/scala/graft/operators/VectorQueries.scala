@@ -8,7 +8,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector / similarity-search family over the embeddings table
-  * (64-dim float vectors).
+  * (64-dim float vectors). Absent from the reference (SURVEY §2-A);
+  * mandated by the north star. The cosine kernel's fused accumulate loop
+  * is the reference's chunk-scan idiom (max_aggregation.cpp:54-55) per
+  * row instead of per chunk.
   *
   * The scalar kernel is graft.functions.CosineSim — a native Catalyst
   * expression with codegen (single fused pass, no boxing). Cross-engine

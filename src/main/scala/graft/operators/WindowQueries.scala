@@ -5,8 +5,9 @@ import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Window-function family (generalizes the reference's sort, SURVEY §2-B
-  * q16/q17) plus the batch forms of the streaming surface (q29/q30).
+/** Window-function family (generalizes the reference's per-chunk sorted
+  * runs — parallel_sort.cpp:71-77 — into ranked/framed analytics, SURVEY
+  * §2-B q16/q17) plus the batch forms of the streaming surface (q29/q30).
   *
   * Scale notes: every window here is partitioned (shuffle on the partition
   * key only, per-group sort inside WindowExec — spillable); no
