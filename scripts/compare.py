@@ -41,12 +41,14 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.description]
-            exp_rel = con.execute(sql)
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            got_types = dict(zip(got_cols, [str(t) for t in got_rel.types]))
+            got = got_rel.fetchall()
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_types = dict(zip(exp_cols, [str(t) for t in exp_rel.types]))
             exp = exp_rel.fetchall()
-            exp_cols = [d[0] for d in con.description]
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
@@ -55,6 +57,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
             n_fail += 1
             continue
+        # The driver's hash is representation-sensitive (e.g. DuckDB HUGEINT vs
+        # Spark BIGINT hashed differently even when values match) — surface
+        # per-column type divergence so it is caught before the driver runs.
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_cols
+                 if got_types[c] != exp_types[c]}
+        if tdiff:
+            print(f"WARN {name}: column type mismatch (driver hash risk): {tdiff}")
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = [tuple(norm(r[i]) for i in gi) for r in got]

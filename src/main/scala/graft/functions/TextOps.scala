@@ -44,4 +44,12 @@ object TextOps {
     * counting — unlike array_intersect which dedups). */
   def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers: _*)))
+
+  /** All ordered pairs (d1 < d2) from a sorted array — in-bucket candidate
+    * generation without a self-join (shared by the LSH dedup families:
+    * shingle buckets, MinHash/SimHash bands, hyperplane buckets). */
+  def orderedPairs(docs: Column): Column =
+    flatten(transform(docs, (x, i) =>
+      transform(slice(docs, i + 2, size(docs)),
+        y => struct(x.as("d1"), y.as("d2")))))
 }

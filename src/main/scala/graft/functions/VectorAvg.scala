@@ -21,11 +21,16 @@ object VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
 
   override def zero: Buf = Buf(Array.empty[Double], 0L)
 
+  // Contract: all non-null input vectors must share one dimension. Both
+  // reduce and merge fail fast on a mismatch — silently truncating (or
+  // letting merge throw an opaque index error) would hide bad data.
   override def reduce(b: Buf, a: Array[Float]): Buf = {
     if (a == null) return b
     if (b.sum.isEmpty) b.sum = new Array[Double](a.length)
+    require(a.length == b.sum.length,
+      s"vector_avg: dimension mismatch (${a.length} vs ${b.sum.length})")
     var i = 0
-    while (i < a.length && i < b.sum.length) { b.sum(i) += a(i); i += 1 }
+    while (i < a.length) { b.sum(i) += a(i); i += 1 }
     b.n += 1
     b
   }
@@ -33,6 +38,8 @@ object VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
   override def merge(x: Buf, y: Buf): Buf = {
     if (x.sum.isEmpty) return y
     if (y.sum.isEmpty) return x
+    require(x.sum.length == y.sum.length,
+      s"vector_avg: dimension mismatch (${x.sum.length} vs ${y.sum.length})")
     var i = 0
     while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
     x.n += y.n

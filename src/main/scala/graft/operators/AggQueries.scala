@@ -158,23 +158,43 @@ object AggQueries {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
-  /** q43 — sketch aggregates (rows-only: HLL/quantile-sketch internals
-    * have no cross-engine SQL parity; accuracy vs exact is asserted in
-    * ScalaTest). At 100 TB these replace exact distinct/percentile where
-    * a bounded-memory mergeable sketch is the only sane plan: constant
-    * state per partition, one tiny merge shuffle. */
+  /** q43 — sketch aggregates. Sketch *internals* have no cross-engine SQL
+    * parity (Spark HLL++ ≠ DuckDB HLL), so the driver-checkable contract is
+    * structured as: exact reference columns (oracle-diffed value-by-value)
+    * plus boolean within-bound claims about the sketch outputs — Spark
+    * computes |approx−exact|/exact against the documented error budget
+    * (HLL++ default rsd 0.05 → 3σ budget 0.15; percentile_approx accuracy
+    * 1000 → 1% value budget on this distribution), the oracle asserts TRUE.
+    * Both engines' columns are then exactly comparable, and the raw sketch
+    * accuracy is additionally asserted in ScalaTest (ApproxAggSpec).
+    * At 100 TB the sketches replace exact distinct/percentile where a
+    * bounded-memory mergeable sketch is the only sane plan: constant state
+    * per partition, one tiny merge shuffle (the exact columns here are the
+    * verification harness, not the production plan). */
   private val q43 = GQuery(
     "q43_agg_approx",
     (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("em"))
+        .select(col("l_returnflag"), col("n"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) / col("exact_parts") <= 0.15).as("parts_in_bound"),
+          (abs(col("ao") - col("exact_orders")) / col("exact_orders") <= 0.15).as("orders_in_bound"),
+          (abs(col("am") - col("em")) / col("em") <= 0.01).as("median_in_bound"))
         .orderBy(col("l_returnflag")),
-    None
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   count(DISTINCT l_partkey) AS exact_parts,
+                   count(DISTINCT l_orderkey) AS exact_orders,
+                   TRUE AS parts_in_bound, TRUE AS orders_in_bound,
+                   TRUE AS median_in_bound
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
   /** q44 — GROUPING SETS beyond rollup/cube (the general form), expressed

@@ -49,12 +49,8 @@ object DedupQueries {
   private def shingleDf(s: SparkSession, d: String): DataFrame =
     shingleBuckets(s, d).select(col("sh"), explode(col("docs")).as("doc_id"))
 
-  /** All ordered pairs (d1 < d2) from a sorted array — in-bucket candidate
-    * generation without a self-join. */
-  private def orderedPairs(docs: Column): Column =
-    flatten(transform(docs, (x, i) =>
-      transform(slice(docs, i + 2, size(docs)),
-        y => struct(x.as("d1"), y.as("d2")))))
+  /** In-bucket candidate pairs — shared helper (TextOps.orderedPairs). */
+  private def orderedPairs(docs: Column): Column = TextOps.orderedPairs(docs)
 
   /** Oracle CTE prefix mirroring shingleDf. */
   private val SHINGLE_SQL =
@@ -160,15 +156,15 @@ object DedupQueries {
          ORDER BY doc1, doc2""")
   )
 
-  /** q32 — SimHash near-dup candidates (rows-only check: 64-bit xxhash64
-    * bit arithmetic has no DuckDB equivalent; correctness is covered by
-    * ScalaTest properties instead). Signature: sign of per-bit vote sums
-    * over distinct-token hashes; candidates via 16-bit band join, then
+  /** q32 — SimHash near-dup candidates. Signature: sign of per-bit vote
+    * sums over md5-derived 60-bit distinct-token hashes (the same
+    * cross-engine hash scheme as q31's MinHash, so the whole pipeline is
+    * oracle-checkable in DuckDB); candidates via 15-bit band join, then
     * exact Hamming distance filter on candidates only. */
   private val q32 = GQuery(
     "q32_dedup_simhash",
     (s, d) => {
-      // Per-row signature — no tokenize shuffle at all: the whole 64-bit
+      // Per-row signature — no tokenize shuffle at all: the whole 60-bit
       // SimHash is one native codegen kernel (graft.functions.SimHash64)
       // over the distinct-token array. At 100 TB this is a map-only pass;
       // only the tiny (doc_id, simhash) relation ever shuffles (for the
@@ -179,7 +175,7 @@ object DedupQueries {
           graft.functions.SimHash64(array_distinct(tokens(col("text")))).as("simhash"))
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*)).as("e"))
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL)).as("bh"))): _*)).as("e"))
         .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bh").as("bh"))
       bands.groupBy(col("band"), col("bh"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
@@ -188,10 +184,30 @@ object DedupQueries {
         .select(col("p.d1.doc_id").as("doc1"), col("p.d2.doc_id").as("doc2"),
           bit_count(col("p.d1.simhash").bitwiseXOR(col("p.d2.simhash"))).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 16)
+        .filter(col("hamming") <= 15)
         .orderBy(col("doc1"), col("doc2"))
     },
-    None
+    Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+                         FROM documents),
+                 th AS (SELECT doc_id,
+                               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+                        FROM tok),
+                 v AS (SELECT doc_id, b.b AS b,
+                              sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+                       FROM th, range(0, 60) b(b) GROUP BY doc_id, b.b),
+                 sig AS (SELECT doc_id,
+                                CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << b)
+                                              ELSE 0::BIGINT END) AS BIGINT) AS simhash
+                         FROM v GROUP BY doc_id),
+                 band AS (SELECT doc_id, simhash, b.b AS band,
+                                 (simhash >> (b.b * 15)) & 32767 AS bh
+                          FROM sig, range(0, 4) b(b))
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 15
+            ORDER BY doc1, doc2""")
   )
 
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32)

@@ -11,16 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Round-robin salt: varies within fully identical rows (the common hot-
+    * key shape is many *identical* records — a row-content hash would map
+    * them all to ONE salt and silently not spread them at all). The salt
+    * value is not reproducible across retries, but every operator built on
+    * it is salt-invariant: the dimension is replicated to all salts
+    * (join), and partial aggregates merge to the same final value
+    * whichever salt each row drew. */
+  private def rowSalt(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
+
   /** Salted equi-join of a skewed fact side against a (replicable)
-    * dimension side: the fact side gets a deterministic salt derived from
-    * its whole row hash, the dimension side is exploded ×salts, and the
-    * join key becomes (key, salt) — hot keys spread over `salts`
-    * partitions. Semantics identical to big.join(dim, key): the dimension
-    * is replicated, never filtered. */
+    * dimension side: the fact side gets a per-row salt, the dimension side
+    * is exploded ×salts, and the join key becomes (key, salt) — hot keys
+    * spread over `salts` partitions. Semantics identical to
+    * big.join(dim, key): the dimension is replicated, never filtered. */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    val saltedBig = big.withColumn("_salt", rowSalt(salts))
     val saltedDim = dim
       .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(saltedDim,
@@ -35,8 +43,7 @@ object Skew {
       partial: Seq[(String, Column => Column)],
       merge: Seq[(String, Column => Column)]): DataFrame = {
     require(partial.length == merge.length && salts > 0)
-    val salted = df.withColumn("_salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    val salted = df.withColumn("_salt", rowSalt(salts))
     val p = salted.groupBy(col(key), col("_salt"))
       .agg(partial.head._2(col(partial.head._1)).as(partial.head._1),
         partial.tail.map { case (n, f) => f(col(n)).as(n) }: _*)

@@ -161,10 +161,13 @@ object TextQueries {
             ORDER BY doc_id""")
   )
 
-  /** q42 — TF-IDF: per-document top term by tf·ln(N/df). One linear
-    * pipeline: document frequency rides in via a window over the token
-    * partition (no tf-relation re-join), the corpus size N broadcasts as
-    * a one-row scalar. Ranking uses the rounded score (+ token tie-break)
+  /** q42 — TF-IDF: per-document top term by tf·ln(N/df). Document
+    * frequency is a vocabulary-sized relation computed straight from the
+    * distinct-token arrays (map-side explode + groupBy(token) with partial
+    * aggregation) and broadcast-joined back onto the tf relation — no
+    * window over token partitions, whose hot stop-token groups would
+    * funnel at scale (VERDICT r1 #7). The corpus size N broadcasts as a
+    * one-row scalar. Ranking uses the rounded score (+ token tie-break)
     * so 1-ulp libm differences between engines cannot flip the top term. */
   private val q42 = GQuery(
     "q42_tfidf",
@@ -173,7 +176,13 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val wf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      // df = #docs containing the token: explode the per-doc DISTINCT token
+      // set (array_distinct is map-side) — skew-free: partial counts
+      // combine before the token shuffle, and the result is vocabulary-
+      // sized, small enough to broadcast.
+      val df = docs.select(explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val wf = tf.join(broadcast(df), "token")
       val n = docs.agg(count(lit(1)).as("n_docs"))
       wf.crossJoin(broadcast(n))
         .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))

@@ -41,7 +41,9 @@ object WindowQueries {
           col("prk"), col("cd"), col("nt"), col("l_extendedprice"))
         .orderBy(col("l_returnflag"), col("rn"))
     },
-    Some("""SELECT l_returnflag, rn, rk, drk, prk, cd, nt, l_extendedprice FROM (
+    Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, CAST(rk AS INTEGER) AS rk,
+                   CAST(drk AS INTEGER) AS drk, prk, cd, CAST(nt AS INTEGER) AS nt,
+                   l_extendedprice FROM (
               SELECT l_returnflag, l_extendedprice,
                      row_number() OVER (PARTITION BY l_returnflag
                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
@@ -121,7 +123,7 @@ object WindowQueries {
           dsum2(col("value")).as("sum_value"))
         .orderBy(col("user_id"), col("session_id"))
     },
-    Some("""SELECT user_id, session_id, count(*) AS n_events,
+    Some("""SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM (

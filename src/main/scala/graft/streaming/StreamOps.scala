@@ -118,7 +118,10 @@ object StreamOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.endMs <= GapMs =>
-                  cur = Some(SessState(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+                  // a late-but-within-watermark event may precede the
+                  // current session start — absorb it into the bounds
+                  cur = Some(SessState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, new Timestamp(s.startMs),
                     new Timestamp(s.endMs), s.n, s.sum)
@@ -129,7 +132,11 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + GapMs)
+              // the natural timeout can already be behind the watermark
+              // (late batch) — setTimeoutTimestamp throws on that; clamp
+              // so the session times out on the next watermark advance
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + GapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

@@ -47,17 +47,20 @@ class DedupTextSpec extends SparkSpec {
     val rows = SparkEntry.queries("q32_dedup_simhash")(spark, sfSmoke).collect()
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getInt(2) >= 0 && r.getInt(2) <= 16)
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 15)
     }
   }
 
-  test("SimHash64 expression: bit votes match per-token xxhash64 folding") {
+  test("SimHash64 expression: bit votes match per-token md5-60bit folding") {
     graft.functions.SimHash64.register(spark)
     val toks = Seq("spark", "data", "join", "window", "scan")
-    // independent fold over the SQL builtin's per-token hashes
-    val hashes = toks.toDF("t").select(xxhash64(col("t"))).collect().map(_.getLong(0))
+    // independent fold over the SQL-expressible md5-60bit per-token hashes
+    // (conv(substring(md5(t),1,15),16,10) — the same scheme as TextOps.minhash)
+    val hashes = toks.toDF("t")
+      .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+      .collect().map(_.getLong(0))
     var expected = 0L
-    for (b <- 0 until 64) {
+    for (b <- 0 until 60) {
       val ones = hashes.count(h => ((h >>> b) & 1L) != 0L)
       if (ones * 2 > hashes.length) expected |= (1L << b)
     }

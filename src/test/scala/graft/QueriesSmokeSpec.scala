@@ -17,8 +17,7 @@ class QueriesSmokeSpec extends SparkSpec {
     val oracleKeys = SparkEntry.oracleSql.keySet
     assert(oracleKeys.subsetOf(keys))
     // the only rows-only queries are the declared non-SQL-expressible ones
-    assert(keys -- oracleKeys ==
-      Set("q32_dedup_simhash", "q39_multimodal_decode", "q43_agg_approx"))
+    assert(keys -- oracleKeys == Set("q39_multimodal_decode"))
   }
 
   SparkEntry.registry.foreach { q =>
