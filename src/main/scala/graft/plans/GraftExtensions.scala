@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHash64(exprs.head)))
+    ext.injectOptimizerRule(_ => CosineBoundRule)
   }
 }

@@ -46,4 +46,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Sort"), p)
     assert(p.contains("rangepartitioning"), p)
   }
+
+  import org.apache.spark.sql.catalyst.plans.logical
+
+  private def windows(key: String): (Seq[logical.Window], String) = {
+    val qe = SparkEntry.queries(key)(spark, sfSmoke).queryExecution
+    (qe.optimizedPlan.collect { case w: logical.Window => w }, qe.optimizedPlan.toString)
+  }
+
+  test("q37 centroid assignment is map-only: no Window, no row expansion") {
+    val (ws, p) = windows("q37_ann_ivf")
+    assert(ws.isEmpty, p)
+    // the codebook reaches the scan as a broadcast, the top-k as a heap
+    val phys = plan("q37_ann_ivf")
+    assert(phys.contains("BroadcastNestedLoopJoin") || phys.contains("BroadcastExchange"), phys)
+    assert(phys.contains("TakeOrderedAndProject"), phys)
+  }
+
+  test("q42 document frequency avoids a window over hot token partitions") {
+    val (ws, p) = windows("q42_tfidf")
+    // the only window left is the per-doc top-term rank (partitioned by doc_id)
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty, p))
+    assert(plan("q42_tfidf").contains("BroadcastHashJoin"), plan("q42_tfidf"))
+  }
+
+  test("q04 never funnels the full table through an unpartitioned window") {
+    val (ws, p) = windows("q04_sorted_check")
+    assert(ws.nonEmpty, p)
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // an unpartitioned window may only see the k per-partition boundary
+      // rows, i.e. its input subtree must already be aggregated
+      assert(w.child.collectFirst { case a: logical.Aggregate => a }.isDefined, p)
+    }
+  }
 }
