@@ -22,6 +22,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE: adaptive.coalescePartitions.parallelismFirst=false (size-based
+      // coalescing) was measured here and REJECTED: it collapses the few-MB
+      // bench shuffles to one partition and serializes the CPU-bound
+      // window/sort stages (q16/q17/q32 ~2x slower). The default
+      // parallelism-first coalescing is the right call on both this box and
+      // a real cluster, where partitions are advisory-sized anyway.
+      // Local-mode shuffle I/O: compression costs CPU to save local-disk
+      // bytes — the wrong trade on a single node (a cluster deployment
+      // would re-enable it for network transfer).
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

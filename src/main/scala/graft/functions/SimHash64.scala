@@ -52,6 +52,18 @@ object SimHash64 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Per-thread token-hash memo: natural-language vocabularies are tiny
+    * relative to token occurrences (Zipf), so caching turns ~|occurrences|
+    * MD5 computations into ~|vocabulary| lookups. Bounded: cleared when it
+    * reaches 128k entries, so a pathological unique-token stream degrades
+    * to plain hashing, never to unbounded memory. (At sf0.1 the signature
+    * pass is not q32's bottleneck — the win is at real corpus scale where
+    * token volume per partition is orders of magnitude larger.) */
+  private val CacheCap = 1 << 17
+  private val memo = new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+    override def initialValue() = new java.util.HashMap[String, java.lang.Long](1 << 12)
+  }
+
   /** md5-derived 60-bit token hash: the integer value of the first 15 hex
     * digits of md5(utf8), i.e. the big-endian first 8 digest bytes >>> 4.
     * Identical to `conv(substring(md5(t), 1, 15), 16, 10)` in Spark SQL and
@@ -68,6 +80,19 @@ object SimHash64 {
     be >>> 4
   }
 
+  private def cachedHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val m = memo.get()
+    val key = s.toString
+    val hit = m.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val h = tokenHash60(s.getBytes)
+      if (m.size() >= CacheCap) m.clear()
+      m.put(key, java.lang.Long.valueOf(h))
+      h
+    }
+  }
+
   /** Invoked from both interpreted eval and generated code. */
   def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](Bits)
@@ -75,7 +100,7 @@ object SimHash64 {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = tokenHash60(arr.getUTF8String(i).getBytes)
+        val h = cachedHash(arr.getUTF8String(i))
         var b = 0
         while (b < Bits) {
           if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Cols, GQuery}
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -170,25 +171,38 @@ object AggQueries {
     * At 100 TB the sketches replace exact distinct/percentile where a
     * bounded-memory mergeable sketch is the only sane plan: constant state
     * per partition, one tiny merge shuffle (the exact columns here are the
-    * verification harness, not the production plan). */
+    * verification harness, not the production plan).
+    *
+    * Plan shape: the two exact distinct counts run as separate two-step
+    * aggregations (dedup on (flag, key) with map-side partial dedup, then
+    * count per flag) joined onto the single-pass sketch aggregate over
+    * 3-row relations. A single groupBy with two countDistinct would plan
+    * an Expand (×3 the input into one sort-aggregate) — measured 6× slower
+    * at sf0.1 and strictly worse at scale. */
   private val q43 = GQuery(
     "q43_agg_approx",
-    (s, d) =>
-      Tables.lineitem(s, d)
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      def exactDistinct(key: String, as: String): DataFrame =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      val sketches = li
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_partkey")).as("ap"),
           approx_count_distinct(col("l_orderkey")).as("ao"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
           percentile(col("l_extendedprice"), lit(0.5)).as("em"))
+      sketches
+        .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
+        .join(exactDistinct("l_orderkey", "exact_orders"), "l_returnflag")
         .select(col("l_returnflag"), col("n"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) / col("exact_parts") <= 0.15).as("parts_in_bound"),
           (abs(col("ao") - col("exact_orders")) / col("exact_orders") <= 0.15).as("orders_in_bound"),
           (abs(col("am") - col("em")) / col("em") <= 0.01).as("median_in_bound"))
-        .orderBy(col("l_returnflag")),
+        .orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag, count(*) AS n,
                    count(DISTINCT l_partkey) AS exact_parts,
                    count(DISTINCT l_orderkey) AS exact_orders,
