@@ -44,23 +44,28 @@ object MultimodalQueries {
   )
 
   /** Deterministic stand-in for a media decoder: derives "features" from
-    * the payload bytes only (first-byte, checksum-style fold, length).
-    * Replace the body with a real codec (e.g. JPEG decode + resize) in
-    * production; signature and batching stay identical. */
+    * the payload bytes only — first UTF-8 codepoint (imperative byte-level
+    * decode), md5-60bit content hash (the engine's shared cross-engine
+    * scheme, graft.functions.SimHash64.tokenHash60), byte length. Replace
+    * the body with a real codec (e.g. JPEG decode + resize) in production;
+    * signature and batching stay identical. Every feature is reproducible
+    * in portable SQL, so q39's full pipeline is oracle-checkable. */
   object FakeDecoder {
     def decode(payload: Array[Byte]): (Int, Long, Int) = {
       // ??? <- real codec goes here; deterministic fake below
-      val first = if (payload.nonEmpty) payload(0) & 0xFF else -1
-      var acc = 0L
-      var i = 0
-      while (i < payload.length) { acc = acc * 31 + (payload(i) & 0xFF); i += 1 }
-      (first, acc, payload.length)
+      val first =
+        if (payload.isEmpty) -1
+        else new String(payload, 0, math.min(4, payload.length),
+          java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+      (first, graft.functions.SimHash64.tokenHash60(payload), payload.length)
     }
   }
 
-  /** q39 — distributed decode via mapPartitions over the binary column
-    * (rows-only check: the fold hash has no SQL equivalent; ScalaTest
-    * asserts determinism and schema). */
+  /** q39 — distributed decode via mapPartitions over the binary column.
+    * The kernel is partition-local imperative JVM work (how a real codec
+    * runs); the stub's features are also SQL-expressible, which is what
+    * lets the driver diff the whole mapPartitions pipeline against DuckDB
+    * value-by-value. */
   private val q39 = GQuery(
     "q39_multimodal_decode",
     (s, d) => {
@@ -72,10 +77,14 @@ object MultimodalQueries {
           val (first, hash, len) = FakeDecoder.decode(payload)
           (docId, first, hash, len)
         })
-        .toDF("doc_id", "first_byte", "content_hash", "byte_len")
+        .toDF("doc_id", "first_cp", "content_hash", "byte_len")
         .orderBy(col("doc_id"))
     },
-    None
+    Some("""SELECT doc_id,
+                   CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_cp,
+                   CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS content_hash,
+                   CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len
+            FROM documents ORDER BY doc_id""")
   )
 
   val all: Seq[GQuery] = Seq(q38, q39)

@@ -16,8 +16,8 @@ class QueriesSmokeSpec extends SparkSpec {
     val keys = SparkEntry.queries.keySet
     val oracleKeys = SparkEntry.oracleSql.keySet
     assert(oracleKeys.subsetOf(keys))
-    // the only rows-only queries are the declared non-SQL-expressible ones
-    assert(keys -- oracleKeys == Set("q39_multimodal_decode"))
+    // every registered query carries a driver-checkable oracle
+    assert(keys -- oracleKeys == Set.empty[String])
   }
 
   SparkEntry.registry.foreach { q =>
