@@ -226,6 +226,39 @@ object VectorQueries {
             ORDER BY v1, v2""")
   )
 
+  /** q59 — int8 scalar quantization of the embedding column: per-vector
+    * max-abs scale, symmetric round-to-nearest codes in [-127, 127]. The
+    * storage-compression step a 100 TB vector corpus runs before indexing
+    * (4× smaller than float32; IVF/LSH stages read codes + scale).
+    *
+    * Map-only: one projection per row, no shuffle anywhere except the
+    * presentation ORDER BY. Cross-engine determinism: codes are integers
+    * (exact compare); the scale is rounded to 6. Zero vectors get empty
+    * codes (null scale) rather than a division by zero. */
+  private val q59 = GQuery(
+    "q59_embedding_quantize",
+    (s, d) => {
+      val m = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      emb(s, d)
+        .withColumn("m", m)
+        .select(col("vec_id"),
+          when(col("m") > 0, round(col("m"), 6)).as("scale"),
+          when(col("m") > 0, transform(col("embedding"),
+            x => round(x.cast("double") * 127 / col("m"), 0).cast("int")))
+            .otherwise(array().cast("array<int>")).as("codes"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+                   (SELECT max(abs(CAST(x AS DOUBLE))) FROM unnest(embedding) t(x)) AS m
+                   FROM embeddings)
+            SELECT vec_id,
+                   CASE WHEN m > 0 THEN round(m, 6) END AS scale,
+                   CASE WHEN m > 0 THEN list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 127 / m, 0) AS INTEGER))
+                        ELSE [] END AS codes
+            FROM e ORDER BY vec_id""")
+  )
+
   /** Oracle helper at 6-digit rounding (centroid assignment). */
   private def cosineSql6(vecExpr: String, qvExpr: String): String =
     s"""round(
@@ -236,5 +269,5 @@ object VectorQueries {
              * sqrt((SELECT sum(CAST($qvExpr[i.i] AS DOUBLE) * CAST($qvExpr[i.i] AS DOUBLE))
                      FROM range(1, 65) i(i)))), 6)"""
 
-  val all: Seq[GQuery] = Seq(q26, q28, q37, q41)
+  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59)
 }
