@@ -63,17 +63,29 @@ object CosineBoundRule extends Rule[LogicalPlan] with PredicateHelper {
   private def alwaysNull(c: CosineSim): Boolean =
     litNormSq(c.left).exists(_ <= 0.0) || litNormSq(c.right).exists(_ <= 0.0)
 
+  /** cosine_sim, possibly wrapped in round(·, k): rounding keeps the value
+    * inside [-1, 1] and is null exactly when the cosine is null, so every
+    * static decision below holds through the wrapper (the engine's own
+    * queries compare `round(cosine_sim(...), k)` for determinism). */
+  private object CosLike {
+    def unapply(e: Expression): Option[CosineSim] = e match {
+      case c: CosineSim           => Some(c)
+      case Round(c: CosineSim, _, _) => Some(c)
+      case _ => None
+    }
+  }
+
   /** Canonicalize `cos OP τ` / `τ OP cos` to (cos, τ, greater?, strict?). */
   private object CosVsLit {
     def unapply(e: Expression): Option[(CosineSim, Double, Boolean, Boolean)] = e match {
-      case GreaterThanOrEqual(c: CosineSim, Literal(t: Double, DoubleType)) => Some((c, t, true, false))
-      case GreaterThan(c: CosineSim, Literal(t: Double, DoubleType))        => Some((c, t, true, true))
-      case LessThanOrEqual(c: CosineSim, Literal(t: Double, DoubleType))    => Some((c, t, false, false))
-      case LessThan(c: CosineSim, Literal(t: Double, DoubleType))           => Some((c, t, false, true))
-      case GreaterThanOrEqual(Literal(t: Double, DoubleType), c: CosineSim) => Some((c, t, false, false))
-      case GreaterThan(Literal(t: Double, DoubleType), c: CosineSim)        => Some((c, t, false, true))
-      case LessThanOrEqual(Literal(t: Double, DoubleType), c: CosineSim)    => Some((c, t, true, false))
-      case LessThan(Literal(t: Double, DoubleType), c: CosineSim)           => Some((c, t, true, true))
+      case GreaterThanOrEqual(CosLike(c), Literal(t: Double, DoubleType)) => Some((c, t, true, false))
+      case GreaterThan(CosLike(c), Literal(t: Double, DoubleType))        => Some((c, t, true, true))
+      case LessThanOrEqual(CosLike(c), Literal(t: Double, DoubleType))    => Some((c, t, false, false))
+      case LessThan(CosLike(c), Literal(t: Double, DoubleType))           => Some((c, t, false, true))
+      case GreaterThanOrEqual(Literal(t: Double, DoubleType), CosLike(c)) => Some((c, t, false, false))
+      case GreaterThan(Literal(t: Double, DoubleType), CosLike(c))        => Some((c, t, false, true))
+      case LessThanOrEqual(Literal(t: Double, DoubleType), CosLike(c))    => Some((c, t, true, false))
+      case LessThan(Literal(t: Double, DoubleType), CosLike(c))           => Some((c, t, true, true))
       case _ => None
     }
   }

@@ -87,6 +87,18 @@ class OptimizerRuleSpec extends SparkSpec {
     }
   }
 
+  test("round-wrapped cosine predicates (the engine's own shape) are decided") {
+    withExtSession { s2 =>
+      CosineSim.register(s2)
+      val df = Tables.embeddings(s2, sfSmoke)
+        .filter(round(CosineSim(col("embedding"), typedlit(unitQ)), 4) >= 1.5)
+      assert(df.queryExecution.optimizedPlan
+        .collectFirst { case l: LocalRelation => l }.isDefined,
+        df.queryExecution.optimizedPlan.toString)
+      assert(df.count() == 0)
+    }
+  }
+
   test("runtime install() path works on a foreign session") {
     // the shared session gains the rule only inside this test's scope; the
     // rule is semantics-preserving so other suites are unaffected. The

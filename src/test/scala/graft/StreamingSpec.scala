@@ -170,4 +170,29 @@ class StreamingSpec extends SparkSpec {
       assert(all.contains((1L, ts(60), ts(60), 1L)), all.mkString(", "))
     } finally q.stop()
   }
+
+  test("s03 absorbs late-but-within-watermark events into the session start") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("s03b_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 20, user = 7L))
+      q.processAllAvailable()
+      // 5 minutes late but inside the 10-minute watermark: must extend the
+      // session BACKWARDS (round-1 bug kept the later start)
+      input.addData(ev(2, 15, user = 7L))
+      q.processAllAvailable()
+      // advance the watermark far past user 7's session + gap; second
+      // batch fires the event-time timeout that closes it
+      input.addData(ev(3, 300, user = 8L))
+      q.processAllAvailable()
+      input.addData(ev(4, 301, user = 8L))
+      q.processAllAvailable()
+      val sess = spark.table("s03b_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .filter(_._1 == 7L)
+      assert(sess.toSeq == Seq((7L, ts(15), ts(20), 2L)), sess.mkString(", "))
+    } finally q.stop()
+  }
 }
