@@ -38,7 +38,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q32_dedup_simhash,q25_dedup_near narrows the
+    // loop for targeted profiling; unset = the full headline suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val benched = SparkEntry.registry.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.key)))
     // warmup at the smoke scale: codegen + JIT + parquet footer caches
     benched.foreach { q =>
       try force(q.run(spark, "/root/testdata/sf0.001"))

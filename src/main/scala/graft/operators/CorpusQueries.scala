@@ -55,11 +55,14 @@ object CorpusQueries {
     "q57_ngram_counts",
     (s, d) =>
       Tables.documents(s, d)
-        .select(explode(when(size(tokens(col("text"))) >= 2,
-          transform(sequence(lit(1), size(tokens(col("text"))) - 1),
+        // toks must be an attribute before the lambda references it —
+        // lambda bodies re-evaluate non-attribute expressions per element
+        .select(tokens(col("text")).as("toks"))
+        .select(explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
             i => concat_ws(" ",
-              element_at(tokens(col("text")), i),
-              element_at(tokens(col("text")), i + 1))))
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
           .otherwise(array().cast("array<string>"))).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 5)

@@ -40,7 +40,12 @@ object DedupQueries {
     * recompute the explode subtree. */
   private def shingleBuckets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), SHINGLE_N)).as("sh"))
+      // materialize the token array as an attribute BEFORE the shingle
+      // lambda: a lambda body referencing a non-attribute expression
+      // re-evaluates it per element (codegen subexpression elimination
+      // does not hoist across lambda scopes), i.e. ~|tokens| splits/row
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), SHINGLE_N)).as("sh"))
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= STOP_SHINGLE_CAP)
@@ -159,8 +164,17 @@ object DedupQueries {
   /** q32 — SimHash near-dup candidates. Signature: sign of per-bit vote
     * sums over md5-derived 60-bit distinct-token hashes (the same
     * cross-engine hash scheme as q31's MinHash, so the whole pipeline is
-    * oracle-checkable in DuckDB); candidates via 15-bit band join, then
-    * exact Hamming distance filter on candidates only. */
+    * oracle-checkable in DuckDB); candidates via 15-bit band join with a
+    * bucket cap, then exact Hamming distance filter on candidates only.
+    *
+    * The bucket cap is the same quadratic-blowup guard as q25's
+    * stop-shingles and q41's LSH cap: a band value shared by k documents
+    * yields k² ∕ 2 pairs, and low-entropy corpora (here: one shared
+    * vocabulary) load a few buckets with a large fraction of the corpus —
+    * measured 2.24M candidate pairs from 5 000 docs uncapped. Oversized
+    * buckets carry no discriminating signal (they pair near-everything)
+    * and are dropped symmetrically in the oracle. */
+  private val SIMHASH_BUCKET_CAP = 200
   private val q32 = GQuery(
     "q32_dedup_simhash",
     (s, d) => {
@@ -179,7 +193,7 @@ object DedupQueries {
         .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bh").as("bh"))
       bands.groupBy(col("band"), col("bh"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
-        .filter(size(col("docs")) >= 2)
+        .filter(size(col("docs")).between(2, SIMHASH_BUCKET_CAP))
         .select(explode(orderedPairs(col("docs"))).as("p"))
         .select(col("p.d1.doc_id").as("doc1"), col("p.d2.doc_id").as("doc2"),
           bit_count(col("p.d1.simhash").bitwiseXOR(col("p.d2.simhash"))).as("hamming"))
@@ -201,11 +215,14 @@ object DedupQueries {
                          FROM v GROUP BY doc_id),
                  band AS (SELECT doc_id, simhash, b.b AS band,
                                  (simhash >> (b.b * 15)) & 32767 AS bh
-                          FROM sig, range(0, 4) b(b))
+                          FROM sig, range(0, 4) b(b)),
+                 ok AS (SELECT band, bh FROM band GROUP BY band, bh
+                        HAVING count(*) BETWEEN 2 AND 200)
             SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM band a JOIN band b
               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            JOIN ok o ON a.band = o.band AND a.bh = o.bh
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 15
             ORDER BY doc1, doc2""")
   )

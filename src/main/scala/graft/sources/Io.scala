@@ -48,4 +48,14 @@ object Io {
   /** Plain parquet sink (CSV/JSON sinks mirror spark.write natively). */
   def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
+
+  /** ORC read with enforced schema — the second columnar format big SQL
+    * stacks exchange data in; same pushdown/pruning behavior as parquet
+    * (OrcScan reports PushedFilters the same way). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }

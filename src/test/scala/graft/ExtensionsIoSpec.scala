@@ -78,6 +78,23 @@ class ExtensionsIoSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
   }
 
+  test("orc round-trip preserves values and pushes filters into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Io.writeOrc(docs, s"$dir/orc")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = Io.readOrc(spark, s"$dir/orc", schema)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    val plan = back.filter(col("n_chars") > 500)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("n_chars"), plan)
+  }
+
   test("PhaseTiming splits stages into map and reduce phases") {
     val pt = new PhaseTiming
     spark.sparkContext.addSparkListener(pt)
