@@ -118,27 +118,30 @@ object DedupQueries {
          ORDER BY doc1, doc2""")
   )
 
+  /** MinHash+LSH candidate pairs (unordered) — shared by q31 (which just
+    * presents them) and q60 (which resolves them into clusters). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = shingleDf(s, d).groupBy(col("doc_id"))
+      .agg(minhash(col("sh"), 0).as("h0"),
+        (1 until MINHASH_K).map(k => minhash(col("sh"), k).as(s"h$k")): _*)
+    val bands = sigs.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band"), md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))).as("bh")),
+      struct(lit(1).as("band"), md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))).as("bh"))
+    )).as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    bands.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(orderedPairs(col("docs"))).as("p"))
+      .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
+      .distinct()
+  }
+
   /** q31 — MinHash + LSH banding. Signature = 8 md5-min hashes; 2 bands of
     * 4 rows hashed to a band key; candidate pairs share a band. Fully
     * deterministic and oracle-checkable (md5 in both engines). */
   private val q31 = GQuery(
     "q31_dedup_minhash",
-    (s, d) => {
-      val sigs = shingleDf(s, d).groupBy(col("doc_id"))
-        .agg(minhash(col("sh"), 0).as("h0"),
-          (1 until MINHASH_K).map(k => minhash(col("sh"), k).as(s"h$k")): _*)
-      val bands = sigs.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))).as("bh")),
-        struct(lit(1).as("band"), md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))).as("bh"))
-      )).as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-      bands.groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")) >= 2)
-        .select(explode(orderedPairs(col("docs"))).as("p"))
-        .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
-        .distinct()
-        .orderBy(col("doc1"), col("doc2"))
-    },
+    (s, d) => minhashPairs(s, d).orderBy(col("doc1"), col("doc2")),
     Some(SHINGLE_SQL +
       """, sig AS (SELECT doc_id,
                     min(CAST(concat('0x', substr(md5('0|' || sh), 1, 15)) AS BIGINT)) AS h0,
@@ -227,5 +230,81 @@ object DedupQueries {
             ORDER BY doc1, doc2""")
   )
 
-  val all: Seq[GQuery] = Seq(q24, q25, q31, q32)
+  /** q60 — duplicate-cluster resolution: connected components over the
+    * MinHash candidate pairs, each document labeled with the min doc_id of
+    * its component. This is the post-candidate step every dedup pipeline
+    * runs (pairs → clusters → keep one representative per cluster).
+    *
+    * Distributed iterative min-label propagation: per round, every vertex
+    * takes the min of its own label and its neighbors' labels — one small
+    * join + aggregate per round over the candidate-pair relation (already
+    * reduced by LSH, orders of magnitude smaller than the corpus), cached
+    * between rounds. The driver loop only checks a scalar convergence
+    * count per round (the canonical distributed-CC control flow — data
+    * never leaves the executors); rounds are bounded by the component
+    * diameter. At 100 TB scale the same loop runs with periodic
+    * checkpointing to cut lineage, or the large-star/small-star variant
+    * for graphs with deep components.
+    *
+    * Converges to the unique fixpoint (component minimum) regardless of
+    * execution schedule, so the output is deterministic and matches the
+    * oracle's recursive-CTE transitive closure exactly. */
+  private val q60 = GQuery(
+    "q60_dup_clusters",
+    (s, d) => {
+      val pairs = minhashPairs(s, d)
+      val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+        .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+        .persist()
+      var labels = edges.select(col("a").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val nbrMin = edges.join(labels, col("b") === col("doc_id"))
+          .groupBy(col("a")).agg(min(col("cluster_id")).as("nbr_min"))
+        val updated = labels.join(nbrMin, col("doc_id") === col("a"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"),
+            coalesce(col("nbr_min") < col("cluster_id"), lit(false)).as("chg"))
+          .persist()
+        changed = updated.filter(col("chg")).count()
+        labels.unpersist()
+        labels = updated.select(col("doc_id"), col("cluster_id"))
+        rounds += 1
+      }
+      edges.unpersist()
+      labels.orderBy(col("doc_id"))
+    },
+    Some(SHINGLE_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sig AS (SELECT doc_id,
+                    min(CAST(concat('0x', substr(md5('0|' || sh), 1, 15)) AS BIGINT)) AS h0,
+                    min(CAST(concat('0x', substr(md5('1|' || sh), 1, 15)) AS BIGINT)) AS h1,
+                    min(CAST(concat('0x', substr(md5('2|' || sh), 1, 15)) AS BIGINT)) AS h2,
+                    min(CAST(concat('0x', substr(md5('3|' || sh), 1, 15)) AS BIGINT)) AS h3,
+                    min(CAST(concat('0x', substr(md5('4|' || sh), 1, 15)) AS BIGINT)) AS h4,
+                    min(CAST(concat('0x', substr(md5('5|' || sh), 1, 15)) AS BIGINT)) AS h5,
+                    min(CAST(concat('0x', substr(md5('6|' || sh), 1, 15)) AS BIGINT)) AS h6,
+                    min(CAST(concat('0x', substr(md5('7|' || sh), 1, 15)) AS BIGINT)) AS h7
+                  FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band,
+                         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
+                  UNION ALL
+                  SELECT doc_id, 1 AS band,
+                         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bh FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+                  FROM band a JOIN band b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+         reach(src, dst) AS (
+           SELECT DISTINCT u, u FROM edges
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+         SELECT src AS doc_id, min(dst) AS cluster_id
+         FROM reach GROUP BY src ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60)
 }
