@@ -70,7 +70,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","phases":${phases.report}}""")
+    val peakKb = graft.util.PeakRss.kb()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","phases":${phases.report},"peak_rss_kb":$peakKb}""")
     spark.stop()
   }
 }

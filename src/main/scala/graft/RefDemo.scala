@@ -64,6 +64,8 @@ object RefDemo {
     Thread.sleep(500) // drain listener bus
     println(s"Phase report: ${phases.report}")
     println(s"Total time: $totalMs ms")
+    // reference R14 parity: peak RSS report (parallel_sort.cpp:152)
+    println(s"Peak RSS: ${graft.util.PeakRss.kb()} KB")
     spark.stop()
   }
 }

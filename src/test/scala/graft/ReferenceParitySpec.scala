@@ -14,6 +14,11 @@ class ReferenceParitySpec extends SparkSpec {
   private def gen(seed: Long, n: Int): Array[Int] =
     graft.util.Mt19937_64.maskedSequence(seed, n)
 
+  test("R14 parity: peak RSS is readable and plausibly sized") {
+    val kb = graft.util.PeakRss.kb()
+    assert(kb > 10 * 1024, s"VmHWM=$kb KB")  // a JVM uses >10MB
+  }
+
   test("golden MAX: seed 999, N=10^6 -> 2147482196 via Spark aggregation") {
     import spark.implicits._
     val data = gen(999, 1000000)
