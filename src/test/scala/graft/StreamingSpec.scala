@@ -195,4 +195,31 @@ class StreamingSpec extends SparkSpec {
       assert(sess.toSeq == Seq((7L, ts(15), ts(20), 2L)), sess.mkString(", "))
     } finally q.stop()
   }
+
+  test("s06 split router partitions the stream into train/val/test sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_router").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.splitRouter(
+      input.toDF().toDF("doc_id", "text"), dir)
+    try {
+      val docs = (1 to 60).map(i => i.toLong -> s"document number $i with body ${"x " * i}")
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val back = Seq("train", "val", "test").map { sp =>
+        sp -> spark.read.parquet(s"$dir/$sp").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+      // the three sinks partition the input exactly
+      assert(back.values.map(_.size).sum == 60)
+      assert(back("train").size > back("val").size)
+      // routing matches the batch q58 assignment (same content hash)
+      val h = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+      val expected = docs.toDF("doc_id", "text")
+        .withColumn("split", when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      back.foreach { case (sp, ids) =>
+        ids.foreach(id => assert(expected(id) == sp, s"doc $id routed to $sp")) }
+    } finally q.stop()
+  }
 }
