@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed ranking for LOW-CARDINALITY window partitions.
+  *
+  * `row_number().over(Window.partitionBy(g).orderBy(o))` funnels each
+  * group through one task — with a 3-value group key the whole table runs
+  * on 3 tasks at any cluster size. This utility decomposes the same rank
+  * the way q04 decomposes the sortedness check: range-partition on
+  * (g, o) so every task holds a bounded, contiguous, locally-sorted slice;
+  * rank within each slice; then add per-slice offsets (a slice-count
+  * relation of k×|groups| rows, k = partition count — independent of data
+  * volume) broadcast back.
+  *
+  * Output is identical to the single-window formulation whenever
+  * `orderCols` is a total order within each group (the same requirement
+  * any deterministic row_number has).
+  */
+object Ranks {
+
+  def rowNumber(df: DataFrame, group: String, orderCols: Seq[Column],
+      as: String): DataFrame = {
+    val keys = col(group) +: orderCols
+    val sliced = df
+      .repartitionByRange(keys: _*)
+      .withColumn("_slice", spark_partition_id())
+    // rank within (slice, group): slices are bounded by the range
+    // partitioner, so no window partition ever exceeds a slice
+    val local = sliced.withColumn("_lrn", row_number().over(
+      Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)))
+    // offset = rows of the same group in earlier slices; k×|groups| rows
+    val offsets = sliced.groupBy(col("_slice"), col(group))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", sum(col("_n")).over(
+        Window.partitionBy(col(group)).orderBy(col("_slice"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_slice"), col(group), coalesce(col("_off"), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_slice", group))
+      .withColumn(as, (col("_lrn") + col("_off")).cast("int"))
+      .drop("_slice", "_lrn", "_off")
+  }
+}

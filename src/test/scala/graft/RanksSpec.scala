@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Ranks
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranks.rowNumber must equal the classic single-window formulation while
+  * never building a window partition larger than a range slice. */
+class RanksSpec extends SparkSpec {
+
+  test("distributed row_number equals the window formulation exactly") {
+    val li = graft.sources.Tables.lineitem(spark, sfSmoke)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+
+    val classic = li.withColumn("rn", row_number().over(
+      Window.partitionBy(col("l_returnflag")).orderBy(order: _*)))
+    val dist = Ranks.rowNumber(li, "l_returnflag", order, "rn")
+
+    val key = Seq("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "rn")
+      .map(col)
+    assert(dist.select(key: _*).except(classic.select(key: _*)).isEmpty)
+    assert(classic.select(key: _*).except(dist.select(key: _*)).isEmpty)
+  }
+
+  test("no window partition spans more than one range slice") {
+    val li = graft.sources.Tables.lineitem(spark, sfSmoke)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val plan = Ranks.rowNumber(li, "l_returnflag",
+      Seq(col("l_extendedprice")), "rn").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical
+    val wins = plan.collect { case w: logical.Window => w }
+    // the data-sized window partitions on (_slice, group); the offset
+    // window runs over the k-row slice-count aggregate only
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val slicePartitioned =
+        w.partitionSpec.exists(_.references.exists(_.name == "_slice"))
+      val aboveAggregate =
+        w.child.collectFirst { case a: logical.Aggregate => a }.isDefined
+      assert(slicePartitioned || aboveAggregate, plan.toString)
+    }
+  }
+}
