@@ -51,6 +51,20 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("q60 clusters: pair endpoints co-clustered, id is the component min") {
+    val pairs = SparkEntry.queries("q31_dedup_minhash")(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q60_dup_clusters")(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every candidate pair is connected, so both ends share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters") }
+    // the cluster label is the minimum member of the component
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid != min member") }
+  }
+
   test("SimHash64 expression: bit votes match per-token md5-60bit folding") {
     graft.functions.SimHash64.register(spark)
     val toks = Seq("spark", "data", "join", "window", "scan")
