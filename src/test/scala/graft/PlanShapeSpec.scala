@@ -70,6 +70,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q42_tfidf").contains("BroadcastHashJoin"), plan("q42_tfidf"))
   }
 
+  test("q56/q57 aggregate partially before the token shuffle") {
+    assert(plan("q56_inverted_index").contains("partial_count"), plan("q56_inverted_index"))
+    val p57 = plan("q57_ngram_counts")
+    assert(p57.contains("partial_count"), p57)
+    assert(p57.contains("TakeOrderedAndProject"), p57)
+  }
+
+  test("q59 quantization is map-only (no hash exchange before the sort)") {
+    val p = plan("q59_embedding_quantize")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q04 never funnels the full table through an unpartitioned window") {
     val (ws, p) = windows("q04_sorted_check")
     assert(ws.nonEmpty, p)
