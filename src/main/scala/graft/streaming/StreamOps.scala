@@ -143,6 +143,21 @@ object StreamOps {
       }
   }
 
+  /** s07 — streaming near-duplicate filter: map-only SimHash signature
+    * per document (the q32 codegen kernel), then watermarked signature
+    * dedup — q32's candidate generation collapsed to keep-first streaming
+    * policy (equal 60-bit signatures ⇒ near-identical token sets). State
+    * holds one signature row per unique doc inside the watermark; the
+    * signature computation itself adds no state and no shuffle. */
+  def nearDedupDocs(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs
+      .withColumn("simhash",
+        graft.functions.SimHash64(array_distinct(split(col("text"), " "))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** s06 — streaming corpus router: per-microbatch quality features plus
     * the deterministic content-hash split (the streaming twin of q58),
     * fanned out to one parquet sink per split via foreachBatch.

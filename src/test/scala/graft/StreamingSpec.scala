@@ -196,6 +196,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s07 streaming near-dedup keeps one doc per simhash signature") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = StreamOps.nearDedupDocs(
+      input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("s07_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts(0), "alpha beta gamma"),
+        (2L, ts(1), "alpha beta gamma"),      // same token set -> same sig
+        (3L, ts(2), "delta epsilon zeta"))
+      q.processAllAvailable()
+      val kept = spark.table("s07_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.size == 2, kept.mkString(", "))
+      assert(kept.contains(3L))
+      assert(kept.intersect(Set(1L, 2L)).size == 1)
+    } finally q.stop()
+  }
+
   test("s06 split router partitions the stream into train/val/test sinks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_router").toString
     val input = MemoryStream[(Long, String)](spark)
