@@ -96,6 +96,33 @@ object SortQueries {
                   FROM lineitem)""")
   )
 
+  /** q61 — distributed ranking (the scale path for low-cardinality window
+    * keys, operators.Ranks): row_number per l_returnflag computed via
+    * range-partitioned slices + broadcast offsets instead of one window
+    * partition per flag (3 tasks at any cluster size). Output and oracle
+    * are identical to the classic window formulation — the point is the
+    * PLAN (every data-sized window partitions by slice; RanksSpec locks
+    * it), proving the scale path is value-equivalent. */
+  private val q61 = GQuery(
+    "q61_distributed_rank",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      Ranks.rowNumber(li, "l_returnflag",
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), "rn")
+        .filter(col("rn") <= 50)
+        .select(col("l_returnflag"), col("rn"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+    Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, l_extendedprice FROM (
+              SELECT l_returnflag, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem)
+            WHERE rn <= 50 ORDER BY l_returnflag, rn""")
+  )
+
   /** q18 — top-k: TakeOrderedAndProjectExec, the scale-correct form of
     * "sort then take 10" (no global sort materialized). */
   private val q18 = GQuery(
@@ -110,5 +137,5 @@ object SortQueries {
             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""")
   )
 
-  val all: Seq[GQuery] = Seq(q01, q03, q04, q18)
+  val all: Seq[GQuery] = Seq(q01, q03, q04, q18, q61)
 }
