@@ -24,6 +24,25 @@ class RanksSpec extends SparkSpec {
     assert(classic.select(key: _*).except(dist.select(key: _*)).isEmpty)
   }
 
+  test("distributed row_number equals the window form on adversarial data") {
+    import spark.implicits._
+    // heavy skew: one group holds 90% of rows; duplicate order values force
+    // the tie-break columns to matter; fixed seed for reproducibility
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 5000).map { i =>
+      val g = if (rnd.nextInt(10) < 9) "hot" else s"g${rnd.nextInt(5)}"
+      (g, rnd.nextInt(50).toLong, i.toLong) // value collisions guaranteed
+    }
+    val df = rows.toDF("grp", "value", "id").repartition(13)
+    val order = Seq(col("value").desc, col("id"))
+    val classic = df.withColumn("rn", row_number().over(
+      Window.partitionBy(col("grp")).orderBy(order: _*)))
+    val dist = Ranks.rowNumber(df, "grp", order, "rn")
+    val key = Seq("grp", "value", "id", "rn").map(col)
+    assert(dist.select(key: _*).except(classic.select(key: _*)).isEmpty)
+    assert(classic.select(key: _*).except(dist.select(key: _*)).isEmpty)
+  }
+
   test("no window partition spans more than one range slice") {
     val li = graft.sources.Tables.lineitem(spark, sfSmoke)
       .select(col("l_returnflag"), col("l_extendedprice"),
