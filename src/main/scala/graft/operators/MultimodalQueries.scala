@@ -87,5 +87,46 @@ object MultimodalQueries {
             FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q38, q39)
+  /** q62 — frame sampling: the 1:N decode fan-out (every media pipeline's
+    * second shape after q39's 1:1 map — think video → every 4th frame).
+    * The payload is divided into fixed 256-char frames; every 4th frame is
+    * emitted with its md5-60bit content hash. The kernel is an imperative
+    * partition-local flatMap (one input row → n output rows, streamed
+    * through the iterator without materializing a document's frames);
+    * frames are defined over decoded characters so the oracle is exact for
+    * any input encoding. */
+  private val FrameChars = 64
+  private val FrameStride = 2
+
+  private val q62 = GQuery(
+    "q62_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (docId, payload) =>
+          // ??? <- real frame decoder goes here; fixed-width char frames below
+          val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          Iterator.range(0, text.length, FrameChars * FrameStride).map { off =>
+            val frame = text.substring(off, math.min(off + FrameChars, text.length))
+            val bytes = frame.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (docId, off / FrameChars,
+              graft.functions.SimHash64.tokenHash60(bytes), frame.length)
+          }
+        })
+        .toDF("doc_id", "frame_no", "frame_hash", "frame_chars")
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+    Some(s"""SELECT doc_id,
+                    CAST(i * $FrameStride AS INTEGER) AS frame_no,
+                    CAST(concat('0x', substr(md5(substr(text, i * ${FrameChars * FrameStride} + 1, $FrameChars)), 1, 15)) AS BIGINT) AS frame_hash,
+                    CAST(length(substr(text, i * ${FrameChars * FrameStride} + 1, $FrameChars)) AS INTEGER) AS frame_chars
+             FROM (SELECT doc_id, text,
+                          unnest(range(0, 1 + (length(text) - 1) // ${FrameChars * FrameStride})) AS i
+                   FROM documents)
+             ORDER BY doc_id, frame_no""")
+  )
+
+  val all: Seq[GQuery] = Seq(q38, q39, q62)
 }
