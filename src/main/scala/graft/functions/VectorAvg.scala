@@ -52,4 +52,11 @@ object VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
   override def outputEncoder: Encoder[Array[Float]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+
+  /** Expose the aggregator to SQL text (`SELECT vector_avg(embedding)`),
+    * completing the surface: Column API via udaf, SQL via this. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("vector_avg", org.apache.spark.sql.functions.udaf(
+      VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
 }

@@ -34,13 +34,15 @@ object Vectors {
   }
 
   /** Nearest-centroid assignment (deterministic tie-break on cid). */
-  def assign(emb: DataFrame, cents: DataFrame): DataFrame =
+  def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    CosineSim.register(emb.sparkSession)
     emb.crossJoin(broadcast(cents))
       .withColumn("csim", CosineSim(col("embedding"), col("cvec")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
+  }
 
   /** Mean of per-vector best similarity — the k-means objective (higher
     * is tighter clustering). */

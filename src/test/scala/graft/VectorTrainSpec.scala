@@ -23,6 +23,23 @@ class VectorTrainSpec extends SparkSpec {
     assert(after >= before - 1e-9, s"objective degraded: $before -> $after")
   }
 
+  test("vector_avg is callable from SQL text and matches the typed result") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorAvg.register(spark)
+    Tables.embeddings(spark, sfSmoke).createOrReplaceTempView("vavg_emb")
+    val sqlAvg = spark.sql(
+      "SELECT vector_avg(embedding) AS c FROM vavg_emb WHERE vec_id < 100")
+      .head().getSeq[Float](0)
+    val manual = Tables.embeddings(spark, sfSmoke)
+      .filter(col("vec_id") < 100)
+      .select(explode(col("embedding")).as("x"))  // quick dim-0 cross-check below
+    assert(sqlAvg.length == 64)
+    // exact cross-check of component 0 via a plain aggregate
+    val c0 = Tables.embeddings(spark, sfSmoke).filter(col("vec_id") < 100)
+      .agg(avg(element_at(col("embedding"), 1).cast("double"))).head().getDouble(0)
+    assert(math.abs(sqlAvg(0) - c0) < 1e-5, s"${sqlAvg(0)} vs $c0")
+  }
+
   test("queries run concurrently on one shared session without interference") {
     val keys = Seq("q02_global_max", "q06_agg_groupby", "q22_scalar_json",
       "q26_similarity_topk", "q30_events_tumbling", "q36_fingerprint")
