@@ -82,6 +82,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("no query plans an unbroadcast cartesian product") {
+    SparkEntry.registry.foreach { q =>
+      val p = q.run(spark, sfSmoke).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.key}: $p")
+    }
+  }
+
   test("q04 never funnels the full table through an unpartitioned window") {
     val (ws, p) = windows("q04_sorted_check")
     assert(ws.nonEmpty, p)

@@ -30,9 +30,6 @@ class VectorTrainSpec extends SparkSpec {
     val sqlAvg = spark.sql(
       "SELECT vector_avg(embedding) AS c FROM vavg_emb WHERE vec_id < 100")
       .head().getSeq[Float](0)
-    val manual = Tables.embeddings(spark, sfSmoke)
-      .filter(col("vec_id") < 100)
-      .select(explode(col("embedding")).as("x"))  // quick dim-0 cross-check below
     assert(sqlAvg.length == 64)
     // exact cross-check of component 0 via a plain aggregate
     val c0 = Tables.embeddings(spark, sfSmoke).filter(col("vec_id") < 100)
