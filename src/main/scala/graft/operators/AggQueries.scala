@@ -211,6 +211,43 @@ object AggQueries {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** q63 — distributed exact median: the scale path for q40/q43's exact
+    * `percentile`, which sorts each group inside ONE task (3 tasks total
+    * here, single-threaded at any cluster size). Decomposition via
+    * Ranks.rowNumber: range-partitioned parallel local sorts + broadcast
+    * slice offsets give every row its global rank per group; the median is
+    * then interpolated from the two rows at positions ⌊(n−1)p⌋+1 and +2 —
+    * a k-row aggregate. Ties in value make rank assignment among equals
+    * arbitrary but the selected VALUES identical, so the result is exact
+    * and deterministic. */
+  private val q63 = GQuery(
+    "q63_distributed_median",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val ranked = Ranks.rowNumber(li, "l_returnflag",
+        Seq(col("l_extendedprice")), "rn")
+      val counts = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .withColumn("pos", (col("n") - 1) * 0.5)
+        .withColumn("lo_rn", floor(col("pos")).cast("int") + 1)
+        .withColumn("frac", col("pos") - floor(col("pos")))
+      ranked.join(broadcast(counts), "l_returnflag")
+        .filter(col("rn") === col("lo_rn") || col("rn") === col("lo_rn") + 1)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("rn") === col("lo_rn"), col("l_extendedprice"))).as("lo"),
+          min(when(col("rn") === col("lo_rn") + 1, col("l_extendedprice"))).as("hi"),
+          first(col("frac")).as("frac"))
+        .select(col("l_returnflag"),
+          round(col("lo") + col("frac") * (coalesce(col("hi"), col("lo")) - col("lo")), 6)
+            .as("median_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** q44 — GROUPING SETS beyond rollup/cube (the general form), expressed
     * through the engine's SQL-text interface over registered views — the
     * same Expand-based physical plan as q08/q09. */
@@ -252,5 +289,5 @@ object AggQueries {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
-  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43, q44, q45)
+  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43, q44, q45, q63)
 }
