@@ -214,5 +214,28 @@ object JoinQueries {
             FROM customer ORDER BY c_custkey""")
   )
 
-  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15, q48, q49)
+  /** q64 — skew-salted fact⋈dim join, driver-checked: the Skew.saltedJoin
+    * rewrite (fact rows get a round-robin salt, the dimension replicates
+    * ×salts, join key becomes (key, salt)) must be value-identical to the
+    * plain join — the oracle IS the plain join. At 100 TB this is the
+    * manual override when one join key holds a disproportionate share of
+    * the fact table and AQE's skew split isn't available (e.g. a
+    * broadcast-ineligible dim under a shuffle join). */
+  private val q64 = GQuery(
+    "q64_salted_join",
+    (s, d) => {
+      val fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(fact, dim, "l_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15, q48, q49, q64)
 }
