@@ -141,16 +141,24 @@ object AggQueries {
     * through exact decimal like all money averages. */
   private val q40 = GQuery(
     "q40_agg_stats",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      // median via the distributed-rank decomposition (Ranks.quantileCont)
+      // instead of `percentile`, whose per-group sort runs in ONE task —
+      // same interpolated value, parallel local sorts (see q63)
+      val med = Ranks.quantileCont(li, "l_returnflag",
+        col("l_extendedprice"), 0.5, "med")
+      li.groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
           round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("median_price"),
           round(sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1)), 6).as("avg_disc"))
-        .orderBy(col("l_returnflag")),
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("sd_qty"), col("corr_qty_price"),
+          round(col("med"), 6).as("median_price"), col("avg_disc"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag, count(*) AS n,
                    round(stddev_samp(l_quantity), 6) AS sd_qty,
                    round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
@@ -192,11 +200,12 @@ object AggQueries {
           count(lit(1)).as("n"),
           approx_count_distinct(col("l_partkey")).as("ap"),
           approx_count_distinct(col("l_orderkey")).as("ao"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-          percentile(col("l_extendedprice"), lit(0.5)).as("em"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
       sketches
         .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
         .join(exactDistinct("l_orderkey", "exact_orders"), "l_returnflag")
+        .join(broadcast(Ranks.quantileCont(li, "l_returnflag",
+          col("l_extendedprice"), 0.5, "em")), "l_returnflag")
         .select(col("l_returnflag"), col("n"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) / col("exact_parts") <= 0.15).as("parts_in_bound"),
           (abs(col("ao") - col("exact_orders")) / col("exact_orders") <= 0.15).as("orders_in_bound"),
@@ -225,22 +234,8 @@ object AggQueries {
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"))
-      val ranked = Ranks.rowNumber(li, "l_returnflag",
-        Seq(col("l_extendedprice")), "rn")
-      val counts = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-        .withColumn("pos", (col("n") - 1) * 0.5)
-        .withColumn("lo_rn", floor(col("pos")).cast("int") + 1)
-        .withColumn("frac", col("pos") - floor(col("pos")))
-      ranked.join(broadcast(counts), "l_returnflag")
-        .filter(col("rn") === col("lo_rn") || col("rn") === col("lo_rn") + 1)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          min(when(col("rn") === col("lo_rn"), col("l_extendedprice"))).as("lo"),
-          min(when(col("rn") === col("lo_rn") + 1, col("l_extendedprice"))).as("hi"),
-          first(col("frac")).as("frac"))
-        .select(col("l_returnflag"),
-          round(col("lo") + col("frac") * (coalesce(col("hi"), col("lo")) - col("lo")), 6)
-            .as("median_price"))
+      Ranks.quantileCont(li, "l_returnflag", col("l_extendedprice"), 0.5, "m")
+        .select(col("l_returnflag"), round(col("m"), 6).as("median_price"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,

@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Exact interpolated p-quantile per group (quantile_cont semantics:
+    * value at position (n−1)p, linear interpolation between the two
+    * straddling rows). Built on rowNumber, so the per-group sort runs as
+    * parallel range-partitioned local sorts instead of one task per group
+    * — the scale replacement for the built-in `percentile`, which sorts
+    * each group single-threaded. Returns (group, as). */
+  def quantileCont(df: DataFrame, group: String, value: Column, p: Double,
+      as: String): DataFrame = {
+    val ranked = rowNumber(df.select(col(group), value.as("_v")), group,
+      Seq(col("_v")), "_rn")
+    val counts = ranked.groupBy(col(group)).agg(count(lit(1)).as("_n"))
+      .withColumn("_pos", (col("_n") - 1) * p)
+      .withColumn("_lo", floor(col("_pos")).cast("int") + 1)
+      .withColumn("_frac", col("_pos") - floor(col("_pos")))
+    ranked.join(broadcast(counts), group)
+      .filter(col("_rn") === col("_lo") || col("_rn") === col("_lo") + 1)
+      .groupBy(col(group))
+      .agg(
+        min(when(col("_rn") === col("_lo"), col("_v"))).as("_lov"),
+        min(when(col("_rn") === col("_lo") + 1, col("_v"))).as("_hiv"),
+        first(col("_frac")).as("_f"))
+      .select(col(group),
+        (col("_lov") + col("_f") * (coalesce(col("_hiv"), col("_lov")) - col("_lov")))
+          .as(as))
+  }
+
   def rowNumber(df: DataFrame, group: String, orderCols: Seq[Column],
       as: String): DataFrame = {
     val keys = col(group) +: orderCols
