@@ -47,6 +47,35 @@ object Ranks {
           .as(as))
   }
 
+  /** Distributed running (prefix) sum: equivalent to
+    * `sum(value).over(partitionBy(group).orderBy(orderCols).rowsBetween(
+    * unboundedPreceding, currentRow))` but decomposed like rowNumber —
+    * local cumulative sums inside bounded range slices plus a broadcast
+    * per-slice total offset. The third member of the decomposition family
+    * (rank / quantile / prefix-aggregate); works for any algebraic
+    * aggregate, instantiated here for sum. */
+  def runningSum(df: DataFrame, group: String, orderCols: Seq[Column],
+      value: Column, as: String): DataFrame = {
+    val keys = col(group) +: orderCols
+    val sliced = df
+      .repartitionByRange(keys: _*)
+      .withColumn("_slice", spark_partition_id())
+      .withColumn("_v", value)
+    val local = sliced.withColumn("_run", sum(col("_v")).over(
+      Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = sliced.groupBy(col("_slice"), col(group))
+      .agg(sum(col("_v")).as("_t"))
+      .withColumn("_off", sum(col("_t")).over(
+        Window.partitionBy(col(group)).orderBy(col("_slice"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_slice"), col(group),
+        coalesce(col("_off"), lit(0.0)).as("_off"))
+    local.join(broadcast(offsets), Seq("_slice", group))
+      .withColumn(as, col("_run") + col("_off"))
+      .drop("_slice", "_v", "_run", "_off")
+  }
+
   def rowNumber(df: DataFrame, group: String, orderCols: Seq[Column],
       as: String): DataFrame = {
     val keys = col(group) +: orderCols

@@ -210,5 +210,33 @@ object WindowQueries {
             GROUP BY 1, 2 ORDER BY win_start, event_type""")
   )
 
-  val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51)
+  /** q65 — distributed running sum: q17's prefix aggregate computed via
+    * Ranks.runningSum (local cumulative sums in bounded range slices + a
+    * broadcast per-slice total offset) instead of one window task per
+    * group value. Ties in the order key are fully identical rows (order
+    * includes l_quantity), so the running values form the same multiset
+    * and the final ORDER BY pins them — q17's own determinism recipe. */
+  private val q65 = GQuery(
+    "q65_distributed_cumsum",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      Ranks.runningSum(li, "l_returnflag", ord, col("l_quantity"), "run_qty")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("run_qty"))
+        .orderBy(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("run_qty"))
+    },
+    Some("""SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber, run_qty FROM (
+              SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                     sum(l_quantity) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_quantity
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+              FROM lineitem)
+            ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber, run_qty""")
+  )
+
+  val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51, q65)
 }
