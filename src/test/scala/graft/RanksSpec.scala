@@ -43,6 +43,37 @@ class RanksSpec extends SparkSpec {
     assert(classic.select(key: _*).except(dist.select(key: _*)).isEmpty)
   }
 
+  test("runningSum equals the window prefix sum on adversarial data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 3000).map { i =>
+      val g = if (rnd.nextInt(10) < 8) "hot" else s"g${rnd.nextInt(4)}"
+      (g, rnd.nextInt(30).toLong, i.toLong, rnd.nextInt(9) + 1.0)
+    }
+    val df = rows.toDF("grp", "k", "id", "v").repartition(11)
+    val order = Seq(col("k"), col("id"))
+    val classic = df.withColumn("run", sum(col("v")).over(
+      Window.partitionBy(col("grp")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dist = Ranks.runningSum(df, "grp", order, col("v"), "run")
+    val key = Seq("grp", "k", "id", "v", "run").map(col)
+    assert(dist.select(key: _*).except(classic.select(key: _*)).isEmpty)
+    assert(classic.select(key: _*).except(dist.select(key: _*)).isEmpty)
+  }
+
+  test("quantileCont equals the built-in percentile per group") {
+    val li = graft.sources.Tables.lineitem(spark, sfSmoke)
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = Ranks.quantileCont(li, "l_returnflag",
+        col("l_extendedprice"), 0.5, "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(builtin.keySet == dist.keySet)
+    builtin.foreach { case (g, m) =>
+      assert(math.abs(dist(g) - m) < 1e-9, s"$g: ${dist(g)} vs $m") }
+  }
+
   test("no window partition spans more than one range slice") {
     val li = graft.sources.Tables.lineitem(spark, sfSmoke)
       .select(col("l_returnflag"), col("l_extendedprice"),
