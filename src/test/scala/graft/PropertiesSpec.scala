@@ -21,6 +21,20 @@ class PropertiesSpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("property: orderedPairs emits exactly the C(n,2) ordered pairs") {
+    val sizeGen = Gen.chooseNum(0, 40)
+    samples(sizeGen, 12).foreach { n =>
+      val ids = (1L to n.toLong).toList
+      val row = Seq(Tuple1(ids)).toDF("docs")
+        .select(explode(graft.functions.TextOps.orderedPairs(col("docs"))).as("p"))
+        .select(col("p.d1"), col("p.d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(row.length == n * (n - 1) / 2, s"n=$n")
+      assert(row.forall { case (a, b) => a < b }, s"n=$n")
+      assert(row.distinct.length == row.length, s"n=$n")
+    }
+  }
+
   test("property: orderBy is a sorted permutation of the input multiset") {
     samples(listGen, 15).foreach { xs =>
       val sorted = xs.toDS().orderBy("value").as[Int].collect().toList
