@@ -48,7 +48,14 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       i += 1
     }
     if (nx == 0.0 || ny == 0.0) null
-    else dot / (math.sqrt(nx) * math.sqrt(ny))
+    else {
+      // Clamp to the mathematical range: Cauchy-Schwarz holds only in
+      // exact arithmetic — the float kernel can land 1 ulp outside
+      // [-1, 1], which would break CosineBoundRule's static reasoning
+      // (and any caller's acos()). Rounded comparisons are unaffected.
+      val v = dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (v > 1.0) 1.0 else if (v < -1.0) -1.0 else v
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -75,6 +82,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    if (${ev.value} > 1.0) ${ev.value} = 1.0;
+         |    if (${ev.value} < -1.0) ${ev.value} = -1.0;
          |  }
          |}
        """.stripMargin

@@ -45,6 +45,14 @@ object TextOps {
   def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers: _*)))
 
+  /** Content-hash split bucket in [0, 100): the md5-60bit of the document
+    * text mod 100. ONE definition shared by the batch split (q58) and the
+    * streaming router (s06) — the batch/streaming twin contract depends
+    * on these staying bit-identical. SQL twin:
+    * `CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100`. */
+  def contentSplitHash(text: Column): Column =
+    pmod(conv(substring(md5(text), 1, 15), 16, 10).cast("long"), lit(100))
+
   /** All ordered pairs (d1 < d2) from a sorted array — in-bucket candidate
     * generation without a self-join (shared by the LSH dedup families:
     * shingle buckets, MinHash/SimHash bands, hyperplane buckets). */

@@ -89,7 +89,7 @@ object CorpusQueries {
   private val q58 = GQuery(
     "q58_corpus_split",
     (s, d) => {
-      val h = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"), lit(100))
+      val h = graft.functions.TextOps.contentSplitHash(col("text"))
       Tables.documents(s, d)
         .withColumn("split",
           when(h < 80, "train").when(h < 90, "val").otherwise("test"))

@@ -256,12 +256,17 @@ object DedupQueries {
       val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
         .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
         .persist()
-      var labels = edges.select(col("a").as("doc_id")).distinct()
+      // `cached` tracks the DataFrame that actually holds this round's
+      // cache — unpersisting a derived select would be a no-op and every
+      // round's cache would stay pinned for the session lifetime
+      var cached = edges.select(col("a").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .persist()
+      var labels = cached
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      val MaxRounds = 50
+      while (changed > 0 && rounds < MaxRounds) {
         val nbrMin = edges.join(labels, col("b") === col("doc_id"))
           .groupBy(col("a")).agg(min(col("cluster_id")).as("nbr_min"))
         val updated = labels.join(nbrMin, col("doc_id") === col("a"), "left")
@@ -271,12 +276,23 @@ object DedupQueries {
             coalesce(col("nbr_min") < col("cluster_id"), lit(false)).as("chg"))
           .persist()
         changed = updated.filter(col("chg")).count()
-        labels.unpersist()
+        cached.unpersist()
+        cached = updated
         labels = updated.select(col("doc_id"), col("cluster_id"))
         rounds += 1
       }
+      // wrong labels must never leave this operator silently: the oracle
+      // (and any dedup downstream) assumes the true component minimum
+      if (changed > 0) sys.error(
+        s"q60: min-label propagation did not converge in $MaxRounds rounds " +
+          "(component diameter exceeds the bound) — use large-star/small-star")
+      // hand the result over OUTSIDE the cache: localCheckpoint
+      // materializes it and is released by the ContextCleaner when
+      // unreferenced, while CacheManager entries would stay pinned forever
+      val result = labels.localCheckpoint(true)
+      cached.unpersist()
       edges.unpersist()
-      labels.orderBy(col("doc_id"))
+      result.orderBy(col("doc_id"))
     },
     Some(SHINGLE_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, sig AS (SELECT doc_id,

@@ -106,13 +106,18 @@ object MultimodalQueries {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (docId, payload) =>
-          // ??? <- real frame decoder goes here; fixed-width char frames below
+          // ??? <- real frame decoder goes here; fixed-width frames below.
+          // Frames are measured in CODEPOINTS (not UTF-16 units): SQL
+          // substr/length count codepoints, and a unit-based split could
+          // cut a surrogate pair in half. Empty payloads emit no frames.
           val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-          Iterator.range(0, text.length, FrameChars * FrameStride).map { off =>
-            val frame = text.substring(off, math.min(off + FrameChars, text.length))
+          val cps = text.codePoints().toArray
+          Iterator.range(0, cps.length, FrameChars * FrameStride).map { off =>
+            val n = math.min(FrameChars, cps.length - off)
+            val frame = new String(cps, off, n)
             val bytes = frame.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             (docId, off / FrameChars,
-              graft.functions.SimHash64.tokenHash60(bytes), frame.length)
+              graft.functions.SimHash64.tokenHash60(bytes), n)
           }
         })
         .toDF("doc_id", "frame_no", "frame_hash", "frame_chars")
@@ -123,7 +128,7 @@ object MultimodalQueries {
                     CAST(concat('0x', substr(md5(substr(text, i * ${FrameChars * FrameStride} + 1, $FrameChars)), 1, 15)) AS BIGINT) AS frame_hash,
                     CAST(length(substr(text, i * ${FrameChars * FrameStride} + 1, $FrameChars)) AS INTEGER) AS frame_chars
              FROM (SELECT doc_id, text,
-                          unnest(range(0, 1 + (length(text) - 1) // ${FrameChars * FrameStride})) AS i
+                          unnest(range(0, CAST(ceil(length(text) / ${(FrameChars * FrameStride).toDouble}) AS BIGINT))) AS i
                    FROM documents)
              ORDER BY doc_id, frame_no""")
   )

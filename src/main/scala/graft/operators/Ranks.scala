@@ -26,11 +26,17 @@ object Ranks {
     * straddling rows). Built on rowNumber, so the per-group sort runs as
     * parallel range-partitioned local sorts instead of one task per group
     * — the scale replacement for the built-in `percentile`, which sorts
-    * each group single-threaded. Returns (group, as). */
+    * each group single-threaded. Returns (group, as).
+    *
+    * NULL values are excluded before ranking, matching `percentile` /
+    * `quantile_cont`. One divergence: a group whose values are ALL null
+    * is absent from the result (the built-ins emit a null row) — callers
+    * with such groups should left-join this relation. */
   def quantileCont(df: DataFrame, group: String, value: Column, p: Double,
       as: String): DataFrame = {
-    val ranked = rowNumber(df.select(col(group), value.as("_v")), group,
-      Seq(col("_v")), "_rn")
+    val ranked = rowNumber(
+      df.select(col(group), value.as("_v")).filter(col("_v").isNotNull),
+      group, Seq(col("_v")), "_rn")
     val counts = ranked.groupBy(col(group)).agg(count(lit(1)).as("_n"))
       .withColumn("_pos", (col("_n") - 1) * p)
       .withColumn("_lo", floor(col("_pos")).cast("int") + 1)
@@ -64,13 +70,16 @@ object Ranks {
     val local = sliced.withColumn("_run", sum(col("_v")).over(
       Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // typed zero (_t - _t below): coalescing with a double literal would
+    // silently promote integral running sums to DoubleType and break
+    // window-equivalence
     val offsets = sliced.groupBy(col("_slice"), col(group))
       .agg(sum(col("_v")).as("_t"))
       .withColumn("_off", sum(col("_t")).over(
         Window.partitionBy(col(group)).orderBy(col("_slice"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("_slice"), col(group),
-        coalesce(col("_off"), lit(0.0)).as("_off"))
+        coalesce(col("_off"), col("_t") - col("_t")).as("_off"))
     local.join(broadcast(offsets), Seq("_slice", group))
       .withColumn(as, col("_run") + col("_off"))
       .drop("_slice", "_v", "_run", "_off")

@@ -159,21 +159,23 @@ object StreamOps {
   }
 
   /** s06 — streaming corpus router: per-microbatch quality features plus
-    * the deterministic content-hash split (the streaming twin of q58),
-    * fanned out to one parquet sink per split via foreachBatch.
+    * the deterministic content-hash split (the streaming twin of q58 —
+    * same TextOps.contentSplitHash expression), fanned out to one parquet
+    * sink per split via foreachBatch.
     *
     * foreachBatch is the idiomatic multi-sink shape: the batch is
-    * computed once (cached), each split appends to its own directory, and
-    * the checkpoint's batchId makes replays re-write the same batch
-    * rather than diverge. State is zero — routing is a pure per-row
-    * function — so this scales with sink throughput alone. */
+    * computed once (cached) and each split writes to its own directory.
+    * Exactly-once on replay: every write lands in a `_batch=<id>`
+    * partition with DYNAMIC partition overwrite, so a micro-batch that
+    * reruns after a mid-write failure overwrites its own partition
+    * instead of appending duplicates. State is zero — routing is a pure
+    * per-row function — so this scales with sink throughput alone. */
   def splitRouter(docs: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val h = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
-      .cast("long"), lit(100))
+    val h = graft.functions.TextOps.contentSplitHash(col("text"))
     docs.writeStream
       .option("checkpointLocation", s"$outDir/_ckpt")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val routed = batch
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
           .withColumn("split",
@@ -181,7 +183,11 @@ object StreamOps {
           .persist()
         try Seq("train", "val", "test").foreach { sp =>
           routed.filter(col("split") === sp).drop("split")
-            .write.mode("append").parquet(s"$outDir/$sp")
+            .withColumn("_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(s"$outDir/$sp")
         } finally { routed.unpersist(); () }
       }
       .start()

@@ -22,7 +22,7 @@ class CorpusSpec extends SparkSpec {
     val docs = Seq((1L, "same text", 9L), (2L, "same text", 9L), (3L, "other", 5L))
       .toDF("doc_id", "text", "n_chars").withColumn("lang", lit("en"))
     docs.createOrReplaceTempView("corpus_spec_docs")
-    val h = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"), lit(100))
+    val h = graft.functions.TextOps.contentSplitHash(col("text"))
     val split = docs.withColumn("split",
       when(h < 80, "train").when(h < 90, "val").otherwise("test"))
     val assigns = split.filter(col("text") === "same text")

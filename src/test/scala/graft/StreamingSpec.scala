@@ -233,8 +233,7 @@ class StreamingSpec extends SparkSpec {
       assert(back.values.map(_.size).sum == 60)
       assert(back("train").size > back("val").size)
       // routing matches the batch q58 assignment (same content hash)
-      val h = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
-        .cast("long"), lit(100))
+      val h = graft.functions.TextOps.contentSplitHash(col("text"))
       val expected = docs.toDF("doc_id", "text")
         .withColumn("split", when(h < 80, "train").when(h < 90, "val").otherwise("test"))
         .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
