@@ -286,13 +286,14 @@ object DedupQueries {
       if (changed > 0) sys.error(
         s"q60: min-label propagation did not converge in $MaxRounds rounds " +
           "(component diameter exceeds the bound) — use large-star/small-star")
-      // hand the result over OUTSIDE the cache: localCheckpoint
-      // materializes it and is released by the ContextCleaner when
-      // unreferenced, while CacheManager entries would stay pinned forever
-      val result = labels.localCheckpoint(true)
-      cached.unpersist()
+      // The returned plan reads the final round's cache (one vertex-sized
+      // relation). Unpersisting it here would force a full recompute of
+      // the whole iteration lineage at consumption, and checkpointing it
+      // out costs an extra materialization pass — so ownership transfers
+      // to the caller, the standard contract for iterative fit() results.
+      // All intermediate rounds are unpersisted above.
       edges.unpersist()
-      result.orderBy(col("doc_id"))
+      labels.orderBy(col("doc_id"))
     },
     Some(SHINGLE_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, sig AS (SELECT doc_id,
