@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.GQuery
+import graft.functions.TextOps.{contentSplitHash, shingles, tokens}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curation family (round 2, second wave): the operators that turn a
+  * cleaned corpus into training data — chunking for a context window,
+  * repetition-based quality scoring, benchmark decontamination, sequence
+  * packing, and the filter-funnel audit report. Like the rest of the
+  * engine these generalize the reference's map/shuffle/reduce shape
+  * (parallel_sort.cpp / max_aggregation.cpp): per-row projections stay
+  * map-only; anything cross-row is one bounded shuffle.
+  */
+object CurationQueries {
+
+  private val ChunkLen = 32  // tokens per chunk
+  private val Stride   = 24  // chunk start distance (overlap = 8)
+  private val SeqLen   = 512 // tokens per packed training sequence
+
+  /** doc_id + token array as ATTRIBUTES (lambda bodies re-evaluate
+    * non-attribute expressions per element — the split must be
+    * materialized before any transform references it). */
+  private def withToks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+
+  /** Non-distinct token trigrams (repetition counting needs occurrences,
+    * unlike TextOps.shingles which dedups for set semantics). */
+  private def trigrams(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Shared by q67/q70: doc_id, n_tokens, diversity (distinct/total
+    * tokens), rep (duplicate-trigram fraction). All map-only — three
+    * narrow projections, no shuffle. */
+  private def repetitionFeatures(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"), col("toks"), trigrams(col("toks")).as("tri"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("diversity"),
+        when(size(col("tri")) > 0,
+          lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+            / size(col("tri")))
+          .otherwise(lit(0.0)).as("rep"))
+
+  /** q66 — fixed-size overlapping chunking (32-token chunks, stride 24):
+    * the context-window preparation step for training / RAG indexing.
+    * Chunk k covers tokens [24k+1, 24k+32]; every token is covered and
+    * consecutive chunks overlap by 8 tokens.
+    *
+    * Scale notes: pure 1:N map-only fan-out (explode of a per-row index
+    * range) — no shuffle at all except the presentation sort. The emitted
+    * chunk is hashed (md5) rather than carried as text, so the output
+    * relation stays narrow no matter the chunk size. */
+  private val q66 = GQuery(
+    "q66_doc_chunking",
+    (s, d) =>
+      withToks(s, d)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), floor((size(col("toks")) - 1) / Stride)))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("toks"), (col("chunk_id") * Stride + 1).cast("int"),
+            lit(ChunkLen)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             c AS (SELECT doc_id, toks,
+                          unnest(range(0, ((len(toks) - 1) // $Stride) + 1)) AS chunk_id
+                   FROM t)
+             SELECT doc_id, chunk_id,
+                    CAST(len(toks[chunk_id * $Stride + 1 : chunk_id * $Stride + $ChunkLen]) AS INT) AS n_tokens,
+                    md5(array_to_string(toks[chunk_id * $Stride + 1 : chunk_id * $Stride + $ChunkLen], ' ')) AS chunk_hash
+             FROM c ORDER BY doc_id, chunk_id""")
+  )
+
+  /** q67 — repetition / diversity quality scores (Gopher-style filters):
+    * duplicate-token fraction and duplicate-trigram fraction per document.
+    *
+    * Scale notes: entirely map-only (three narrow projections inside one
+    * WholeStageCodegen span); the only exchange is the presentation sort.
+    * Scores are rounded to 6 places so the oracle hash is stable. */
+  private val q67 = GQuery(
+    "q67_repetition_score",
+    (s, d) =>
+      repetitionFeatures(s, d)
+        .select(col("doc_id"), col("n_tokens"),
+          round(lit(1.0) - col("diversity"), 6).as("dup_token_frac"),
+          round(col("rep"), 6).as("dup_trigram_frac"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            g AS (SELECT doc_id, toks,
+                         CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                              ELSE [] END AS tri
+                  FROM t)
+            SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                   round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) AS dup_token_frac,
+                   CASE WHEN len(tri) > 0
+                        THEN round(1.0 - len(list_distinct(tri)) * 1.0 / len(tri), 6)
+                        ELSE 0.0 END AS dup_trigram_frac
+            FROM g ORDER BY doc_id""")
+  )
+
+  /** q68 — benchmark decontamination: training documents that share at
+    * least one 5-token shingle with the held-out test split (q58's
+    * content-hash split: test = bucket >= 90, train = bucket < 80).
+    * The step every serious pretraining pipeline runs before training.
+    *
+    * Scale notes: the join key is the md5-60bit of the shingle (8-byte
+    * longs through the shuffle, never the shingle text). The test side
+    * collapses to its DISTINCT shingle set first — benchmark-sized, i.e.
+    * tiny relative to the corpus — and is broadcast, so the train side
+    * is a map-side hash semi-join probe: one pass over the training
+    * shingles, no corpus-sized shuffle. Per-doc shingles are already
+    * distinct (TextOps.shingles), so count(1) IS the distinct overlap
+    * count. */
+  private val q68 = GQuery(
+    "q68_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        tokens(col("text")).as("toks"),
+        contentSplitHash(col("text")).as("h"))
+      val sh = docs
+        .select(col("doc_id"), col("h"), explode(shingles(col("toks"), 5)).as("sg"))
+        .select(col("doc_id"), col("h"),
+          conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("sgh"))
+      val testSet = sh.filter(col("h") >= 90).select(col("sgh")).distinct()
+      sh.filter(col("h") < 80)
+        .join(broadcast(testSet), "sgh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                              CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS h
+                       FROM documents),
+            sh AS (SELECT doc_id, h,
+                          CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS sgh
+                   FROM (SELECT doc_id, h,
+                                unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                                       i -> array_to_string(toks[i : i + 4], ' ')))) AS sg
+                         FROM d WHERE len(toks) >= 5)),
+            test AS (SELECT DISTINCT sgh FROM sh WHERE h >= 90)
+            SELECT s.doc_id, count(*) AS n_shared
+            FROM sh s JOIN test t USING (sgh)
+            WHERE s.h < 80
+            GROUP BY s.doc_id ORDER BY doc_id""")
+  )
+
+  /** q69 — sequence packing (concat-and-cut): lay all documents out in a
+    * deterministic content-hash order, cut the token stream every 512
+    * tokens, and assign each document to the sequence where its first
+    * token lands. Reports per-sequence document count and token load —
+    * the packing audit for a fixed-context training run.
+    *
+    * Scale notes: the global prefix sum is Ranks.runningSum (bounded
+    * range slices + broadcast per-slice offsets), NOT a single-partition
+    * window — the same decomposition as q61/q63/q65, so the layout step
+    * parallelizes at any corpus size. Everything after it is one small
+    * aggregate keyed by seq_id. */
+  private val q69 = GQuery(
+    "q69_sequence_pack",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("k"),
+          size(tokens(col("text"))).as("nt"))
+        .withColumn("_g", lit(0))
+      Ranks.runningSum(docs, "_g", Seq(col("k"), col("doc_id")), col("nt"), "run")
+        .withColumn("prior", col("run") - col("nt"))
+        .withColumn("seq_id", expr(s"prior div $SeqLen"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("seq_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, md5(text) AS k,
+                               len(string_split(text, ' ')) AS nt
+                        FROM documents),
+             c AS (SELECT doc_id, nt,
+                          sum(nt) OVER (ORDER BY k, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            - nt AS prior
+                   FROM t)
+             SELECT CAST(prior // $SeqLen AS BIGINT) AS seq_id,
+                    count(*) AS n_docs,
+                    CAST(sum(nt) AS BIGINT) AS total_tokens,
+                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             FROM c GROUP BY 1 ORDER BY seq_id""")
+  )
+
+  /** q70 — curation filter funnel: classify every document by the FIRST
+    * failing quality rule (length bounds → lexical diversity → trigram
+    * repetition), then report the rejection breakdown — the audit table a
+    * data-curation run publishes alongside its output.
+    *
+    * Scale notes: classification is map-only on top of q67's features;
+    * the aggregate has ≤5 groups. The percentage denominator is a window
+    * over the 5-row aggregate, not the corpus. */
+  private val q70 = GQuery(
+    "q70_filter_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      repetitionFeatures(s, d)
+        .withColumn("reason",
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("n_tokens") > 90, "too_long")
+            .when(col("diversity") < 0.35, "low_diversity")
+            .when(col("rep") > 0.01, "repetitive")
+            .otherwise("pass"))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("pct",
+          round(col("n_docs") * 100.0 / sum(col("n_docs")).over(Window.partitionBy()), 6))
+        .select(col("reason"), col("n_docs"), col("pct"),
+          round(col("sum_tokens") / col("n_docs"), 4).as("avg_tokens"))
+        .orderBy(col("reason"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            g AS (SELECT doc_id, len(toks) AS nt,
+                         len(list_distinct(toks)) * 1.0 / len(toks) AS div,
+                         CASE WHEN len(toks) >= 3
+                              THEN 1.0 - len(list_distinct(list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                                   * 1.0 / (len(toks) - 2)
+                              ELSE 0.0 END AS rep
+                  FROM t),
+            c AS (SELECT CASE WHEN nt < 20 THEN 'too_short'
+                              WHEN nt > 90 THEN 'too_long'
+                              WHEN div < 0.35 THEN 'low_diversity'
+                              WHEN rep > 0.01 THEN 'repetitive'
+                              ELSE 'pass' END AS reason, nt
+                  FROM g),
+            a AS (SELECT reason, count(*) AS n_docs, sum(nt) AS sum_nt FROM c GROUP BY 1)
+            SELECT reason, n_docs,
+                   round(n_docs * 100.0 / (SELECT count(*) FROM c), 6) AS pct,
+                   round(sum_nt * 1.0 / n_docs, 4) AS avg_tokens
+            FROM a ORDER BY reason""")
+  )
+
+  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70)
+}
