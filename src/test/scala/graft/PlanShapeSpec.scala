@@ -89,6 +89,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q66/q67 are map-only up to the presentation sort (no hash exchange)") {
+    assert(!plan("q66_doc_chunking").contains("Exchange hashpartitioning"),
+      plan("q66_doc_chunking"))
+    assert(!plan("q67_repetition_score").contains("Exchange hashpartitioning"),
+      plan("q67_repetition_score"))
+  }
+
+  test("q68 probes a broadcast test-shingle set (no corpus-side shuffle join)") {
+    val p = plan("q68_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q69 packing has no unpartitioned full-table window") {
+    val (ws, p) = windows("q69_sequence_pack")
+    // Ranks.runningSum windows are slice-partitioned; the only global one
+    // is over the k-row slice-offset aggregate
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst { case a: logical.Aggregate => a }.isDefined, p)
+    }
+  }
+
   test("q04 never funnels the full table through an unpartitioned window") {
     val (ws, p) = windows("q04_sorted_check")
     assert(ws.nonEmpty, p)
