@@ -158,6 +158,61 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** Static benchmark shingle-hash relation for s08: the DISTINCT
+    * md5-60bit 5-token shingle hashes of the held-out test split (q58
+    * content-hash bucket >= 90) — the same benchmark-sized set batch q68
+    * broadcasts. Built once, reused across micro-batches. */
+  def testShingleSet(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    graft.sources.Tables.documents(spark, dir)
+      .filter(TextOps.contentSplitHash(col("text")) >= 90)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(TextOps.shingles(col("toks"), 5)).as("sg"))
+      .select(conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("sgh"))
+      .distinct()
+  }
+
+  /** s08 — streaming benchmark decontamination (streaming twin of q68):
+    * each micro-batch of documents is probed against the static benchmark
+    * shingle-hash set; contaminated docs (sharing >= 1 five-token shingle)
+    * route to a `flagged` sink with their overlap count, the rest to
+    * `clean`.
+    *
+    * foreachBatch because the verdict is doc-level: the shingle explode
+    * joins inside the batch and reassembles with a batch-local groupBy —
+    * no streaming state at all (the only cross-batch data is the static
+    * set, broadcast per batch exactly like q68). Exactly-once on replay
+    * via the s06 `_batch` dynamic-partition-overwrite contract. */
+  def decontaminateStream(docs: DataFrame, testShingles: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextOps
+    docs.writeStream
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val contaminated = b
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 5)).as("sg"))
+            .select(col("doc_id"),
+              conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("sgh"))
+            .join(broadcast(testShingles), "sgh")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          b.join(contaminated, Seq("doc_id"), "left_anti")
+            .withColumn("_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch").parquet(s"$outDir/clean")
+          b.join(contaminated, Seq("doc_id"))
+            .withColumn("_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch").parquet(s"$outDir/flagged")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** s06 — streaming corpus router: per-microbatch quality features plus
     * the deterministic content-hash split (the streaming twin of q58 —
     * same TextOps.contentSplitHash expression), fanned out to one parquet

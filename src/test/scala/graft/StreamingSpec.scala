@@ -216,6 +216,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s08 streaming decontamination routes exactly the batch q68 doc set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    // static side: benchmark shingles of the sf0.001 test split
+    val testSet = StreamOps.testShingleSet(spark, sfSmoke).persist()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), testSet, dir)
+    try {
+      // stream the TRAIN split of the same corpus — q68's exact input
+      val h = graft.functions.TextOps.contentSplitHash(col("text"))
+      val train = graft.sources.Tables.documents(spark, sfSmoke)
+        .filter(h < 80).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(train.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val flagged = spark.read.parquet(s"$dir/flagged")
+        .select("doc_id", "n_shared").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val clean = spark.read.parquet(s"$dir/clean")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // the two sinks partition the stream
+      assert(clean.size + flagged.size == train.length)
+      assert(clean.intersect(flagged.keySet).isEmpty)
+      // and the flagged set matches batch q68 exactly (ids + counts)
+      val batch = SparkEntry.queries("q68_decontaminate")(spark, sfSmoke)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(flagged == batch, s"stream=$flagged batch=$batch")
+    } finally { q.stop(); testSet.unpersist(); () }
+  }
+
   test("s06 split router partitions the stream into train/val/test sinks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_router").toString
     val input = MemoryStream[(Long, String)](spark)
