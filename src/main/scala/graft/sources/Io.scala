@@ -58,4 +58,22 @@ object Io {
   /** ORC sink. */
   def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
+
+  /** Bucketed parquet table: rows are hash-clustered into `buckets` files
+    * per partition BY THE JOIN KEY and each bucket is sorted on it. Two
+    * tables bucketed the same way join with ZERO exchange — the shuffle is
+    * paid once at write time and amortized over every subsequent join or
+    * aggregation on that key. This is the co-location strategy for
+    * fact-to-fact joins at 100 TB, where neither side broadcasts and a
+    * per-query shuffle of either would dominate the plan.
+    *
+    * Catalog-backed (`saveAsTable`) because bucket metadata lives in the
+    * table catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

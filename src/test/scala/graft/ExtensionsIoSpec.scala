@@ -95,6 +95,38 @@ class ExtensionsIoSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("n_chars"), plan)
   }
 
+  test("bucketed tables join and aggregate with zero exchange") {
+    val orders = graft.sources.Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = graft.sources.Tables.lineitem(spark, sfSmoke)
+      .select(col("l_orderkey"), col("l_quantity"))
+    Io.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    Io.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 8)
+    try {
+      val bo = spark.table("b_orders")
+      val bl = spark.table("b_lineitem")
+      // co-located join: the write-time clustering replaces the per-query
+      // shuffle on both sides (broadcast suppressed to prove it)
+      val joined = bo.hint("merge")
+        .join(bl, bo("o_orderkey") === bl("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      // and the values are identical to the unbucketed join
+      val expected = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey")).count()
+      assert(joined.count() == expected)
+      // aggregation on the bucket key also skips its exchange
+      val agg = bl.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        agg.queryExecution.executedPlan.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      ()
+    }
+  }
+
   test("PhaseTiming splits stages into map and reduce phases") {
     val pt = new PhaseTiming
     spark.sparkContext.addSparkListener(pt)
