@@ -111,6 +111,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // At 100 TB a selective dimension predicate should reach the fact scan
+    // as a runtime bloom filter (row-group skipping long before the join).
+    // Spark injects it above size thresholds tuned for clusters; lower the
+    // application-side floor so the tiny fixture demonstrates the plan.
+    import org.apache.spark.sql.functions.col
+    // the fixture is broadcast-sized, the 100 TB shape is a shuffle join —
+    // suppress auto-broadcast and the size floor so the tiny data plans
+    // the way a fact-to-fact join does on a cluster
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val enab = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val prev = spark.conf.get(key)
+    val prevB = spark.conf.get(bcast)
+    val prevE = spark.conf.get(enab)
+    spark.conf.set(key, "0")
+    spark.conf.set(bcast, "-1")
+    spark.conf.set(enab, "true")
+    try {
+      val orders = graft.sources.Tables.orders(spark, sfSmoke)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      // fact side carries its own shuffle (per-order aggregate) — the rule
+      // only injects where the filter can save shuffle bytes
+      val li = graft.sources.Tables.lineitem(spark, sfSmoke)
+        .groupBy(col("l_orderkey"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("qty"))
+      val p = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(bcast, prevB)
+      spark.conf.set(enab, prevE)
+    }
+  }
+
   test("q04 never funnels the full table through an unpartitioned window") {
     val (ws, p) = windows("q04_sorted_check")
     assert(ws.nonEmpty, p)
