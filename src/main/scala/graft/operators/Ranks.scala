@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   * Output is identical to the single-window formulation whenever
   * `orderCols` is a total order within each group (the same requirement
   * any deterministic row_number has).
+  *
+  * INPUT CONTRACT: `df` must evaluate deterministically INCLUDING
+  * per-partition row order — a file scan (possibly projected/filtered)
+  * qualifies; the output of a shuffle (aggregate/join) does not. The
+  * decomposition references the range-sliced relation twice (local ranks
+  * and slice offsets), exchange reuse does not fire for the two branches,
+  * and `_slice` labels come from spark_partition_id() over a sampled
+  * range exchange — re-evaluating a relation whose row order is unstable
+  * can slice the two branches differently and silently drop rows at the
+  * `_slice` join. For shuffled inputs, materialize first (persist /
+  * write) or compute on a bounded derived relation instead (see q71).
   */
 object Ranks {
 

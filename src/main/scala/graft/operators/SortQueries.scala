@@ -123,6 +123,78 @@ object SortQueries {
             WHERE rn <= 50 ORDER BY l_returnflag, rn""")
   )
 
+  /** q71 — the COMPLETE window-rank family at scale (extends q61):
+    * rank / dense_rank / percent_rank / cume_dist are functions of the
+    * (group, value) pair alone, so they are computed on the DISTINCT-value
+    * relation — value-cardinality sized (bounded for real-world keys:
+    * money values, scores, dates), not data sized — with one small window
+    * (dense_rank = value row number; rank = cumulative count of greater
+    * values + 1; cume_dist = inclusive cumulative / n), then joined back.
+    * row_number and ntile come from q61's sliced decomposition plus a
+    * broadcast per-group total. NO data-sized window partition anywhere;
+    * output is value-identical to the two-window classic formulation
+    * (rank family ordered by value alone, row_number/ntile tie-broken).
+    *
+    * Determinism note: Ranks' sliced decomposition is applied only to the
+    * deterministic scan input. It is NOT applied to the shuffled `vals`
+    * aggregate: `_slice` labels come from spark_partition_id() over a
+    * range exchange whose per-partition row ORDER is not stable for
+    * shuffled inputs, and the decomposition's two references to the
+    * sliced relation re-evaluate it (no exchange reuse) — slicing a
+    * nondeterministically-ordered relation twice can disagree and drop
+    * rows at the _slice join. The value relation is bounded, so the plain
+    * window over it is the right tool anyway. */
+  private val q71 = GQuery(
+    "q71_distributed_ranks",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val rn = Ranks.rowNumber(li, "l_returnflag",
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), "rn")
+      // per-value relation: one row per (flag, price), value-cardinality
+      // sized — the window below runs over THIS relation, not the data
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc)
+      val ranked = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dense_rank", row_number().over(w))
+        .withColumn("cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rank", (col("cum") - col("cnt") + 1).cast("int"))
+      val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val rem = col("n") % 4 // ntile(4): first n%4 buckets get (n div 4)+1 rows
+      rn.join(ranked, Seq("l_returnflag", "l_extendedprice"))
+        .join(broadcast(totals), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("rn"), col("l_extendedprice"),
+          col("rank"), col("dense_rank"),
+          round(when(col("n") === 1, 0.0)
+            .otherwise((col("rank") - 1).cast("double") / (col("n") - 1)), 6)
+            .as("percent_rank"),
+          round(col("cum").cast("double") / col("n"), 6).as("cume_dist"),
+          when(col("rn") <= (expr("n div 4") + 1) * rem,
+            expr("(rn - 1) div (n div 4 + 1)") + 1)
+            .otherwise(rem + expr(s"(rn - 1 - (n div 4 + 1) * (n % 4)) div (n div 4)") + 1)
+            .cast("int").as("ntile4"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+    Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, l_extendedprice,
+                   CAST(rnk AS INTEGER) AS rank, CAST(dr AS INTEGER) AS dense_rank,
+                   round(pr, 6) AS percent_rank, round(cd, 6) AS cume_dist,
+                   CAST(nt AS INTEGER) AS ntile4
+            FROM (SELECT l_returnflag, l_extendedprice,
+                         row_number() OVER w1 AS rn, ntile(4) OVER w1 AS nt,
+                         rank() OVER w2 AS rnk, dense_rank() OVER w2 AS dr,
+                         percent_rank() OVER w2 AS pr, cume_dist() OVER w2 AS cd
+                  FROM lineitem
+                  WINDOW w1 AS (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber),
+                         w2 AS (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC))
+            ORDER BY l_returnflag, rn""")
+  )
+
   /** q18 — top-k: TakeOrderedAndProjectExec, the scale-correct form of
     * "sort then take 10" (no global sort materialized). */
   private val q18 = GQuery(
@@ -137,5 +209,5 @@ object SortQueries {
             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""")
   )
 
-  val all: Seq[GQuery] = Seq(q01, q03, q04, q18, q61)
+  val all: Seq[GQuery] = Seq(q01, q03, q04, q18, q61, q71)
 }
