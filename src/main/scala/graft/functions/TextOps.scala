@@ -53,6 +53,14 @@ object TextOps {
   def contentSplitHash(text: Column): Column =
     pmod(conv(substring(md5(text), 1, 15), 16, 10).cast("long"), lit(100))
 
+  /** md5-60bit hash of a shingle (or any string) as a signed long — the
+    * 8-byte join/shuffle key the dedup and decontamination families carry
+    * instead of shingle text. ONE definition shared by batch q68 and the
+    * s08 streaming twin (their equivalence test depends on bit-identity).
+    * SQL twin: `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`. */
+  def shingleHash60(x: Column): Column =
+    conv(substring(md5(x), 1, 15), 16, 10).cast("long")
+
   /** All ordered pairs (d1 < d2) from a sorted array — in-bucket candidate
     * generation without a self-join (shared by the LSH dedup families:
     * shingle buckets, MinHash/SimHash bands, hyperplane buckets). */

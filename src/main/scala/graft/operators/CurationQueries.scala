@@ -134,7 +134,7 @@ object CurationQueries {
       val sh = docs
         .select(col("doc_id"), col("h"), explode(shingles(col("toks"), 5)).as("sg"))
         .select(col("doc_id"), col("h"),
-          conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("sgh"))
+          graft.functions.TextOps.shingleHash60(col("sg")).as("sgh"))
       val testSet = sh.filter(col("h") >= 90).select(col("sgh")).distinct()
       sh.filter(col("h") < 80)
         .join(broadcast(testSet), "sgh")

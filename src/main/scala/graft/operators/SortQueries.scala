@@ -126,8 +126,8 @@ object SortQueries {
   /** q71 — the COMPLETE window-rank family at scale (extends q61):
     * rank / dense_rank / percent_rank / cume_dist are functions of the
     * (group, value) pair alone, so they are computed on the DISTINCT-value
-    * relation — value-cardinality sized (bounded for real-world keys:
-    * money values, scores, dates), not data sized — with one small window
+    * relation — value-cardinality sized, not data sized — with one small
+    * window
     * (dense_rank = value row number; rank = cumulative count of greater
     * values + 1; cume_dist = inclusive cumulative / n), then joined back.
     * row_number and ntile come from q61's sliced decomposition plus a
@@ -143,31 +143,46 @@ object SortQueries {
     * sliced relation re-evaluate it (no exchange reuse) — slicing a
     * nondeterministically-ordered relation twice can disagree and drop
     * rows at the _slice join. The value relation is bounded, so the plain
-    * window over it is the right tool anyway. */
+    * window over it is the right tool anyway.
+    *
+    * The ranked value is l_quantity (50 integer values) — the decomposition
+    * targets DISCRETE rank keys (quantities, scores, grades, dates), where
+    * the value relation is orders of magnitude smaller than the data and
+    * genuinely broadcastable. For a near-unique continuous key (e.g.
+    * l_extendedprice: ~99% distinct) the value relation IS data-sized and
+    * this plan degrades to a data-sized broadcast — measured here and
+    * rejected; rank over such keys is better served by q61's row_number
+    * decomposition alone (ranks and row numbers coincide when values are
+    * unique). */
   private val q71 = GQuery(
     "q71_distributed_ranks",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"),
+        .select(col("l_returnflag"), col("l_quantity"),
           col("l_orderkey"), col("l_linenumber"))
       val rn = Ranks.rowNumber(li, "l_returnflag",
-        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), "rn")
-      // per-value relation: one row per (flag, price), value-cardinality
-      // sized — the window below runs over THIS relation, not the data
+        Seq(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber")), "rn")
+      // per-value relation: one row per (flag, quantity) — ≤50 values per
+      // flag; the window below runs over THIS relation, not the data
       val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc)
-      val ranked = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .orderBy(col("l_quantity").desc)
+      // group total n = sum(cnt) over the SAME value relation — no third
+      // scan of the data for a count the small relation already carries
+      val ranked = li.groupBy(col("l_returnflag"), col("l_quantity"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("dense_rank", row_number().over(w))
         .withColumn("cum", sum(col("cnt")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("rank", (col("cum") - col("cnt") + 1).cast("int"))
-      val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag"))))
       val rem = col("n") % 4 // ntile(4): first n%4 buckets get (n div 4)+1 rows
-      rn.join(ranked, Seq("l_returnflag", "l_extendedprice"))
-        .join(broadcast(totals), Seq("l_returnflag"))
-        .select(col("l_returnflag"), col("rn"), col("l_extendedprice"),
+      // broadcast: the value relation is bounded (the query's premise) —
+      // without the hint, conservative post-agg stats can demote this to
+      // a shuffle join that re-exchanges the data-sized rn relation
+      rn.join(broadcast(ranked), Seq("l_returnflag", "l_quantity"))
+        .select(col("l_returnflag"), col("rn"), col("l_quantity"),
           col("rank"), col("dense_rank"),
           round(when(col("n") === 1, 0.0)
             .otherwise((col("rank") - 1).cast("double") / (col("n") - 1)), 6)
@@ -179,19 +194,19 @@ object SortQueries {
             .cast("int").as("ntile4"))
         .orderBy(col("l_returnflag"), col("rn"))
     },
-    Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, l_extendedprice,
+    Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, l_quantity,
                    CAST(rnk AS INTEGER) AS rank, CAST(dr AS INTEGER) AS dense_rank,
                    round(pr, 6) AS percent_rank, round(cd, 6) AS cume_dist,
                    CAST(nt AS INTEGER) AS ntile4
-            FROM (SELECT l_returnflag, l_extendedprice,
+            FROM (SELECT l_returnflag, l_quantity,
                          row_number() OVER w1 AS rn, ntile(4) OVER w1 AS nt,
                          rank() OVER w2 AS rnk, dense_rank() OVER w2 AS dr,
                          percent_rank() OVER w2 AS pr, cume_dist() OVER w2 AS cd
                   FROM lineitem
                   WINDOW w1 AS (PARTITION BY l_returnflag
-                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber),
+                                ORDER BY l_quantity DESC, l_orderkey, l_linenumber),
                          w2 AS (PARTITION BY l_returnflag
-                                ORDER BY l_extendedprice DESC))
+                                ORDER BY l_quantity DESC))
             ORDER BY l_returnflag, rn""")
   )
 

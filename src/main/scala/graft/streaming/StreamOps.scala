@@ -161,15 +161,19 @@ object StreamOps {
   /** Static benchmark shingle-hash relation for s08: the DISTINCT
     * md5-60bit 5-token shingle hashes of the held-out test split (q58
     * content-hash bucket >= 90) — the same benchmark-sized set batch q68
-    * broadcasts. Built once, reused across micro-batches. */
+    * broadcasts. Returned PERSISTED so "built once" holds across
+    * micro-batches (without it, every batch would re-scan the static
+    * corpus and re-shuffle the distinct); the caller owns unpersist() at
+    * stream shutdown. */
   def testShingleSet(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps
     graft.sources.Tables.documents(spark, dir)
       .filter(TextOps.contentSplitHash(col("text")) >= 90)
       .select(split(col("text"), " ").as("toks"))
       .select(explode(TextOps.shingles(col("toks"), 5)).as("sg"))
-      .select(conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("sgh"))
+      .select(TextOps.shingleHash60(col("sg")).as("sgh"))
       .distinct()
+      .persist()
   }
 
   /** s08 — streaming benchmark decontamination (streaming twin of q68):
@@ -189,26 +193,29 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val b = batch.persist()
+        // ONE evaluation of the expensive shingle probe: the routed frame
+        // (left join + verdict) is persisted and both sinks filter it
+        val routed = batch
+          .join(
+            batch
+              .select(col("doc_id"), split(col("text"), " ").as("toks"))
+              .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 5)).as("sg"))
+              .select(col("doc_id"), TextOps.shingleHash60(col("sg")).as("sgh"))
+              .join(broadcast(testShingles), "sgh")
+              .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared")),
+            Seq("doc_id"), "left")
+          .withColumn("_batch", lit(batchId))
+          .persist()
         try {
-          val contaminated = b
-            .select(col("doc_id"), split(col("text"), " ").as("toks"))
-            .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 5)).as("sg"))
-            .select(col("doc_id"),
-              conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long").as("sgh"))
-            .join(broadcast(testShingles), "sgh")
-            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-          b.join(contaminated, Seq("doc_id"), "left_anti")
-            .withColumn("_batch", lit(batchId))
+          routed.filter(col("n_shared").isNull).drop("n_shared")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch").parquet(s"$outDir/clean")
-          b.join(contaminated, Seq("doc_id"))
-            .withColumn("_batch", lit(batchId))
+          routed.filter(col("n_shared").isNotNull)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch").parquet(s"$outDir/flagged")
-        } finally { b.unpersist(); () }
+        } finally { routed.unpersist(); () }
       }
       .start()
   }

@@ -102,12 +102,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q69 packing has no unpartitioned full-table window") {
+  test("q69 packing has no data-sized window partition") {
     val (ws, p) = windows("q69_sequence_pack")
-    // Ranks.runningSum windows are slice-partitioned; the only global one
-    // is over the k-row slice-offset aggregate
-    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
-      assert(w.child.collectFirst { case a: logical.Aggregate => a }.isDefined, p)
+    assert(ws.nonEmpty, p)
+    // every window must be range-slice-partitioned (bounded slices) or sit
+    // above an aggregate (the k-row slice-offset relation) — a constant or
+    // empty partition spec over raw data would funnel the table through
+    // one task
+    ws.foreach { w =>
+      val sliced = w.partitionSpec.exists(_.references.exists(_.name == "_slice"))
+      val aboveAgg = w.child.collectFirst { case a: logical.Aggregate => a }.isDefined
+      assert(sliced || aboveAgg, s"window partitionSpec=${w.partitionSpec}\n$p")
     }
   }
 
