@@ -251,5 +251,69 @@ object CurationQueries {
             FROM a ORDER BY reason""")
   )
 
-  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70)
+  /** Deterministic stand-in for a learned quality model (the container
+    * has no inference runtime): an algebraic sigmoid over three exact
+    * document features. Algebraic (z / (1+|z|)), NOT exp-based — +,*,/,
+    * abs are bit-identical IEEE ops in the JVM and DuckDB, so the oracle
+    * can mirror the score exactly; exp implementations may differ in the
+    * last ulp and flip a rounded hash. Replace `score` with a real model
+    * forward pass in production; init/batching plumbing stays identical. */
+  object StubModel {
+    // ??? <- real model load goes here (once per executor/partition)
+    def score(nTokens: Int, diversity: Double, avgWordLen: Double): Double = {
+      val z = -1.5 + 0.02 * nTokens + 2.0 * diversity - 0.1 * avgWordLen
+      0.5 + 0.5 * z / (1.0 + math.abs(z))
+    }
+  }
+
+  /** q72 — batched model inference: the scoring step every curation
+    * pipeline runs (quality / toxicity / educational-value classifiers).
+    * The plumbing is the real thing — typed mapPartitions so the model
+    * loads ONCE per task (not per row), rows flow through fixed-size
+    * micro-batches (how a real forward pass wants its input), and the
+    * output is a narrow (id, features, score) relation.
+    *
+    * Scale notes: map-only — zero shuffle before the presentation sort;
+    * model weights ride task binaries/broadcast, state is one model per
+    * partition. Batching bounds peak memory per task regardless of
+    * partition size. */
+  private val q72 = GQuery(
+    "q72_batch_inference",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val model = StubModel // per-partition init point
+          it.grouped(64).flatMap(_.map { case (docId, text) =>
+            // feature extraction mirrors the SQL oracle exactly: token
+            // count (split keeps empties), distinct ratio, average token
+            // length in CODEPOINTS (SQL length() counts codepoints)
+            val toks = text.split(" ", -1)
+            val nt = toks.length
+            val div = toks.distinct.length.toDouble / nt
+            val cp = text.codePointCount(0, text.length)
+            val awl = (cp - (nt - 1)).toDouble / nt
+            (docId, nt, model.score(nt, div, awl))
+          })
+        }
+        .toDF("doc_id", "n_tokens", "score")
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH f AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+                              len(list_distinct(string_split(text, ' '))) AS nd,
+                              length(text) AS lc
+                       FROM documents),
+            z AS (SELECT doc_id, nt,
+                         -1.5e0 + 2e-2 * nt + 2e0 * (nd * 1e0 / nt)
+                                - 1e-1 * ((lc - (nt - 1)) * 1e0 / nt) AS zv
+                  FROM f)
+            SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens,
+                   round(5e-1 + 5e-1 * zv / (1e0 + abs(zv)), 6) AS score
+            FROM z ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72)
 }
