@@ -315,5 +315,72 @@ object CurationQueries {
             FROM z ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72)
+  /** q73 — MERGE / upsert (incremental corpus refresh): apply an incoming
+    * crawl batch to the current snapshot — latest version wins per key,
+    * new keys insert, untouched keys keep, and incoming tombstones delete.
+    * The standard incremental-ingestion operator, expressed as a
+    * full-outer join (what MERGE INTO lowers to on any engine).
+    *
+    * Fixture mapping: snapshot = q58 train split, incoming = test split,
+    * merge key = doc_id mod 500 (forces key overlap between the splits);
+    * within each side the LATEST version per key is chosen by max_by on
+    * doc_id — an argmax AGGREGATE, not a window (one shuffle per side, no
+    * per-key sort task). Tombstones are incoming docs with lang = 'de'.
+    *
+    * Scale notes: two key-partial-aggregated shuffles + one join on the
+    * merge key; in production the incoming batch is crawl-sized (small vs
+    * the snapshot) and broadcasts, making the merge one snapshot pass. */
+  private val q73 = GQuery(
+    "q73_merge_upsert",
+    (s, d) => {
+      val docs = Tables.documents(s, d).withColumn("k", col("doc_id") % 500)
+        .withColumn("h", contentSplitHash(col("text")))
+      def latest(side: DataFrame, p: String) = side
+        .groupBy(col("k"))
+        .agg(max(col("doc_id")).as(s"${p}_id"),
+          max_by(col("n_chars"), col("doc_id")).as(s"${p}_chars"),
+          max_by(col("lang"), col("doc_id")).as(s"${p}_lang"))
+      val base = latest(docs.filter(col("h") < 80), "b")
+      val inc  = latest(docs.filter(col("h") >= 90), "i")
+      base.join(inc, Seq("k"), "full_outer")
+        .withColumn("action",
+          when(col("i_id").isNotNull && col("i_lang") === "de", "delete")
+            .when(col("i_id").isNotNull && col("b_id").isNotNull, "update")
+            .when(col("i_id").isNotNull, "insert")
+            .otherwise("keep"))
+        .filter(col("action") =!= "delete")
+        .select(col("k"), col("action"),
+          coalesce(col("i_id"), col("b_id")).as("doc_id"),
+          coalesce(col("i_chars"), col("b_chars")).as("n_chars"),
+          coalesce(col("i_lang"), col("b_lang")).as("lang"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH d AS (SELECT *, doc_id % 500 AS k,
+                              CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS h
+                       FROM documents),
+            base AS (SELECT k, max(doc_id) AS b_id,
+                            arg_max(n_chars, doc_id) AS b_chars,
+                            arg_max(lang, doc_id) AS b_lang
+                     FROM d WHERE h < 80 GROUP BY k),
+            inc AS (SELECT k, max(doc_id) AS i_id,
+                           arg_max(n_chars, doc_id) AS i_chars,
+                           arg_max(lang, doc_id) AS i_lang
+                    FROM d WHERE h >= 90 GROUP BY k),
+            m AS (SELECT coalesce(base.k, inc.k) AS k, b_id, b_chars, b_lang,
+                         i_id, i_chars, i_lang
+                  FROM base FULL OUTER JOIN inc ON base.k = inc.k)
+            SELECT k,
+                   CASE WHEN i_id IS NOT NULL AND i_lang = 'de' THEN 'delete'
+                        WHEN i_id IS NOT NULL AND b_id IS NOT NULL THEN 'update'
+                        WHEN i_id IS NOT NULL THEN 'insert'
+                        ELSE 'keep' END AS action,
+                   coalesce(i_id, b_id) AS doc_id,
+                   coalesce(i_chars, b_chars) AS n_chars,
+                   coalesce(i_lang, b_lang) AS lang
+            FROM m
+            WHERE NOT (i_id IS NOT NULL AND i_lang = 'de')
+            ORDER BY k""")
+  )
+
+  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73)
 }

@@ -67,6 +67,34 @@ class CurationSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) < 512L + 100L))
   }
 
+  test("q73 merge applies latest-wins upsert semantics per key") {
+    import org.apache.spark.sql.functions._
+    val h = graft.functions.TextOps.contentSplitHash(col("text"))
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .withColumn("k", col("doc_id") % 500)
+    val baseKeys = docs.filter(h < 80).select("k").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val incKeys = docs.filter(h >= 90).select("k").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("q73_merge_upsert")(spark, sfSmoke).collect()
+    val byAction = rows.groupBy(_.getString(1))
+    // actions match the key-set algebra (modulo deletes removing rows)
+    byAction.getOrElse("keep", Array()).foreach(r =>
+      assert(baseKeys.contains(r.getLong(0)) && !incKeys.contains(r.getLong(0))))
+    byAction.getOrElse("insert", Array()).foreach(r =>
+      assert(!baseKeys.contains(r.getLong(0)) && incKeys.contains(r.getLong(0))))
+    byAction.getOrElse("update", Array()).foreach(r =>
+      assert(baseKeys.contains(r.getLong(0)) && incKeys.contains(r.getLong(0))))
+    // every surviving key appears exactly once (it IS a snapshot)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // updates and inserts carry the incoming side's latest doc version
+    val latestInc = docs.filter(h >= 90).groupBy(col("k"))
+      .agg(max(col("doc_id")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (byAction.getOrElse("update", Array()) ++ byAction.getOrElse("insert", Array()))
+      .foreach(r => assert(r.getLong(2) == latestInc(r.getLong(0))))
+  }
+
   test("q70 funnel partitions the corpus and pcts sum to 100") {
     val total = graft.sources.Tables.documents(spark, sfSmoke).count()
     val rows = SparkEntry.queries("q70_filter_funnel")(spark, sfSmoke).collect()
