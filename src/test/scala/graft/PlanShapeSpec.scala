@@ -153,6 +153,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q72 inference is map-only up to the presentation sort") {
+    val p = plan("q72_batch_inference")
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q73 merge pre-aggregates both sides map-side before the outer join") {
+    val p = plan("q73_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("partial_max_by"), p) // latest-wins is a combine-able aggregate
+    // the aggregate outputs are already partitioned by the merge key — the
+    // join must not add its own exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
+
   test("q04 never funnels the full table through an unpartitioned window") {
     val (ws, p) = windows("q04_sorted_check")
     assert(ws.nonEmpty, p)
