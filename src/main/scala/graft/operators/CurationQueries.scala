@@ -277,29 +277,38 @@ object CurationQueries {
     * model weights ride task binaries/broadcast, state is one model per
     * partition. Batching bounds peak memory per task regardless of
     * partition size. */
+  /** The shared scoring kernel: per-task model init + 64-row micro-batches
+    * over (doc_id, text). ONE implementation used by batch q72 AND the s09
+    * streaming scorer — the batch/streaming twin contract depends on the
+    * two staying bit-identical (same rule as TextOps.contentSplitHash). */
+  def scoreDocs(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .mapPartitions { it =>
+        val model = StubModel // per-partition init point
+        it.grouped(64).flatMap(_.map { case (docId, text) =>
+          // feature extraction mirrors the SQL oracle exactly: token
+          // count (split keeps empties), distinct ratio, average token
+          // length in CODEPOINTS (SQL length() counts codepoints)
+          val toks = text.split(" ", -1)
+          val nt = toks.length
+          val div = toks.distinct.length.toDouble / nt
+          val cp = text.codePointCount(0, text.length)
+          val awl = (cp - (nt - 1)).toDouble / nt
+          (docId, nt, model.score(nt, div, awl))
+        })
+      }
+      .toDF("doc_id", "n_tokens", "score")
+      .withColumn("score", round(col("score"), 6))
+  }
+
   private val q72 = GQuery(
     "q72_batch_inference",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      scoreDocs(Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          val model = StubModel // per-partition init point
-          it.grouped(64).flatMap(_.map { case (docId, text) =>
-            // feature extraction mirrors the SQL oracle exactly: token
-            // count (split keeps empties), distinct ratio, average token
-            // length in CODEPOINTS (SQL length() counts codepoints)
-            val toks = text.split(" ", -1)
-            val nt = toks.length
-            val div = toks.distinct.length.toDouble / nt
-            val cp = text.codePointCount(0, text.length)
-            val awl = (cp - (nt - 1)).toDouble / nt
-            (docId, nt, model.score(nt, div, awl))
-          })
-        }
-        .toDF("doc_id", "n_tokens", "score")
-        .withColumn("score", round(col("score"), 6))
+        .as[(Long, String)])
         .orderBy(col("doc_id"))
     },
     Some("""WITH f AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,

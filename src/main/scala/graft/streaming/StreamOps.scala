@@ -220,6 +220,18 @@ object StreamOps {
       .start()
   }
 
+  /** s09 — streaming batched inference (twin of batch q72): the SAME
+    * scoring kernel (CurationQueries.scoreDocs — per-task model init,
+    * fixed 64-row micro-batches) applied to an unbounded document stream.
+    * Stateless map — no watermark, no state store; scored rows stream
+    * through in append mode, so throughput scales with tasks exactly like
+    * the batch form. */
+  def scoreStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.operators.CurationQueries.scoreDocs(
+      docs.select(col("doc_id"), col("text")).as[(Long, String)])
+  }
+
   /** s06 — streaming corpus router: per-microbatch quality features plus
     * the deterministic content-hash split (the streaming twin of q58 —
     * same TextOps.contentSplitHash expression), fanned out to one parquet

@@ -246,6 +246,26 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); testSet.unpersist(); () }
   }
 
+  test("s09 streaming scorer emits exactly the batch q72 scores") {
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.scoreStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s09_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val docs = graft.sources.Tables.documents(spark, sfSmoke)
+        .select("doc_id", "text").limit(100)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s09_out")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      val batch = SparkEntry.queries("q72_batch_inference")(spark, sfSmoke)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      assert(streamed.size == docs.length)
+      streamed.foreach { case (id, v) => assert(batch(id) == v, s"doc $id") }
+    } finally q.stop()
+  }
+
   test("s06 split router partitions the stream into train/val/test sinks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_router").toString
     val input = MemoryStream[(Long, String)](spark)
