@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The generic, reusable corpus-pipeline API: every operator takes a
+  * DataFrame plus column names and returns a DataFrame — nothing here
+  * knows about the driver's fixture tables. The registry queries
+  * (q24/q25/q31/q58/q60/q66/q68/q69) are thin wrappers over these, so the
+  * driver's DuckDB gate continuously proves this API correct, and a user
+  * can run the same operators on their own relations:
+  *
+  * {{{
+  * CorpusOps.minhashCandidates(myDocs, "id", "body")
+  * CorpusOps.decontaminate(train, benchmark, "id", "body", n = 8)
+  * }}}
+  *
+  * Scale properties are documented per operator in SCALING.md; the short
+  * version: every operator is map-only or single-shuffle with bounded
+  * per-key state (stop-shingle caps, band caps), and nothing collects to
+  * the driver.
+  */
+object CorpusOps {
+
+  /** Exact dedup: one representative (min id) per distinct content, with
+    * the copy count. One shuffle carrying a 32-byte key. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** (shingle, id) postings surviving the stop-shingle cap — the shared
+    * candidate-generation input for the Jaccard and MinHash families.
+    * One explode + one shuffle on the shingle; buckets above `stopCap`
+    * docs are dropped (they pair near-everything and carry no signal). */
+  def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, stopCap: Int): DataFrame =
+    docs
+      // token array must be an attribute before the shingle lambda
+      // (lambda bodies re-evaluate non-attribute expressions per element)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col(idCol))).as("docs"))
+      .filter(size(col("docs")) <= stopCap)
+      .select(col("sh"), explode(col("docs")).as(idCol))
+
+  /** MinHash+LSH candidate pairs (unordered, distinct): `k` md5-min
+    * hashes per shingle set, `bands` bands hashed to band keys, pairs
+    * generated inside band buckets without a self-join. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
+      bands: Int = 2): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rowsPerBand = k / bands
+    val sigs = shinglePostings(docs, idCol, textCol, shingleN, stopCap)
+      .groupBy(col(idCol))
+      .agg(TextOps.minhash(col("sh"), 0).as("h0"),
+        (1 until k).map(i => TextOps.minhash(col("sh"), i).as(s"h$i")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col(idCol))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(TextOps.orderedPairs(col("docs"))).as("p"))
+      .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
+      .distinct()
+  }
+
+  /** Deterministic content-hash split column in {train, val, test}:
+    * reproducible across runs/engines/repartitioning, and exact
+    * duplicates land in one split (no cross-split leakage). Map-only. */
+  def withSplit(docs: DataFrame, textCol: String, as: String = "split",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val h = TextOps.contentSplitHash(col(textCol))
+    docs.withColumn(as,
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Fixed-size overlapping chunks: (id, chunk_id, chunk tokens array).
+    * Map-only 1:N explode; chunk k covers tokens [stride·k+1, stride·k+len]. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, stride: Int): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), floor((size(col("toks")) - 1) / stride)))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkLen)).as("chunk"))
+
+  /** Benchmark decontamination: corpus rows sharing >= 1 n-token shingle
+    * with the benchmark, with the distinct-shingle overlap count. The
+    * benchmark side collapses to its DISTINCT shingle-hash set and
+    * broadcasts; the corpus side is a map-side probe over 8-byte keys. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    def sh(side: DataFrame) = side
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("sg"))
+      .select(col(idCol), TextOps.shingleHash60(col("sg")).as("sgh"))
+    val benchSet = sh(benchmark).select(col("sgh")).distinct()
+    sh(corpus)
+      .join(broadcast(benchSet), "sgh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Concat-and-cut sequence packing: lay documents out in deterministic
+    * content-hash order, cut every `seqLen` tokens, assign each document
+    * to the sequence where its first token lands. Returns the input plus
+    * (n_tokens, seq_id). The global prefix sum is Ranks.runningSum —
+    * bounded range slices + broadcast offsets, no single-task window. */
+  def pack(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int): DataFrame = {
+    val prepared = docs
+      .select(col(idCol), md5(col(textCol)).as("k"),
+        size(TextOps.tokens(col(textCol))).as("nt"))
+      .withColumn("_g", lit(0))
+    Ranks.runningSum(prepared, "_g", Seq(col("k"), col(idCol)), col("nt"), "run")
+      .withColumn("prior", col("run") - col("nt"))
+      .withColumn("seq_id", expr(s"prior div $seqLen"))
+      .select(col(idCol), col("nt").as("n_tokens"), col("seq_id"))
+  }
+}

@@ -89,10 +89,7 @@ object CorpusQueries {
   private val q58 = GQuery(
     "q58_corpus_split",
     (s, d) => {
-      val h = graft.functions.TextOps.contentSplitHash(col("text"))
-      Tables.documents(s, d)
-        .withColumn("split",
-          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      CorpusOps.withSplit(Tables.documents(s, d), "text")
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),

@@ -61,13 +61,7 @@ object CurationQueries {
   private val q66 = GQuery(
     "q66_doc_chunking",
     (s, d) =>
-      withToks(s, d)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0L), floor((size(col("toks")) - 1) / Stride)))
-            .as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"),
-          slice(col("toks"), (col("chunk_id") * Stride + 1).cast("int"),
-            lit(ChunkLen)).as("chunk"))
+      CorpusOps.chunk(Tables.documents(s, d), "doc_id", "text", ChunkLen, Stride)
         .select(col("doc_id"), col("chunk_id"),
           size(col("chunk")).as("n_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
@@ -127,19 +121,11 @@ object CurationQueries {
   private val q68 = GQuery(
     "q68_decontaminate",
     (s, d) => {
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"),
-        tokens(col("text")).as("toks"),
-        contentSplitHash(col("text")).as("h"))
-      val sh = docs
-        .select(col("doc_id"), col("h"), explode(shingles(col("toks"), 5)).as("sg"))
-        .select(col("doc_id"), col("h"),
-          graft.functions.TextOps.shingleHash60(col("sg")).as("sgh"))
-      val testSet = sh.filter(col("h") >= 90).select(col("sgh")).distinct()
-      sh.filter(col("h") < 80)
-        .join(broadcast(testSet), "sgh")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shared"))
+      val docs = CorpusOps.withSplit(Tables.documents(s, d), "text")
+      CorpusOps.decontaminate(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "test"),
+        "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
     },
     Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -171,21 +157,14 @@ object CurationQueries {
     * aggregate keyed by seq_id. */
   private val q69 = GQuery(
     "q69_sequence_pack",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("k"),
-          size(tokens(col("text"))).as("nt"))
-        .withColumn("_g", lit(0))
-      Ranks.runningSum(docs, "_g", Seq(col("k"), col("doc_id")), col("nt"), "run")
-        .withColumn("prior", col("run") - col("nt"))
-        .withColumn("seq_id", expr(s"prior div $SeqLen"))
+    (s, d) =>
+      CorpusOps.pack(Tables.documents(s, d), "doc_id", "text", SeqLen)
         .groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("nt")).as("total_tokens"),
+          sum(col("n_tokens")).as("total_tokens"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
-        .orderBy(col("seq_id"))
-    },
+        .orderBy(col("seq_id")),
     Some(s"""WITH t AS (SELECT doc_id, md5(text) AS k,
                                len(string_split(text, ' ')) AS nt
                         FROM documents),

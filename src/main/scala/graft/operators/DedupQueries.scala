@@ -33,26 +33,12 @@ object DedupQueries {
   private val STOP_SHINGLE_CAP = 1000
   private val MINHASH_K = 8
 
-  /** Shingle buckets: one row per shingle with the sorted list of doc_ids
-    * containing it, stop-shingles (> cap docs) dropped. This is the
-    * candidate-generation shape that scales: a single shuffle on the
-    * shingle key, pair blowup bounded by cap², and no self-join that would
-    * recompute the explode subtree. */
-  private def shingleBuckets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      // materialize the token array as an attribute BEFORE the shingle
-      // lambda: a lambda body referencing a non-attribute expression
-      // re-evaluates it per element (codegen subexpression elimination
-      // does not hoist across lambda scopes), i.e. ~|tokens| splits/row
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles(col("toks"), SHINGLE_N)).as("sh"))
-      .groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) <= STOP_SHINGLE_CAP)
-
-  /** (doc_id, sh) pairs surviving the stop-shingle cap. */
+  /** (doc_id, sh) pairs surviving the stop-shingle cap — the generic
+    * CorpusOps.shinglePostings applied to the fixture table (single
+    * shuffle on the shingle key, bucket blowup bounded by cap²). */
   private def shingleDf(s: SparkSession, d: String): DataFrame =
-    shingleBuckets(s, d).select(col("sh"), explode(col("docs")).as("doc_id"))
+    CorpusOps.shinglePostings(Tables.documents(s, d), "doc_id", "text",
+      SHINGLE_N, STOP_SHINGLE_CAP)
 
   /** In-bucket candidate pairs — shared helper (TextOps.orderedPairs). */
   private def orderedPairs(docs: Column): Column = TextOps.orderedPairs(docs)
@@ -71,10 +57,7 @@ object DedupQueries {
   private val q24 = GQuery(
     "q24_dedup_exact",
     (s, d) =>
-      Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("content_key"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        .select(col("doc_id"), col("n_copies"))
+      CorpusOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id")),
     Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text) ORDER BY doc_id""")
@@ -119,22 +102,11 @@ object DedupQueries {
   )
 
   /** MinHash+LSH candidate pairs (unordered) — shared by q31 (which just
-    * presents them) and q60 (which resolves them into clusters). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = shingleDf(s, d).groupBy(col("doc_id"))
-      .agg(minhash(col("sh"), 0).as("h0"),
-        (1 until MINHASH_K).map(k => minhash(col("sh"), k).as(s"h$k")): _*)
-    val bands = sigs.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band"), md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))).as("bh")),
-      struct(lit(1).as("band"), md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))).as("bh"))
-    )).as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-    bands.groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) >= 2)
-      .select(explode(orderedPairs(col("docs"))).as("p"))
-      .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
-      .distinct()
-  }
+    * presents them) and q60 (which resolves them into clusters); the
+    * generic CorpusOps.minhashCandidates on the fixture table. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    CorpusOps.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+      SHINGLE_N, STOP_SHINGLE_CAP, MINHASH_K, bands = 2)
 
   /** q31 — MinHash + LSH banding. Signature = 8 md5-min hashes; 2 bands of
     * 4 rows hashed to a band key; candidate pairs share a band. Fully

@@ -246,14 +246,12 @@ object StreamOps {
     * per-row function — so this scales with sink throughput alone. */
   def splitRouter(docs: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val h = graft.functions.TextOps.contentSplitHash(col("text"))
     docs.writeStream
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val routed = batch
-          .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
-          .withColumn("split",
-            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        val routed = graft.operators.CorpusOps.withSplit(
+          batch.withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint")),
+          "text")
           .persist()
         try Seq("train", "val", "test").foreach { sp =>
           routed.filter(col("split") === sp).drop("split")
