@@ -29,9 +29,11 @@ object TextOps {
     * cross-engine deterministic stand-in for the usual (a*x+b) mod p
     * permutations, with md5 uniformity giving classic MinHash behavior.
     * Integer (not hex-string) form so the aggregation takes
-    * HashAggregate's fast fixed-width path instead of SortAggregate. */
+    * HashAggregate's fast fixed-width path instead of SortAggregate.
+    * The element may be any type with a stable string form (shingle text
+    * or its 60-bit hash — the decimal digits cast identically in DuckDB). */
   def minhash(shingle: Column, seed: Int): Column =
-    min(conv(substring(md5(concat(lit(s"$seed|"), shingle)), 1, 15), 16, 10)
+    min(conv(substring(md5(concat(lit(s"$seed|"), shingle.cast("string"))), 1, 15), 16, 10)
       .cast("long"))
 
   /** Canonical document fingerprint: md5 over the sorted distinct token

@@ -30,10 +30,14 @@ object CorpusOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** (shingle, id) postings surviving the stop-shingle cap — the shared
-    * candidate-generation input for the Jaccard and MinHash families.
-    * One explode + one shuffle on the shingle; buckets above `stopCap`
-    * docs are dropped (they pair near-everything and carry no signal). */
+  /** (shingle-hash, id) postings surviving the stop-shingle cap — the
+    * shared candidate-generation input for the Jaccard and MinHash
+    * families. The shuffle key is the md5-60bit of the shingle, NOT the
+    * shingle text: at corpus scale the n-token shingle strings are the
+    * heaviest bytes in flight, and every downstream use (set equality,
+    * set size, min-hashing) only needs a stable identity — 8 bytes do.
+    * One explode + one shuffle; buckets above `stopCap` docs are dropped
+    * (they pair near-everything and carry no signal). */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
       n: Int, stopCap: Int): DataFrame =
     docs
@@ -41,10 +45,11 @@ object CorpusOps {
       // (lambda bodies re-evaluate non-attribute expressions per element)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("sh"))
-      .groupBy(col("sh"))
+      .select(col(idCol), TextOps.shingleHash60(col("sh")).as("sgh"))
+      .groupBy(col("sgh"))
       .agg(sort_array(collect_list(col(idCol))).as("docs"))
       .filter(size(col("docs")) <= stopCap)
-      .select(col("sh"), explode(col("docs")).as(idCol))
+      .select(col("sgh"), explode(col("docs")).as(idCol))
 
   /** MinHash+LSH candidate pairs (unordered, distinct): `k` md5-min
     * hashes per shingle set, `bands` bands hashed to band keys, pairs
@@ -56,8 +61,8 @@ object CorpusOps {
     val rowsPerBand = k / bands
     val sigs = shinglePostings(docs, idCol, textCol, shingleN, stopCap)
       .groupBy(col(idCol))
-      .agg(TextOps.minhash(col("sh"), 0).as("h0"),
-        (1 until k).map(i => TextOps.minhash(col("sh"), i).as(s"h$i")): _*)
+      .agg(TextOps.minhash(col("sgh"), 0).as("h0"),
+        (1 until k).map(i => TextOps.minhash(col("sgh"), i).as(s"h$i")): _*)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))

@@ -43,14 +43,17 @@ object DedupQueries {
   /** In-bucket candidate pairs — shared helper (TextOps.orderedPairs). */
   private def orderedPairs(docs: Column): Column = TextOps.orderedPairs(docs)
 
-  /** Oracle CTE prefix mirroring shingleDf. */
+  /** Oracle CTE prefix mirroring shingleDf: shingles carried as md5-60bit
+    * BIGINTs (the engine's shuffle-byte optimization, mirrored exactly). */
   private val SHINGLE_SQL =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        sh0 AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+${SHINGLE_N - 1}], ' ')
-                  FOR i IN range(1, len(t) - ${SHINGLE_N - 2})])) AS sh
-                FROM toks WHERE len(t) >= $SHINGLE_N),
-        sh AS (SELECT doc_id, sh FROM sh0
-               WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $STOP_SHINGLE_CAP))"""
+        sh0 AS (SELECT doc_id,
+                       CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS sgh
+                FROM (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+${SHINGLE_N - 1}], ' ')
+                        FOR i IN range(1, len(t) - ${SHINGLE_N - 2})])) AS sg
+                      FROM toks WHERE len(t) >= $SHINGLE_N)),
+        sh AS (SELECT doc_id, sgh FROM sh0
+               WHERE sgh IN (SELECT sgh FROM sh0 GROUP BY sgh HAVING count(*) <= $STOP_SHINGLE_CAP))"""
 
   /** q24 — exact dedup keyed on md5(text): one representative (min doc_id)
     * per distinct content. */
@@ -75,7 +78,7 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val shN = shingleDf(s, d)
         .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      shN.groupBy(col("sh"))
+      shN.groupBy(col("sgh"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("docs"))
         .select(explode(orderedPairs(col("docs"))).as("p"))
         .groupBy(col("p.d1.doc_id").as("doc1"), col("p.d1.nsh").as("nsh1"),
@@ -90,7 +93,7 @@ object DedupQueries {
     Some(SHINGLE_SQL +
       """, sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   FROM sh a JOIN sh b ON a.sgh = b.sgh AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT doc1, doc2,
                 round(common * 1.0 / (s1.nsh + s2.nsh - common), 6) AS jaccard
@@ -116,14 +119,14 @@ object DedupQueries {
     (s, d) => minhashPairs(s, d).orderBy(col("doc1"), col("doc2")),
     Some(SHINGLE_SQL +
       """, sig AS (SELECT doc_id,
-                    min(CAST(concat('0x', substr(md5('0|' || sh), 1, 15)) AS BIGINT)) AS h0,
-                    min(CAST(concat('0x', substr(md5('1|' || sh), 1, 15)) AS BIGINT)) AS h1,
-                    min(CAST(concat('0x', substr(md5('2|' || sh), 1, 15)) AS BIGINT)) AS h2,
-                    min(CAST(concat('0x', substr(md5('3|' || sh), 1, 15)) AS BIGINT)) AS h3,
-                    min(CAST(concat('0x', substr(md5('4|' || sh), 1, 15)) AS BIGINT)) AS h4,
-                    min(CAST(concat('0x', substr(md5('5|' || sh), 1, 15)) AS BIGINT)) AS h5,
-                    min(CAST(concat('0x', substr(md5('6|' || sh), 1, 15)) AS BIGINT)) AS h6,
-                    min(CAST(concat('0x', substr(md5('7|' || sh), 1, 15)) AS BIGINT)) AS h7
+                    min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
+                    min(CAST(concat('0x', substr(md5('1|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h1,
+                    min(CAST(concat('0x', substr(md5('2|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h2,
+                    min(CAST(concat('0x', substr(md5('3|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h3,
+                    min(CAST(concat('0x', substr(md5('4|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h4,
+                    min(CAST(concat('0x', substr(md5('5|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h5,
+                    min(CAST(concat('0x', substr(md5('6|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h6,
+                    min(CAST(concat('0x', substr(md5('7|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h7
                   FROM sh GROUP BY doc_id),
          band AS (SELECT doc_id, 0 AS band,
                          md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
@@ -269,14 +272,14 @@ object DedupQueries {
     },
     Some(SHINGLE_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, sig AS (SELECT doc_id,
-                    min(CAST(concat('0x', substr(md5('0|' || sh), 1, 15)) AS BIGINT)) AS h0,
-                    min(CAST(concat('0x', substr(md5('1|' || sh), 1, 15)) AS BIGINT)) AS h1,
-                    min(CAST(concat('0x', substr(md5('2|' || sh), 1, 15)) AS BIGINT)) AS h2,
-                    min(CAST(concat('0x', substr(md5('3|' || sh), 1, 15)) AS BIGINT)) AS h3,
-                    min(CAST(concat('0x', substr(md5('4|' || sh), 1, 15)) AS BIGINT)) AS h4,
-                    min(CAST(concat('0x', substr(md5('5|' || sh), 1, 15)) AS BIGINT)) AS h5,
-                    min(CAST(concat('0x', substr(md5('6|' || sh), 1, 15)) AS BIGINT)) AS h6,
-                    min(CAST(concat('0x', substr(md5('7|' || sh), 1, 15)) AS BIGINT)) AS h7
+                    min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
+                    min(CAST(concat('0x', substr(md5('1|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h1,
+                    min(CAST(concat('0x', substr(md5('2|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h2,
+                    min(CAST(concat('0x', substr(md5('3|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h3,
+                    min(CAST(concat('0x', substr(md5('4|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h4,
+                    min(CAST(concat('0x', substr(md5('5|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h5,
+                    min(CAST(concat('0x', substr(md5('6|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h6,
+                    min(CAST(concat('0x', substr(md5('7|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h7
                   FROM sh GROUP BY doc_id),
          band AS (SELECT doc_id, 0 AS band,
                          md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
