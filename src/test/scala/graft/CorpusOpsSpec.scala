@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+/** CorpusOps is the generic corpus-pipeline API: these tests run it on a
+  * synthetic relation with NON-fixture column names ("id", "body") to
+  * prove nothing is coupled to the driver's tables — the fixture-bound
+  * correctness itself is continuously proven by the DuckDB gate through
+  * the registry wrappers. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"), // dup of 10
+      (12L, "a completely different document with other words here"),
+      (13L, "the quick brown fox jumps over the lazy cat today"), // near-dup
+      (14L, "short text")
+    ).toDF("id", "body")
+  }
+
+  test("exactDedup keeps one representative per distinct content") {
+    val out = CorpusOps.exactDedup(docs, "id", "body").collect()
+    assert(out.length == 4) // 10/11 collapse
+    val rep = out.find(_.getLong(1) == 2L).get
+    assert(rep.getLong(0) == 10L) // min id wins
+  }
+
+  test("minhashCandidates surfaces the exact duplicate pair") {
+    val pairs = CorpusOps.minhashCandidates(docs, "id", "body",
+      shingleN = 3, stopCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L))) // identical docs always collide
+    pairs.foreach { case (a, b) => assert(a < b) } // canonical order
+  }
+
+  test("withSplit is a pure function of content") {
+    val out = CorpusOps.withSplit(docs, "body", as = "bucket")
+      .select(col("id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == out(11L)) // identical content, identical split
+    assert(Set("train", "val", "test").contains(out(12L)))
+  }
+
+  test("chunk covers every token with the declared stride") {
+    val out = CorpusOps.chunk(docs, "id", "body", chunkLen = 4, stride = 3)
+      .collect().groupBy(_.getLong(0))
+    // doc 14: 2 tokens -> single chunk of 2
+    assert(out(14L).length == 1 && out(14L).head.getSeq[String](2) == Seq("short", "text"))
+    // doc 10: 10 tokens -> chunks at 1,4,7,10 (k = floor(9/3) = 3 -> 4 chunks)
+    assert(out(10L).length == 4)
+    assert(out(10L).map(_.getSeq[String](2).length).sum >= 10) // full coverage
+  }
+
+  test("decontaminate flags only corpus rows overlapping the benchmark") {
+    import spark.implicits._
+    val bench = Seq((99L, "over the lazy dog today and more")).toDF("id", "body")
+    val flagged = CorpusOps.decontaminate(docs, bench, "id", "body", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L, 11L)) // share "over the lazy dog today"
+  }
+
+  test("pack assigns every doc to the sequence of its first token") {
+    val out = CorpusOps.pack(docs, "id", "body", seqLen = 16).collect()
+    assert(out.length == 5)
+    // total tokens 10+10+8+10+2 = 40 -> seq ids within 0..2 for seqLen 16
+    assert(out.map(_.getLong(2)).forall(s => s >= 0 && s <= 2))
+    assert(out.map(r => r.getInt(1)).sum == 40)
+  }
+}
