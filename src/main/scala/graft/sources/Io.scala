@@ -59,6 +59,15 @@ object Io {
   def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** Parquet read with schema merging across file footers — the schema-
+    * evolution path: a corpus written over months gains columns, and a
+    * reader pinned to one footer's schema silently drops them. Merging
+    * unions the schemas (missing values null). Costs a footer scan per
+    * file at planning time, so production confines it to tables that
+    * actually evolve (or maintains the schema in a catalog instead). */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Bucketed parquet table: rows are hash-clustered into `buckets` files
     * per partition BY THE JOIN KEY and each bucket is sorted on it. Two
     * tables bucketed the same way join with ZERO exchange — the shuffle is

@@ -62,6 +62,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(flagged == Set(10L, 11L)) // share "over the lazy dog today"
   }
 
+  test("every operator handles an empty corpus without failing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "body")
+    assert(CorpusOps.exactDedup(empty, "id", "body").count() == 0)
+    assert(CorpusOps.minhashCandidates(empty, "id", "body", 3, 10).count() == 0)
+    assert(CorpusOps.withSplit(empty, "body").count() == 0)
+    assert(CorpusOps.chunk(empty, "id", "body", 4, 3).count() == 0)
+    assert(CorpusOps.decontaminate(empty, docs, "id", "body").count() == 0)
+    assert(CorpusOps.decontaminate(docs, empty, "id", "body").count() == 0)
+    assert(CorpusOps.pack(empty, "id", "body", 16).count() == 0)
+  }
+
   test("pack assigns every doc to the sequence of its first token") {
     val out = CorpusOps.pack(docs, "id", "body", seqLen = 16).collect()
     assert(out.length == 5)

@@ -127,6 +127,23 @@ class ExtensionsIoSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: merged read unions old and new file schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val v1 = graft.sources.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("lang"))
+    val v2 = graft.sources.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("lang"), col("n_chars")) // column added later
+    v1.write.parquet(s"$dir/t/batch=1")
+    v2.write.parquet(s"$dir/t/batch=2")
+    val merged = Io.readParquetMerged(spark, s"$dir/t")
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "batch"))
+    // old files surface the new column as null, not an error
+    assert(merged.filter(col("batch") === 1 && col("n_chars").isNull).count() ==
+      v1.count())
+    assert(merged.filter(col("batch") === 2 && col("n_chars").isNotNull).count() ==
+      v2.count())
+  }
+
   test("PhaseTiming splits stages into map and reduce phases") {
     val pt = new PhaseTiming
     spark.sparkContext.addSparkListener(pt)
