@@ -68,6 +68,24 @@ object Io {
   def readParquetMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Small-file compaction: rewrite a fragmented parquet directory (the
+    * inevitable product of per-micro-batch streaming sinks like s06/s08)
+    * into ~`targetFileMB`-sized files. File count is computed from the
+    * source's actual on-disk bytes, so the operator needs no statistics
+    * service; the write goes to a NEW directory — atomic swap/retention is
+    * the table format's or orchestrator's job, not a file-level rename
+    * race this library should hide. */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+      targetFileMB: Int = 128): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val n = math.max(1L, (bytes + targetFileMB.toLong * 1024 * 1024 - 1) /
+      (targetFileMB.toLong * 1024 * 1024)).toInt
+    spark.read.parquet(srcPath).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(dstPath)
+  }
+
   /** Bucketed parquet table: rows are hash-clustered into `buckets` files
     * per partition BY THE JOIN KEY and each bucket is sorted on it. Two
     * tables bucketed the same way join with ZERO exchange — the shuffle is

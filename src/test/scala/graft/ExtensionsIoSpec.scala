@@ -144,6 +144,22 @@ class ExtensionsIoSpec extends SparkSpec {
       v2.count())
   }
 
+  test("compact rewrites a fragmented directory into few files, losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+    // fragment: 20 tiny files (the shape a micro-batch sink leaves behind)
+    docs.repartition(20).write.parquet(s"$dir/frag")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/frag") == 20)
+    Io.compact(spark, s"$dir/frag", s"$dir/compacted", targetFileMB = 128)
+    assert(parquetFiles(s"$dir/compacted") == 1) // tiny fixture -> one file
+    val back = spark.read.parquet(s"$dir/compacted")
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+  }
+
   test("PhaseTiming splits stages into map and reduce phases") {
     val pt = new PhaseTiming
     spark.sparkContext.addSparkListener(pt)
