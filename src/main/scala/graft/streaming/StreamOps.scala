@@ -232,6 +232,58 @@ object StreamOps {
       docs.select(col("doc_id"), col("text")).as[(Long, String)])
   }
 
+  /** s10 — continuous snapshot maintenance (streaming MERGE, the
+    * streaming twin of batch q73): each micro-batch upserts into the
+    * corpus snapshot — latest version per key wins, unseen keys insert —
+    * and writes the result as a NEW versioned snapshot directory
+    * `snapshot_v<batchId>` plus a `_LATEST` pointer file.
+    *
+    * Versioned-directory-plus-pointer is the table-format pattern (a
+    * manifest naming immutable files) reduced to its essentials: readers
+    * resolve `_LATEST` and never see a half-written snapshot, replayed
+    * batches overwrite their own version directory (idempotent), and old
+    * versions remain for time travel until a retention sweep. State lives
+    * entirely in storage — the stream holds nothing, so a restart resumes
+    * from the last pointer. Per-batch cost is one snapshot rewrite; at
+    * scale the rewrite is partitioned by key range so a batch touches
+    * only the partitions its keys hit (here: whole-snapshot rewrite, the
+    * fixture is small). */
+  def snapshotMaintain(docs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ptr = new java.io.File(s"$outDir/_LATEST")
+    docs.writeStream
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch
+          .groupBy(col("doc_id"))
+          .agg(max_by(col("text"), col("version")).as("text"),
+            max(col("version")).as("version"))
+        val current: Option[DataFrame] =
+          if (ptr.exists) {
+            val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
+            Some(spark.read.parquet(s"$outDir/$v"))
+          } else None
+        val merged = current match {
+          case Some(snap) =>
+            // latest-wins across snapshot + batch: same argmax aggregate
+            // as q73, applied to the union
+            snap.unionByName(incoming)
+              .groupBy(col("doc_id"))
+              .agg(max_by(col("text"), col("version")).as("text"),
+                max(col("version")).as("version"))
+          case None => incoming
+        }
+        merged.write.mode("overwrite").parquet(s"$outDir/snapshot_v$batchId")
+        // pointer write is tiny and last: readers switch atomically enough
+        // for a file system demo; a real deployment uses a manifest commit
+        java.nio.file.Files.write(ptr.toPath,
+          s"snapshot_v$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      }
+      .start()
+  }
+
   /** s06 — streaming corpus router: per-microbatch quality features plus
     * the deterministic content-hash split (the streaming twin of q58 —
     * same TextOps.contentSplitHash expression), fanned out to one parquet

@@ -266,6 +266,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s10 snapshot maintenance upserts each batch with latest-wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = StreamOps.snapshotMaintain(
+      input.toDF().toDF("doc_id", "text", "version"), dir)
+    def snapshot(): Map[Long, (String, Long)] = {
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_LATEST"))).trim
+      spark.read.parquet(s"$dir/$v").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    }
+    try {
+      input.addData((1L, "one v1", 1L), (2L, "two v1", 1L))
+      q.processAllAvailable()
+      assert(snapshot() == Map(1L -> ("one v1", 1L), 2L -> ("two v1", 1L)))
+      // batch 2: update doc 1, insert doc 3; doc 2 untouched
+      input.addData((1L, "one v2", 2L), (3L, "three v1", 2L))
+      q.processAllAvailable()
+      assert(snapshot() == Map(
+        1L -> ("one v2", 2L), 2L -> ("two v1", 1L), 3L -> ("three v1", 2L)))
+      // stale replay inside one batch: higher version wins regardless of order
+      input.addData((2L, "two v9", 9L), (2L, "two v3", 3L))
+      q.processAllAvailable()
+      assert(snapshot()(2L) == ("two v9", 9L))
+    } finally q.stop()
+  }
+
   test("s06 split router partitions the stream into train/val/test sinks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_router").toString
     val input = MemoryStream[(Long, String)](spark)
