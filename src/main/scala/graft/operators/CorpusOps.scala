@@ -23,12 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Internal/output column names are fixed (they ARE the output
+    * contract), so a user id/text column with one of these names would
+    * collide inside the operator — fail fast with the list instead of an
+    * opaque ambiguous-reference error mid-plan. */
+  private def guard(reserved: Seq[String], cols: String*): Unit =
+    cols.foreach { c =>
+      require(!reserved.contains(c),
+        s"column name '$c' collides with ${getClass.getSimpleName} internals; " +
+          s"rename it (reserved here: ${reserved.mkString(", ")})")
+    }
+
   /** Exact dedup: one representative (min id) per distinct content, with
     * the copy count. One shuffle carrying a 32-byte key. */
-  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    guard(Seq("content_key", "n_copies"), idCol, textCol)
     docs.groupBy(md5(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
+  }
 
   /** (shingle-hash, id) postings surviving the stop-shingle cap — the
     * shared candidate-generation input for the Jaccard and MinHash
@@ -39,7 +52,8 @@ object CorpusOps {
     * One explode + one shuffle; buckets above `stopCap` docs are dropped
     * (they pair near-everything and carry no signal). */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, stopCap: Int): DataFrame =
+      n: Int, stopCap: Int): DataFrame = {
+    guard(Seq("toks", "sh", "sgh", "docs"), idCol, textCol)
     docs
       // token array must be an attribute before the shingle lambda
       // (lambda bodies re-evaluate non-attribute expressions per element)
@@ -50,6 +64,7 @@ object CorpusOps {
       .agg(sort_array(collect_list(col(idCol))).as("docs"))
       .filter(size(col("docs")) <= stopCap)
       .select(col("sgh"), explode(col("docs")).as(idCol))
+  }
 
   /** MinHash+LSH candidate pairs (unordered, distinct): `k` md5-min
     * hashes per shingle set, `bands` bands hashed to band keys, pairs
@@ -58,6 +73,8 @@ object CorpusOps {
       shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
       bands: Int = 2): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
+    guard(Seq("toks", "sh", "sgh", "docs", "band", "bh", "e", "p",
+      "doc1", "doc2") ++ (0 until k).map(i => s"h$i"), idCol, textCol)
     val rowsPerBand = k / bands
     val sigs = shinglePostings(docs, idCol, textCol, shingleN, stopCap)
       .groupBy(col(idCol))
@@ -82,6 +99,7 @@ object CorpusOps {
     * duplicates land in one split (no cross-split leakage). Map-only. */
   def withSplit(docs: DataFrame, textCol: String, as: String = "split",
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    guard(Seq(as), textCol)
     val h = TextOps.contentSplitHash(col(textCol))
     docs.withColumn(as,
       when(h < trainPct, "train")
@@ -92,7 +110,8 @@ object CorpusOps {
   /** Fixed-size overlapping chunks: (id, chunk_id, chunk tokens array).
     * Map-only 1:N explode; chunk k covers tokens [stride·k+1, stride·k+len]. */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-      chunkLen: Int, stride: Int): DataFrame =
+      chunkLen: Int, stride: Int): DataFrame = {
+    guard(Seq("toks", "chunk_id", "chunk"), idCol, textCol)
     docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("toks"),
         explode(sequence(lit(0L), floor((size(col("toks")) - 1) / stride)))
@@ -100,6 +119,7 @@ object CorpusOps {
       .select(col(idCol), col("chunk_id"),
         slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
           lit(chunkLen)).as("chunk"))
+  }
 
   /** Benchmark decontamination: corpus rows sharing >= 1 n-token shingle
     * with the benchmark, with the distinct-shingle overlap count. The
@@ -107,6 +127,7 @@ object CorpusOps {
     * broadcasts; the corpus side is a map-side probe over 8-byte keys. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    guard(Seq("toks", "sg", "sgh", "n_shared"), idCol, textCol)
     def sh(side: DataFrame) = side
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("sg"))
@@ -125,6 +146,8 @@ object CorpusOps {
     * bounded range slices + broadcast offsets, no single-task window. */
   def pack(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int): DataFrame = {
+    guard(Seq("k", "nt", "_g", "run", "prior", "seq_id", "n_tokens", "_slice", "_v"),
+      idCol, textCol)
     val prepared = docs
       .select(col(idCol), md5(col(textCol)).as("k"),
         size(TextOps.tokens(col(textCol))).as("nt"))

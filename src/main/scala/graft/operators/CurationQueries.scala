@@ -332,7 +332,9 @@ object CurationQueries {
       val inc  = latest(docs.filter(col("h") >= 90), "i")
       base.join(inc, Seq("k"), "full_outer")
         .withColumn("action",
-          when(col("i_id").isNotNull && col("i_lang") === "de", "delete")
+          // null-safe tombstone test: a NULL i_lang must NOT delete (and
+          // must agree with the oracle's IS NOT DISTINCT FROM)
+          when(col("i_id").isNotNull && (col("i_lang") <=> "de"), "delete")
             .when(col("i_id").isNotNull && col("b_id").isNotNull, "update")
             .when(col("i_id").isNotNull, "insert")
             .otherwise("keep"))
@@ -358,7 +360,7 @@ object CurationQueries {
                          i_id, i_chars, i_lang
                   FROM base FULL OUTER JOIN inc ON base.k = inc.k)
             SELECT k,
-                   CASE WHEN i_id IS NOT NULL AND i_lang = 'de' THEN 'delete'
+                   CASE WHEN i_id IS NOT NULL AND i_lang IS NOT DISTINCT FROM 'de' THEN 'delete'
                         WHEN i_id IS NOT NULL AND b_id IS NOT NULL THEN 'update'
                         WHEN i_id IS NOT NULL THEN 'insert'
                         ELSE 'keep' END AS action,
@@ -366,7 +368,7 @@ object CurationQueries {
                    coalesce(i_chars, b_chars) AS n_chars,
                    coalesce(i_lang, b_lang) AS lang
             FROM m
-            WHERE NOT (i_id IS NOT NULL AND i_lang = 'de')
+            WHERE NOT (i_id IS NOT NULL AND i_lang IS NOT DISTINCT FROM 'de')
             ORDER BY k""")
   )
 

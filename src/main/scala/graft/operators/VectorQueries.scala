@@ -194,11 +194,12 @@ object VectorQueries {
         .select(col("p.d1").as("v1"), col("p.d2").as("v2"))
         .distinct()
       // verify: embeddings scan probed by the BROADCAST candidate pairs —
-      // map-side; the second join's left side is already candidate-sized
+      // map-side; the probed result is candidate-sized by construction
+      // (≤ cap²·buckets), so it broadcasts into the second embeddings
+      // scan too — neither scan is ever shuffled
       val ea = emb(s, d).select(col("vec_id").as("v1"), col("embedding").as("ea"))
       val eb = emb(s, d).select(col("vec_id").as("v2"), col("embedding").as("eb"))
-      ea.join(broadcast(pairs), Seq("v1"))
-        .join(eb, Seq("v2"))
+      eb.join(broadcast(ea.join(broadcast(pairs), Seq("v1"))), Seq("v2"))
         .select(col("v1"), col("v2"),
           round(CosineSim(col("ea"), col("eb")), 4).as("sim"))
         .filter(col("sim") >= 0.25)

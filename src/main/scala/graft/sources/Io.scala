@@ -77,12 +77,17 @@ object Io {
     * race this library should hide. */
   def compact(spark: SparkSession, srcPath: String, dstPath: String,
       targetFileMB: Int = 128): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath)).getLength
+    // Path.getFileSystem handles raw (unescaped) paths and scheme
+    // resolution; a raw path is not a valid java.net.URI
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(src).getLength
     val n = math.max(1L, (bytes + targetFileMB.toLong * 1024 * 1024 - 1) /
       (targetFileMB.toLong * 1024 * 1024)).toInt
-    spark.read.parquet(srcPath).repartition(n)
+    // merged read: a fragmented directory written over time may have
+    // gained columns — compaction must not pin one footer's schema and
+    // silently destroy the late-added columns
+    readParquetMerged(spark, srcPath).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(dstPath)
   }
 

@@ -250,35 +250,51 @@ object StreamOps {
     * fixture is small). */
   def snapshotMaintain(docs: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val ptr = new java.io.File(s"$outDir/_LATEST")
     docs.writeStream
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val incoming = batch
-          .groupBy(col("doc_id"))
-          .agg(max_by(col("text"), col("version")).as("text"),
-            max(col("version")).as("version"))
-        val current: Option[DataFrame] =
-          if (ptr.exists) {
-            val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
-            Some(spark.read.parquet(s"$outDir/$v"))
+        // pointer I/O goes through the SAME Hadoop filesystem as the
+        // snapshot writes — outDir may be HDFS/S3, where java.io.File
+        // would silently resolve to a (nonexistent) local path
+        val hPath = new org.apache.hadoop.fs.Path(s"$outDir/_LATEST")
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val target = s"snapshot_v$batchId"
+        def readPtr(): Option[String] =
+          if (fs.exists(hPath)) {
+            val in = fs.open(hPath)
+            try Some(new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8).trim)
+            finally in.close()
           } else None
-        val merged = current match {
-          case Some(snap) =>
-            // latest-wins across snapshot + batch: same argmax aggregate
-            // as q73, applied to the union
-            snap.unionByName(incoming)
-              .groupBy(col("doc_id"))
-              .agg(max_by(col("text"), col("version")).as("text"),
-                max(col("version")).as("version"))
-          case None => incoming
+        val current = readPtr()
+        // replay guard: if the pointer already names this batch's version,
+        // the batch fully committed before the crash — rewriting would
+        // read and overwrite the same directory (which Spark refuses) and
+        // double-apply nothing; skip to let the checkpoint commit
+        if (!current.contains(target)) {
+          val incoming = batch
+            .groupBy(col("doc_id"))
+            .agg(max_by(col("text"), col("version")).as("text"),
+              max(col("version")).as("version"))
+          val merged = current match {
+            case Some(v) =>
+              // latest-wins across snapshot + batch: same argmax aggregate
+              // as q73, applied to the union
+              spark.read.parquet(s"$outDir/$v").unionByName(incoming)
+                .groupBy(col("doc_id"))
+                .agg(max_by(col("text"), col("version")).as("text"),
+                  max(col("version")).as("version"))
+            case None => incoming
+          }
+          merged.write.mode("overwrite").parquet(s"$outDir/$target")
+          // pointer write is tiny and last: readers switch atomically
+          // enough for a demo; a real deployment uses a manifest commit
+          val out = fs.create(hPath, true)
+          try out.write(target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
-        merged.write.mode("overwrite").parquet(s"$outDir/snapshot_v$batchId")
-        // pointer write is tiny and last: readers switch atomically enough
-        // for a file system demo; a real deployment uses a manifest commit
-        java.nio.file.Files.write(ptr.toPath,
-          s"snapshot_v$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         ()
       }
       .start()
