@@ -62,6 +62,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(flagged == Set(10L, 11L)) // share "over the lazy dog today"
   }
 
+  test("operators compose into the full curation pipeline") {
+    // the end-to-end shape a real corpus run takes: split -> dedup the
+    // train side -> decontaminate against test -> chunk survivors ->
+    // pack -> score; every stage is a CorpusOps/scoreDocs call on the
+    // previous stage's output
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    val split = CorpusOps.withSplit(corpus, "body")
+    val train = split.filter(col("split") === "train").drop("split")
+    val test = split.filter(col("split") === "test").drop("split")
+    val kept = train.join(
+      CorpusOps.exactDedup(train, "id", "body").select("id"), Seq("id"))
+    val contaminated = CorpusOps.decontaminate(kept, test, "id", "body", n = 5)
+      .select(col("id"))
+    val clean = kept.join(contaminated, Seq("id"), "left_anti")
+    val chunks = CorpusOps.chunk(clean, "id", "body", chunkLen = 32, stride = 24)
+    val packed = CorpusOps.pack(clean, "id", "body", seqLen = 512)
+    val scored = graft.operators.CurationQueries.scoreDocs(
+      clean.select(col("id"), col("body")).as[(Long, String)])
+    // pipeline invariants: no stage invents or loses documents
+    val nClean = clean.count()
+    assert(nClean > 0 && nClean <= train.count())
+    assert(chunks.select("id").distinct().count() == nClean)
+    assert(packed.count() == nClean)
+    assert(scored.count() == nClean)
+    // dedup + decontamination actually removed something at this fixture
+    assert(nClean < corpus.count())
+  }
+
   test("every operator handles an empty corpus without failing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "body")

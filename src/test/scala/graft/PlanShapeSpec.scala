@@ -168,6 +168,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("q41 never shuffles an embeddings scan (bucket shuffle is ids-only)") {
+    val p = plan("q41_dedup_embedding")
+    // verify joins are broadcast probes of the two embeddings scans;
+    // a SortMergeJoin would mean a full embeddings shuffle re-appeared
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
   test("q04 never funnels the full table through an unpartitioned window") {
     val (ws, p) = windows("q04_sorted_check")
     assert(ws.nonEmpty, p)
