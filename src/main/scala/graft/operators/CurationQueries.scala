@@ -372,5 +372,45 @@ object CurationQueries {
             ORDER BY k""")
   )
 
-  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73)
+  /** q74 — passage-level exact-substring dedup detection: 20-token spans
+    * that appear in >= 2 documents (the repeated boilerplate/quotation/
+    * template passages that whole-document dedup cannot see — the
+    * "deduplicate exact substrings" pipeline op). Emits the passage hash,
+    * its document frequency, and a capped sample of carrying docs; the
+    * removal/clipping step consumes this relation.
+    *
+    * Scale notes: one explode of per-doc DISTINCT 20-shingles → one
+    * shuffle keyed on the md5-60bit passage hash (8 bytes, never passage
+    * text) with map-side partial counts; the sample list is capped so no
+    * reducer materializes a corpus-sized posting. Unlike the q25/q31
+    * candidate families there is NO stop cap — oversized buckets are not
+    * noise here, they ARE the signal (heavily repeated passages). */
+  private val q74 = GQuery(
+    "q74_passage_dedup",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(shingles(col("toks"), 20)).as("ps"))
+        .select(col("doc_id"),
+          graft.functions.TextOps.shingleHash60(col("ps")).as("psh"))
+        .groupBy(col("psh"))
+        .agg(count(lit(1)).as("n_docs"),
+          slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("sample_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("psh")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            p AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(range(1, len(toks) - 18),
+                                i -> array_to_string(toks[i : i + 19], ' ')))) AS ps
+                  FROM t WHERE len(toks) >= 20),
+            h AS (SELECT doc_id,
+                         CAST(concat('0x', substr(md5(ps), 1, 15)) AS BIGINT) AS psh
+                  FROM p)
+            SELECT psh, count(*) AS n_docs,
+                   (list_sort(list(doc_id)))[1:10] AS sample_docs
+            FROM h GROUP BY psh HAVING count(*) >= 2
+            ORDER BY psh""")
+  )
+
+  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74)
 }
