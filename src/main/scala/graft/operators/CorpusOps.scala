@@ -139,6 +139,24 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Repeated-passage detection (exact-substring dedup): n-token spans
+    * appearing in >= minDocs documents, with a capped sample of carrying
+    * docs. One distinct-shingle explode + one 8-byte passage-hash shuffle
+    * with partial counts. Deliberately NO stop cap — oversized buckets
+    * are the signal (heavily repeated passages), not noise. */
+  def repeatedPassages(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, minDocs: Int = 2, sampleCap: Int = 10): DataFrame = {
+    guard(Seq("toks", "ps", "psh", "n_docs", "sample_docs"), idCol, textCol)
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("ps"))
+      .select(col(idCol), TextOps.shingleHash60(col("ps")).as("psh"))
+      .groupBy(col("psh"))
+      .agg(count(lit(1)).as("n_docs"),
+        slice(sort_array(collect_list(col(idCol))), 1, sampleCap).as("sample_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Concat-and-cut sequence packing: lay documents out in deterministic
     * content-hash order, cut every `seqLen` tokens, assign each document
     * to the sequence where its first token lands. Returns the input plus

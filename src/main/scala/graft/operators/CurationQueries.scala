@@ -388,15 +388,8 @@ object CurationQueries {
   private val q74 = GQuery(
     "q74_passage_dedup",
     (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(shingles(col("toks"), 20)).as("ps"))
-        .select(col("doc_id"),
-          graft.functions.TextOps.shingleHash60(col("ps")).as("psh"))
-        .groupBy(col("psh"))
-        .agg(count(lit(1)).as("n_docs"),
-          slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("sample_docs"))
-        .filter(col("n_docs") >= 2)
+      CorpusOps.repeatedPassages(Tables.documents(s, d), "doc_id", "text",
+        n = 20, minDocs = 2, sampleCap = 10)
         .orderBy(col("psh")),
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             p AS (SELECT doc_id,
