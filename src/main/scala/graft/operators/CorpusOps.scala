@@ -100,6 +100,9 @@ object CorpusOps {
   def withSplit(docs: DataFrame, textCol: String, as: String = "split",
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     guard(Seq(as), textCol)
+    require(!docs.columns.contains(as),
+      s"input already has a column named '$as' — withColumn would silently " +
+        "replace it; pass a different `as`")
     val h = TextOps.contentSplitHash(col(textCol))
     docs.withColumn(as,
       when(h < trainPct, "train")
@@ -111,6 +114,8 @@ object CorpusOps {
     * Map-only 1:N explode; chunk k covers tokens [stride·k+1, stride·k+len]. */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
       chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0,
+      s"chunkLen and stride must be positive, got chunkLen=$chunkLen stride=$stride")
     guard(Seq("toks", "chunk_id", "chunk"), idCol, textCol)
     docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("toks"),
@@ -121,22 +126,82 @@ object CorpusOps {
           lit(chunkLen)).as("chunk"))
   }
 
-  /** Benchmark decontamination: corpus rows sharing >= 1 n-token shingle
-    * with the benchmark, with the distinct-shingle overlap count. The
-    * benchmark side collapses to its DISTINCT shingle-hash set and
-    * broadcasts; the corpus side is a map-side probe over 8-byte keys. */
-  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 5): DataFrame = {
-    guard(Seq("toks", "sg", "sgh", "n_shared"), idCol, textCol)
-    def sh(side: DataFrame) = side
+  /** (id, sgh) per-document distinct shingle-hash rows — the ONE
+    * definition of the shingle probe side shared by batch q68 and the s08
+    * streaming twin (their equivalence depends on bit-identity). */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    guard(Seq("toks", "sg", "sgh"), idCol, textCol)
+    docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("sg"))
       .select(col(idCol), TextOps.shingleHash60(col("sg")).as("sgh"))
-    val benchSet = sh(benchmark).select(col("sgh")).distinct()
-    sh(corpus)
-      .join(broadcast(benchSet), "sgh")
+  }
+
+  /** The DISTINCT shingle-hash set of a benchmark relation — the (tiny)
+    * broadcast side of decontamination, reusable across probes. */
+  def benchmarkShingleSet(benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame =
+    shingleHashes(benchmark, idCol, textCol, n).select(col("sgh")).distinct()
+
+  /** Decontamination probe against a PREBUILT shingle-hash set (one `sgh`
+    * column): corpus rows sharing >= 1 shingle, with the overlap count.
+    * The set broadcasts; the corpus side is a map-side probe over 8-byte
+    * keys. */
+  def decontaminateAgainst(corpus: DataFrame, shingleSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    guard(Seq("n_shared"), idCol, textCol)
+    shingleHashes(corpus, idCol, textCol, n)
+      .join(broadcast(shingleSet), "sgh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Benchmark decontamination: corpus rows sharing >= 1 n-token shingle
+    * with the benchmark, with the distinct-shingle overlap count. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame =
+    decontaminateAgainst(corpus,
+      benchmarkShingleSet(benchmark, idCol, textCol, n), idCol, textCol, n)
+
+  /** Deterministic stand-in for a learned quality model (the container
+    * has no inference runtime): an algebraic sigmoid over three exact
+    * document features. Algebraic (z / (1+|z|)), NOT exp-based — +,*,/,
+    * abs are bit-identical IEEE ops in the JVM and DuckDB, so the oracle
+    * can mirror the score exactly; exp implementations may differ in the
+    * last ulp and flip a rounded hash. Replace `score` with a real model
+    * forward pass in production; init/batching plumbing stays identical. */
+  object StubModel {
+    // ??? <- real model load goes here (once per executor/partition)
+    def score(nTokens: Int, diversity: Double, avgWordLen: Double): Double = {
+      val z = -1.5 + 0.02 * nTokens + 2.0 * diversity - 0.1 * avgWordLen
+      0.5 + 0.5 * z / (1.0 + math.abs(z))
+    }
+  }
+
+  /** The shared scoring kernel: per-task model init + 64-row micro-batches
+    * over (doc_id, text). ONE implementation used by batch q72 AND the s09
+    * streaming scorer — the batch/streaming twin contract depends on the
+    * two staying bit-identical (same rule as TextOps.contentSplitHash). */
+  def scoreDocs(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .mapPartitions { it =>
+        val model = StubModel // per-partition init point
+        it.grouped(64).flatMap(_.map { case (docId, text) =>
+          // feature extraction mirrors the SQL oracle exactly: token
+          // count (split keeps empties), distinct ratio, average token
+          // length in CODEPOINTS (SQL length() counts codepoints)
+          val toks = text.split(" ", -1)
+          val nt = toks.length
+          val div = toks.distinct.length.toDouble / nt
+          val cp = text.codePointCount(0, text.length)
+          val awl = (cp - (nt - 1)).toDouble / nt
+          (docId, nt, model.score(nt, div, awl))
+        })
+      }
+      .toDF("doc_id", "n_tokens", "score")
+      .withColumn("score", round(col("score"), 6))
   }
 
   /** Repeated-passage detection (exact-substring dedup): n-token spans
@@ -164,12 +229,20 @@ object CorpusOps {
     * bounded range slices + broadcast offsets, no single-task window. */
   def pack(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     guard(Seq("k", "nt", "_g", "run", "prior", "seq_id", "n_tokens", "_slice", "_v"),
       idCol, textCol)
     val prepared = docs
       .select(col(idCol), md5(col(textCol)).as("k"),
         size(TextOps.tokens(col(textCol))).as("nt"))
       .withColumn("_g", lit(0))
+      // MATERIALIZE before Ranks: this API accepts arbitrary relations,
+      // and Ranks' sliced decomposition requires deterministically-ordered
+      // input (its two internal references re-evaluate the subtree; a
+      // shuffled input can slice the two branches differently and silently
+      // drop rows — the recorded q71 incident). localCheckpoint pins one
+      // evaluation; the narrow (id, hash, count) relation keeps it cheap.
+      .localCheckpoint()
     Ranks.runningSum(prepared, "_g", Seq(col("k"), col(idCol)), col("nt"), "run")
       .withColumn("prior", col("run") - col("nt"))
       .withColumn("seq_id", expr(s"prior div $seqLen"))

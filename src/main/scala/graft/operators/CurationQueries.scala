@@ -230,21 +230,6 @@ object CurationQueries {
             FROM a ORDER BY reason""")
   )
 
-  /** Deterministic stand-in for a learned quality model (the container
-    * has no inference runtime): an algebraic sigmoid over three exact
-    * document features. Algebraic (z / (1+|z|)), NOT exp-based — +,*,/,
-    * abs are bit-identical IEEE ops in the JVM and DuckDB, so the oracle
-    * can mirror the score exactly; exp implementations may differ in the
-    * last ulp and flip a rounded hash. Replace `score` with a real model
-    * forward pass in production; init/batching plumbing stays identical. */
-  object StubModel {
-    // ??? <- real model load goes here (once per executor/partition)
-    def score(nTokens: Int, diversity: Double, avgWordLen: Double): Double = {
-      val z = -1.5 + 0.02 * nTokens + 2.0 * diversity - 0.1 * avgWordLen
-      0.5 + 0.5 * z / (1.0 + math.abs(z))
-    }
-  }
-
   /** q72 — batched model inference: the scoring step every curation
     * pipeline runs (quality / toxicity / educational-value classifiers).
     * The plumbing is the real thing — typed mapPartitions so the model
@@ -256,36 +241,11 @@ object CurationQueries {
     * model weights ride task binaries/broadcast, state is one model per
     * partition. Batching bounds peak memory per task regardless of
     * partition size. */
-  /** The shared scoring kernel: per-task model init + 64-row micro-batches
-    * over (doc_id, text). ONE implementation used by batch q72 AND the s09
-    * streaming scorer — the batch/streaming twin contract depends on the
-    * two staying bit-identical (same rule as TextOps.contentSplitHash). */
-  def scoreDocs(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs
-      .mapPartitions { it =>
-        val model = StubModel // per-partition init point
-        it.grouped(64).flatMap(_.map { case (docId, text) =>
-          // feature extraction mirrors the SQL oracle exactly: token
-          // count (split keeps empties), distinct ratio, average token
-          // length in CODEPOINTS (SQL length() counts codepoints)
-          val toks = text.split(" ", -1)
-          val nt = toks.length
-          val div = toks.distinct.length.toDouble / nt
-          val cp = text.codePointCount(0, text.length)
-          val awl = (cp - (nt - 1)).toDouble / nt
-          (docId, nt, model.score(nt, div, awl))
-        })
-      }
-      .toDF("doc_id", "n_tokens", "score")
-      .withColumn("score", round(col("score"), 6))
-  }
-
   private val q72 = GQuery(
     "q72_batch_inference",
     (s, d) => {
       import s.implicits._
-      scoreDocs(Tables.documents(s, d)
+      CorpusOps.scoreDocs(Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)])
         .orderBy(col("doc_id"))

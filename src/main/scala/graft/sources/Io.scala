@@ -74,9 +74,14 @@ object Io {
     * source's actual on-disk bytes, so the operator needs no statistics
     * service; the write goes to a NEW directory — atomic swap/retention is
     * the table format's or orchestrator's job, not a file-level rename
-    * race this library should hide. */
+    * race this library should hide.
+    *
+    * A Hive-partitioned source MUST pass its partition columns via
+    * `partitionCols` — the merged read surfaces them as ordinary columns,
+    * and writing without re-partitioning would silently flatten the
+    * directory layout (readers lose partition pruning). */
   def compact(spark: SparkSession, srcPath: String, dstPath: String,
-      targetFileMB: Int = 128): Unit = {
+      targetFileMB: Int = 128, partitionCols: Seq[String] = Nil): Unit = {
     // Path.getFileSystem handles raw (unescaped) paths and scheme
     // resolution; a raw path is not a valid java.net.URI
     val src = new org.apache.hadoop.fs.Path(srcPath)
@@ -87,8 +92,10 @@ object Io {
     // merged read: a fragmented directory written over time may have
     // gained columns — compaction must not pin one footer's schema and
     // silently destroy the late-added columns
-    readParquetMerged(spark, srcPath).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(dstPath)
+    val df = readParquetMerged(spark, srcPath).repartition(n)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(dstPath)
   }
 
   /** Bucketed parquet table: rows are hash-clustered into `buckets` files

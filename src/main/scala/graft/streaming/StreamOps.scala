@@ -160,21 +160,17 @@ object StreamOps {
 
   /** Static benchmark shingle-hash relation for s08: the DISTINCT
     * md5-60bit 5-token shingle hashes of the held-out test split (q58
-    * content-hash bucket >= 90) — the same benchmark-sized set batch q68
-    * broadcasts. Returned PERSISTED so "built once" holds across
-    * micro-batches (without it, every batch would re-scan the static
-    * corpus and re-shuffle the distinct); the caller owns unpersist() at
+    * content-hash bucket >= 90) — built by the SAME
+    * CorpusOps.benchmarkShingleSet primitive batch q68 uses (the twin
+    * contract depends on one definition). Returned PERSISTED so "built
+    * once" holds across micro-batches; the caller owns unpersist() at
     * stream shutdown. */
-  def testShingleSet(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextOps
-    graft.sources.Tables.documents(spark, dir)
-      .filter(TextOps.contentSplitHash(col("text")) >= 90)
-      .select(split(col("text"), " ").as("toks"))
-      .select(explode(TextOps.shingles(col("toks"), 5)).as("sg"))
-      .select(TextOps.shingleHash60(col("sg")).as("sgh"))
-      .distinct()
+  def testShingleSet(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.benchmarkShingleSet(
+      graft.sources.Tables.documents(spark, dir)
+        .filter(graft.functions.TextOps.contentSplitHash(col("text")) >= 90),
+      "doc_id", "text", n = 5)
       .persist()
-  }
 
   /** s08 — streaming benchmark decontamination (streaming twin of q68):
     * each micro-batch of documents is probed against the static benchmark
@@ -194,15 +190,13 @@ object StreamOps {
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // ONE evaluation of the expensive shingle probe: the routed frame
-        // (left join + verdict) is persisted and both sinks filter it
+        // (left join + verdict) is persisted and both sinks filter it.
+        // The probe is CorpusOps.decontaminateAgainst — the same code
+        // path as batch q68, which the equivalence test depends on.
         val routed = batch
           .join(
-            batch
-              .select(col("doc_id"), split(col("text"), " ").as("toks"))
-              .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 5)).as("sg"))
-              .select(col("doc_id"), TextOps.shingleHash60(col("sg")).as("sgh"))
-              .join(broadcast(testShingles), "sgh")
-              .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared")),
+            graft.operators.CorpusOps.decontaminateAgainst(
+              batch, testShingles, "doc_id", "text", n = 5),
             Seq("doc_id"), "left")
           .withColumn("_batch", lit(batchId))
           .persist()
@@ -221,14 +215,14 @@ object StreamOps {
   }
 
   /** s09 — streaming batched inference (twin of batch q72): the SAME
-    * scoring kernel (CurationQueries.scoreDocs — per-task model init,
+    * scoring kernel (CorpusOps.scoreDocs — per-task model init,
     * fixed 64-row micro-batches) applied to an unbounded document stream.
     * Stateless map — no watermark, no state store; scored rows stream
     * through in append mode, so throughput scales with tasks exactly like
     * the batch form. */
   def scoreStream(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    graft.operators.CurationQueries.scoreDocs(
+    graft.operators.CorpusOps.scoreDocs(
       docs.select(col("doc_id"), col("text")).as[(Long, String)])
   }
 
@@ -238,41 +232,57 @@ object StreamOps {
     * and writes the result as a NEW versioned snapshot directory
     * `snapshot_v<batchId>` plus a `_LATEST` pointer file.
     *
-    * Versioned-directory-plus-pointer is the table-format pattern (a
-    * manifest naming immutable files) reduced to its essentials: readers
-    * resolve `_LATEST` and never see a half-written snapshot, replayed
-    * batches overwrite their own version directory (idempotent), and old
-    * versions remain for time travel until a retention sweep. State lives
-    * entirely in storage — the stream holds nothing, so a restart resumes
-    * from the last pointer. Per-batch cost is one snapshot rewrite; at
+    * Versioned immutable directories are the table-format pattern (a
+    * manifest naming immutable files) reduced to its essentials. The
+    * CURRENT version is derived by listing committed snapshots (those
+    * with Spark's `_SUCCESS` marker) and taking the highest batch id —
+    * deliberately NOT a mutable pointer file, whose in-place rewrite
+    * window would lose the previous version on a crash. A replayed batch
+    * whose own snapshot already committed is skipped (idempotent); one
+    * that half-wrote (no `_SUCCESS`) is cleanly overwritten from the
+    * previous committed version. Old versions remain for time travel
+    * until a retention sweep. State lives entirely in storage — the
+    * stream holds nothing. Per-batch cost is one snapshot rewrite; at
     * scale the rewrite is partitioned by key range so a batch touches
     * only the partitions its keys hit (here: whole-snapshot rewrite, the
     * fixture is small). */
+  /** The current committed snapshot directory name under `outDir`, or
+    * None before the first commit: highest snapshot_v<id> carrying
+    * Spark's `_SUCCESS` commit marker. Listing goes through the Hadoop
+    * filesystem, so any outDir scheme (local/HDFS/S3A) works. Readers and
+    * the maintainer share this one definition of "current". */
+  def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[String] = {
+    val base = new org.apache.hadoop.fs.Path(outDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else {
+      val V = "snapshot_v(\\d+)".r
+      fs.listStatus(base).iterator
+        .filter(_.isDirectory)
+        .flatMap(st => st.getPath.getName match {
+          case V(id) if fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+            Some(id.toLong -> st.getPath.getName)
+          case _ => None
+        })
+        .toSeq.sortBy(_._1).lastOption.map(_._2)
+    }
+  }
+
   def snapshotMaintain(docs: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     docs.writeStream
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // pointer I/O goes through the SAME Hadoop filesystem as the
-        // snapshot writes — outDir may be HDFS/S3, where java.io.File
-        // would silently resolve to a (nonexistent) local path
-        val hPath = new org.apache.hadoop.fs.Path(s"$outDir/_LATEST")
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val target = s"snapshot_v$batchId"
-        def readPtr(): Option[String] =
-          if (fs.exists(hPath)) {
-            val in = fs.open(hPath)
-            try Some(new String(
-              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8).trim)
-            finally in.close()
-          } else None
-        val current = readPtr()
-        // replay guard: if the pointer already names this batch's version,
-        // the batch fully committed before the crash — rewriting would
-        // read and overwrite the same directory (which Spark refuses) and
-        // double-apply nothing; skip to let the checkpoint commit
+        val current = latestSnapshot(spark, outDir)
+        // replay guard: if this batch's own snapshot already committed,
+        // rewriting would read and overwrite the same directory (which
+        // Spark refuses) and recompute nothing — skip so the streaming
+        // checkpoint can commit. A half-written target (no _SUCCESS) is
+        // invisible to latestSnapshot and gets cleanly overwritten.
         if (!current.contains(target)) {
           val incoming = batch
             .groupBy(col("doc_id"))
@@ -289,11 +299,6 @@ object StreamOps {
             case None => incoming
           }
           merged.write.mode("overwrite").parquet(s"$outDir/$target")
-          // pointer write is tiny and last: readers switch atomically
-          // enough for a demo; a real deployment uses a manifest commit
-          val out = fs.create(hPath, true)
-          try out.write(target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
         }
         ()
       }

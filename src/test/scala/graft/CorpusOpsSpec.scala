@@ -80,7 +80,7 @@ class CorpusOpsSpec extends SparkSpec {
     val clean = kept.join(contaminated, Seq("id"), "left_anti")
     val chunks = CorpusOps.chunk(clean, "id", "body", chunkLen = 32, stride = 24)
     val packed = CorpusOps.pack(clean, "id", "body", seqLen = 512)
-    val scored = graft.operators.CurationQueries.scoreDocs(
+    val scored = CorpusOps.scoreDocs(
       clean.select(col("id"), col("body")).as[(Long, String)])
     // pipeline invariants: no stage invents or loses documents
     val nClean = clean.count()

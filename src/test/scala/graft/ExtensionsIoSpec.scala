@@ -158,6 +158,14 @@ class ExtensionsIoSpec extends SparkSpec {
     assert(back.count() == docs.count())
     assert(back.agg(sum("n_chars")).head().getLong(0) ==
       docs.agg(sum("n_chars")).head().getLong(0))
+    // partitioned source: layout survives when partition cols are named
+    docs.write.partitionBy("lang").parquet(s"$dir/pfrag")
+    Io.compact(spark, s"$dir/pfrag", s"$dir/pcompacted",
+      partitionCols = Seq("lang"))
+    val partDirs = new java.io.File(s"$dir/pcompacted").listFiles()
+      .map(_.getName).filter(_.startsWith("lang="))
+    assert(partDirs.nonEmpty)
+    assert(spark.read.parquet(s"$dir/pcompacted").count() == docs.count())
   }
 
   test("PhaseTiming splits stages into map and reduce phases") {

@@ -272,8 +272,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamOps.snapshotMaintain(
       input.toDF().toDF("doc_id", "text", "version"), dir)
     def snapshot(): Map[Long, (String, Long)] = {
-      val v = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$dir/_LATEST"))).trim
+      val v = StreamOps.latestSnapshot(spark, dir).get
       spark.read.parquet(s"$dir/$v").collect()
         .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     }
