@@ -100,7 +100,9 @@ object CorpusOps {
   def withSplit(docs: DataFrame, textCol: String, as: String = "split",
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     guard(Seq(as), textCol)
-    require(!docs.columns.contains(as),
+    // case-insensitive: Spark's default resolver would match (and
+    // withColumn would replace) a column differing only in case
+    require(!docs.columns.exists(_.equalsIgnoreCase(as)),
       s"input already has a column named '$as' — withColumn would silently " +
         "replace it; pass a different `as`")
     val h = TextOps.contentSplitHash(col(textCol))
@@ -240,8 +242,12 @@ object CorpusOps {
       // and Ranks' sliced decomposition requires deterministically-ordered
       // input (its two internal references re-evaluate the subtree; a
       // shuffled input can slice the two branches differently and silently
-      // drop rows — the recorded q71 incident). localCheckpoint pins one
-      // evaluation; the narrow (id, hash, count) relation keeps it cheap.
+      // drop rows — the recorded q71 incident). EAGER localCheckpoint is
+      // deliberate: a lazy one could still let the two branches race-
+      // compute a partition. Costs: a job at construction time (narrow
+      // (id, hash, count) relation — cheap) and non-recomputable blocks
+      // on executor loss; a production deployment with a checkpoint dir
+      // would use reliable .checkpoint() here instead.
       .localCheckpoint()
     Ranks.runningSum(prepared, "_g", Seq(col("k"), col(idCol)), col("nt"), "run")
       .withColumn("prior", col("run") - col("nt"))

@@ -92,7 +92,15 @@ object Io {
     // merged read: a fragmented directory written over time may have
     // gained columns — compaction must not pin one footer's schema and
     // silently destroy the late-added columns
-    val df = readParquetMerged(spark, srcPath).repartition(n)
+    val merged = readParquetMerged(spark, srcPath)
+    // partitioned output must CLUSTER by the partition columns: a plain
+    // round-robin repartition(n) spreads every partition value across all
+    // n tasks and partitionBy then writes n×P fragments — worse than the
+    // input. Hash-clustering keeps each value's rows in few tasks.
+    val df =
+      if (partitionCols.nonEmpty)
+        merged.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else merged.repartition(n)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dstPath)

@@ -258,15 +258,19 @@ object StreamOps {
     if (!fs.exists(base)) None
     else {
       val V = "snapshot_v(\\d+)".r
+      // one listing; _SUCCESS probed newest-first so the steady-state
+      // cost is a single exists() regardless of how many versions have
+      // accumulated (retention sweeps are the deployment's job)
       fs.listStatus(base).iterator
         .filter(_.isDirectory)
         .flatMap(st => st.getPath.getName match {
-          case V(id) if fs.exists(
-            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
-            Some(id.toLong -> st.getPath.getName)
+          case V(id) => Some(id.toLong -> st.getPath)
           case _ => None
         })
-        .toSeq.sortBy(_._1).lastOption.map(_._2)
+        .toSeq.sortBy(-_._1).iterator
+        .find { case (_, p) =>
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+        .map(_._2.getName)
     }
   }
 
@@ -276,8 +280,25 @@ object StreamOps {
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // the scheme's commit signal is the _SUCCESS marker — fail fast
+        // if the committer is configured not to write them (standard S3
+        // tuning) rather than silently starting every merge from nothing
+        require(spark.sparkContext.hadoopConfiguration.getBoolean(
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+          "snapshotMaintain requires _SUCCESS markers " +
+            "(mapreduce.fileoutputcommitter.marksuccessfuljobs=true)")
         val target = s"snapshot_v$batchId"
         val current = latestSnapshot(spark, outDir)
+        val currentId = current.map(_.stripPrefix("snapshot_v").toLong)
+        // a committed snapshot NEWER than this batch means the streaming
+        // checkpoint was reset over an existing outDir — merging from the
+        // stale-future state or skipping would silently lose data either
+        // way; surface it instead
+        if (currentId.exists(_ > batchId)) sys.error(
+          s"snapshotMaintain: $outDir already holds ${current.get} but the " +
+            s"stream replayed batch $batchId — checkpoint and outDir are " +
+            "out of sync (was _ckpt deleted?); point the stream at a fresh " +
+            "outDir or restore the checkpoint")
         // replay guard: if this batch's own snapshot already committed,
         // rewriting would read and overwrite the same directory (which
         // Spark refuses) and recompute nothing — skip so the streaming
