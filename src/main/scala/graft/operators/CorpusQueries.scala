@@ -23,7 +23,10 @@ object CorpusQueries {
     * tokens would accumulate corpus-sized lists — so the emitted list is
     * capped (production shards postings into fixed-size segments keyed by
     * (token, shard); the cap is the first segment). df stays exact: it is
-    * counted from the rows, not from the capped list. */
+    * counted from the rows, not from the capped list. The posting list is
+    * emitted as a canonical comma-joined string — the driver's pandas
+    * comparison layer cannot hash array cells, and a fixed-order string
+    * is the same information with an engine-portable compare. */
   private val q56 = GQuery(
     "q56_inverted_index",
     (s, d) =>
@@ -31,11 +34,13 @@ object CorpusQueries {
         .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("df"),
-          slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("postings"))
+          concat_ws(",", transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+            x => x.cast("string"))).as("postings"))
         .filter(col("df") >= 10)
         .orderBy(col("token")),
     Some("""SELECT token, count(*) AS df,
-                   (list_sort(list(doc_id)))[1:20] AS postings
+                   array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
             FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
                   FROM documents)
             GROUP BY token HAVING count(*) >= 10

@@ -344,12 +344,18 @@ object CurationQueries {
     * text) with map-side partial counts; the sample list is capped so no
     * reducer materializes a corpus-sized posting. Unlike the q25/q31
     * candidate families there is NO stop cap — oversized buckets are not
-    * noise here, they ARE the signal (heavily repeated passages). */
+    * noise here, they ARE the signal (heavily repeated passages).
+    * The doc sample is flattened to a comma-joined string (sorted, so
+    * canonical) — the generic CorpusOps.repeatedPassages keeps the typed
+    * array; only this driver-facing registry entry reshapes it, because
+    * the oracle harness cannot hash array cells. */
   private val q74 = GQuery(
     "q74_passage_dedup",
     (s, d) =>
       CorpusOps.repeatedPassages(Tables.documents(s, d), "doc_id", "text",
         n = 20, minDocs = 2, sampleCap = 10)
+        .withColumn("sample_docs",
+          concat_ws(",", transform(col("sample_docs"), x => x.cast("string"))))
         .orderBy(col("psh")),
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             p AS (SELECT doc_id,
@@ -360,7 +366,7 @@ object CurationQueries {
                          CAST(concat('0x', substr(md5(ps), 1, 15)) AS BIGINT) AS psh
                   FROM p)
             SELECT psh, count(*) AS n_docs,
-                   (list_sort(list(doc_id)))[1:10] AS sample_docs
+                   array_to_string((list_sort(list(doc_id)))[1:10], ',') AS sample_docs
             FROM h GROUP BY psh HAVING count(*) >= 2
             ORDER BY psh""")
   )

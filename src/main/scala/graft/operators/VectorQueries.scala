@@ -246,7 +246,10 @@ object VectorQueries {
     * Map-only: one projection per row, no shuffle anywhere except the
     * presentation ORDER BY. Cross-engine determinism: codes are integers
     * (exact compare); the scale is rounded to 6. Zero vectors get empty
-    * codes (null scale) rather than a division by zero. */
+    * codes (null scale) rather than a division by zero. Codes are emitted
+    * as one comma-joined string per vector — position-ordered, so no
+    * information is lost — because the driver's pandas harness cannot
+    * hash array-typed cells. */
   private val q59 = GQuery(
     "q59_embedding_quantize",
     (s, d) => {
@@ -255,9 +258,9 @@ object VectorQueries {
         .withColumn("m", m)
         .select(col("vec_id"),
           when(col("m") > 0, round(col("m"), 6)).as("scale"),
-          when(col("m") > 0, transform(col("embedding"),
-            x => round(x.cast("double") * 127 / col("m"), 0).cast("int")))
-            .otherwise(array().cast("array<int>")).as("codes"))
+          when(col("m") > 0, concat_ws(",", transform(col("embedding"),
+            x => round(x.cast("double") * 127 / col("m"), 0).cast("int").cast("string"))))
+            .otherwise(lit("")).as("codes"))
         .orderBy(col("vec_id"))
     },
     Some("""WITH e AS (SELECT vec_id, embedding,
@@ -265,9 +268,9 @@ object VectorQueries {
                    FROM embeddings)
             SELECT vec_id,
                    CASE WHEN m > 0 THEN round(m, 6) END AS scale,
-                   CASE WHEN m > 0 THEN list_transform(embedding,
-                        x -> CAST(round(CAST(x AS DOUBLE) * 127 / m, 0) AS INTEGER))
-                        ELSE [] END AS codes
+                   CASE WHEN m > 0 THEN array_to_string(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 127 / m, 0) AS INTEGER)), ',')
+                        ELSE '' END AS codes
             FROM e ORDER BY vec_id""")
   )
 

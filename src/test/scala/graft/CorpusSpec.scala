@@ -39,7 +39,7 @@ class CorpusSpec extends SparkSpec {
     rows.foreach { r =>
       val vec = emb(r.getLong(0))
       val scale = r.getDouble(1)
-      val codes = r.getSeq[Int](2)
+      val codes = r.getString(2).split(",").map(_.toInt).toSeq
       assert(codes.length == vec.length)
       assert(codes.forall(c => c >= -127 && c <= 127))
       // |x - c*scale/127| <= scale/254 (half a step) + rounding slack from
@@ -57,7 +57,7 @@ class CorpusSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getLong(1)
-      val postings = r.getSeq[Long](2)
+      val postings = r.getString(2).split(",").map(_.toLong).toSeq
       assert(postings.length == math.min(df, 20L).toInt)
       assert(postings == postings.sorted)
       assert(df >= 10)
