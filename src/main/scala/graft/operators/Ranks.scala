@@ -96,6 +96,40 @@ object Ranks {
       .drop("_slice", "_v", "_run", "_off")
   }
 
+  /** rowNumber and runningSum fused: one range shuffle, one slice-local
+    * window evaluating both, one offsets aggregate carrying both the row
+    * count and the value total per (slice, group). Use when a caller needs
+    * the global row number AND a global prefix sum (q17): two separate
+    * decomposition calls would range-shuffle the data twice. */
+  def rowNumberAndRunningSum(df: DataFrame, group: String,
+      orderCols: Seq[Column], value: Column, rnAs: String,
+      runAs: String): DataFrame = {
+    val keys = col(group) +: orderCols
+    val sliced = df
+      .repartitionByRange(keys: _*)
+      .withColumn("_slice", spark_partition_id())
+      .withColumn("_v", value)
+    val w = Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
+    val local = sliced
+      .withColumn("_lrn", row_number().over(w))
+      .withColumn("_run", sum(col("_v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wOff = Window.partitionBy(col(group)).orderBy(col("_slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col("_slice"), col(group))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_t"))
+      .withColumn("_offn", sum(col("_n")).over(wOff))
+      .withColumn("_offv", sum(col("_t")).over(wOff))
+      .select(col("_slice"), col(group),
+        coalesce(col("_offn"), lit(0L)).as("_offn"),
+        // typed zero: see runningSum
+        coalesce(col("_offv"), col("_t") - col("_t")).as("_offv"))
+    local.join(broadcast(offsets), Seq("_slice", group))
+      .withColumn(rnAs, (col("_lrn") + col("_offn")).cast("int"))
+      .withColumn(runAs, col("_run") + col("_offv"))
+      .drop("_slice", "_v", "_lrn", "_run", "_offn", "_offv")
+  }
+
   def rowNumber(df: DataFrame, group: String, orderCols: Seq[Column],
       as: String): DataFrame = {
     val keys = col(group) +: orderCols

@@ -20,25 +20,55 @@ object WindowQueries {
   import Cols._
 
   /** q16 — ranking windows: row_number (fully tie-broken), rank and
-    * dense_rank (price order, ties share a rank). */
+    * dense_rank (price order, ties share a rank).
+    *
+    * Scale plan (round 3 — the classic `Window.partitionBy(l_returnflag)`
+    * form put the whole table through 3 tasks at any cluster size):
+    * - row_number via Ranks.rowNumber (range slices + broadcast offsets;
+    *   the file-scan input satisfies the Ranks determinism contract);
+    * - rank / cume_dist numerator are per-TIE-GROUP min/max of rn —
+    *   one data-parallel hash aggregate on (flag, price), a near-unique
+    *   key that spreads over every partition (unlike q71's discrete-key
+    *   value relation, this one is data-sized, which is exactly why it
+    *   must be an aggregate and not a window);
+    * - the output is top-50 per flag, so tie groups with rank ≤ 50 form a
+    *   bounded (≤50/flag) relation: dense_rank runs over THAT, and every
+    *   strictly-higher price is in it by construction (its min rn is
+    *   smaller), so the dense rank is globally exact;
+    * - percent_rank/cume_dist/ntile close over a 3-row per-flag total.
+    * Output and oracle identical to the classic formulation. */
   private val q16 = GQuery(
     "q16_window_rank",
     (s, d) => {
-      val wFull = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-      val wPrice = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc)
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(wFull))
-        .withColumn("rk", rank().over(wPrice))
-        .withColumn("drk", dense_rank().over(wPrice))
-        .withColumn("prk", round(percent_rank().over(wPrice), 6))
-        .withColumn("cd", round(cume_dist().over(wPrice), 6))
-        .withColumn("nt", ntile(4).over(wFull))
-        .filter(col("rn") <= 50)
-        .select(col("l_returnflag"), col("rn"), col("rk"), col("drk"),
-          col("prk"), col("cd"), col("nt"), col("l_extendedprice"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      // localCheckpoint: the ranked relation feeds the tie aggregate AND
+      // the final probe — one evaluation of the range shuffle, not two
+      val rn = Ranks.rowNumber(li, "l_returnflag",
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        "rn").localCheckpoint()
+      val ties = rn.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(min(col("rn")).as("rk"), max(col("rn")).as("cdn"))
+      val topTies = ties.filter(col("rk") <= 50)
+        .withColumn("drk", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("l_extendedprice").desc)))
+      val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val rem = col("n") % 4
+      rn.filter(col("rn") <= 50)
+        .join(broadcast(topTies), Seq("l_returnflag", "l_extendedprice"))
+        .join(broadcast(totals), "l_returnflag")
+        .select(col("l_returnflag"), col("rn"), col("rk").cast("int").as("rk"),
+          col("drk"),
+          round(when(col("n") === 1, 0.0)
+            .otherwise((col("rk") - 1).cast("double") / (col("n") - 1)), 6).as("prk"),
+          round(col("cdn").cast("double") / col("n"), 6).as("cd"),
+          when(col("rn") <= (expr("n div 4") + 1) * rem,
+            expr("(rn - 1) div (n div 4 + 1)") + 1)
+            .otherwise(rem + expr("(rn - 1 - (n div 4 + 1) * (n % 4)) div (n div 4)") + 1)
+            .cast("int").as("nt"),
+          col("l_extendedprice"))
         .orderBy(col("l_returnflag"), col("rn"))
     },
     Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, CAST(rk AS INTEGER) AS rk,
@@ -68,18 +98,48 @@ object WindowQueries {
       // fully identical rows, whose relative order cannot change any frame
       // aggregate. The final sort additionally pins ties by running_qty
       // (strictly increasing within a partition since l_quantity >= 1).
+      //
+      // Scale plan (round 3 — the classic partitionBy(l_returnflag) window
+      // funneled the corpus through 3 tasks): the global row number and
+      // running sum come from one fused Ranks decomposition (range slices
+      // + broadcast offsets). The short-frame functions (3-row moving avg,
+      // lead 1) become NEIGHBOR DONATION: every row donates its quantity
+      // to the rank slots that need it (rn+1 and rn+2 see it as a lag,
+      // rn−1 as its lead), one hash aggregate reassembles the neighbor
+      // row, and an equi-join on (flag, rn) attaches it — equi-shuffles
+      // only, parallel at any slice count, exact even for 1-row slices
+      // (no slice-boundary row-passing with its cascade edge cases).
+      // first_value(= the rn=1 row) is a 3-row broadcast.
       val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_linestatus"))
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
-      Tables.lineitem(s, d)
-        .withColumn("running_qty",
-          sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val li = Tables.lineitem(s, d).select(col("l_returnflag") +: ord: _*)
+      // localCheckpoint: the ranked relation feeds three consumers (donor
+      // aggregate, firsts, final join) — without it each reference
+      // re-evaluates the range exchange (no exchange reuse, q69 precedent)
+      val ranked = Ranks.rowNumberAndRunningSum(li, "l_returnflag", ord,
+        col("l_quantity"), "rn", "running_qty").localCheckpoint()
+      val donors = ranked.select(col("l_returnflag"), explode(array(
+          struct((col("rn") + 1).as("trn"), lit(1).as("role"), col("l_quantity").as("q")),
+          struct((col("rn") + 2).as("trn"), lit(2).as("role"), col("l_quantity").as("q")),
+          struct((col("rn") - 1).as("trn"), lit(3).as("role"), col("l_quantity").as("q"))
+        )).as("dn"))
+        .select(col("l_returnflag"), col("dn.trn").as("rn"),
+          col("dn.role").as("role"), col("dn.q").as("q"))
+        .groupBy(col("l_returnflag"), col("rn"))
+        .agg(min(when(col("role") === 1, col("q"))).as("lag1"),
+          min(when(col("role") === 2, col("q"))).as("lag2"),
+          min(when(col("role") === 3, col("q"))).as("lead1"))
+      val firsts = ranked.filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("first_qty"))
+      ranked
+        .join(donors, Seq("l_returnflag", "rn"), "left")
+        .join(broadcast(firsts), "l_returnflag")
         .withColumn("mov_avg_qty",
-          avg(col("l_quantity")).over(w.rowsBetween(-2, Window.currentRow)))
-        .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
-        .withColumn("first_qty",
-          first(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          (col("l_quantity") + coalesce(col("lag1"), lit(0.0))
+            + coalesce(col("lag2"), lit(0.0)))
+            / when(col("rn") >= 3, 3).when(col("rn") === 2, 2).otherwise(1))
+        .withColumn("next_qty", col("lead1"))
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("running_qty"), col("mov_avg_qty"), col("next_qty"),
           col("first_qty"), col("l_shipdate"))

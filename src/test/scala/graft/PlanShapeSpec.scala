@@ -176,6 +176,39 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
   }
 
+  test("no registry query has a data-sized window partition") {
+    // The scale-killer this locks out: Window.partitionBy(<constant-
+    // cardinality key>) over raw data funnels the table through O(1)
+    // tasks at any cluster size (round-2 verdict on q16/q17). A window is
+    // acceptable iff one of:
+    //  - its partition spec references `_slice` (the Ranks range-slice
+    //    decomposition: partition count scales with data);
+    //  - its partition spec references a key whose cardinality scales
+    //    with the data (per-user/doc/vector/order groups stay small);
+    //  - its input subtree contains an Aggregate — the window runs over a
+    //    bounded derived relation (value relations, slice offsets,
+    //    tie groups), not the corpus;
+    //  - the optimizer inserted a WindowGroupLimit (rank-filter pushdown:
+    //    map-side per-group heaps bound the final per-group work).
+    val scalesWithData = Set(
+      "user_id", "doc_id", "vec_id", "c_custkey", "o_custkey", "o_orderkey",
+      "l_orderkey", "ps", "psh", "token", "sig", "bucket", "cluster_id")
+    SparkEntry.registry.foreach { q =>
+      val qe = SparkEntry.queries(q.key)(spark, sfSmoke).queryExecution
+      val plan = qe.optimizedPlan
+      val hasGroupLimit = plan.collectFirst {
+        case g: logical.WindowGroupLimit => g }.isDefined
+      plan.collect { case w: logical.Window => w }.foreach { w =>
+        val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        val sliced = refs.contains("_slice") || refs.contains("pid")
+        val scaled = refs.exists(r => scalesWithData.exists(r.startsWith))
+        val aboveAgg = w.child.collectFirst { case a: logical.Aggregate => a }.isDefined
+        assert(sliced || scaled || aboveAgg || hasGroupLimit,
+          s"${q.key}: data-sized window partition ${w.partitionSpec}\n$plan")
+      }
+    }
+  }
+
   test("q04 never funnels the full table through an unpartitioned window") {
     val (ws, p) = windows("q04_sorted_check")
     assert(ws.nonEmpty, p)
