@@ -145,17 +145,10 @@ object VectorQueries {
     * cross-engine hash), so the oracle reconstructs the exact same
     * hyperplanes from DuckDB's md5. The bucket cap bounds in-bucket pair
     * blowup on skewed buckets (same guard as q25's stop-shingles). */
-  private val LshBands = 6
+  private val LshBandCount = 6
   private val LshBits = 8
   private val LshDim = 64
   private val LshBucketCap = 200
-
-  private def hyperplane(j: Int): Seq[Float] =
-    (1 to LshDim).map { i =>
-      val h = graft.functions.SimHash64.tokenHash60(
-        s"$j|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if ((h & 1L) == 1L) 1.0f else -1.0f
-    }
 
   /** q41 — embedding-cosine near-duplicate candidates, blocked on
     * hyperplane-LSH band buckets (sign-random-projection): 48 deterministic
@@ -177,16 +170,13 @@ object VectorQueries {
     "q41_dedup_embedding",
     (s, d) => {
       CosineSim.register(s)
-      def bh(band: Int): Column =
-        (0 until LshBits).map { b =>
-          val w = hyperplane(band * LshBits + b)
-          when(round(CosineSim(col("embedding"), typedlit(w)), 6) >= 0, lit(1 << b))
-            .otherwise(lit(0))
-        }.reduce(_ + _)
-      val pairs = emb(s, d).select(col("vec_id"),
-        explode(array((0 until LshBands).map(bd =>
-          struct(lit(bd).as("band"), bh(bd).cast("int").as("bh"))): _*)).as("e"))
-        .select(col("vec_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      // fused signature kernel: one pass per row computes all 48 hyperplane
+      // dots + the norm (graft.functions.LshBands) — bit-identical to the
+      // 48-CosineSim composed form the oracle mirrors
+      graft.functions.LshBands.register(s, LshBandCount, LshBits, LshDim)
+      val pairs = emb(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.functions.LshBands(col("embedding"))).as(Seq("band", "bh")))
         .groupBy(col("band"), col("bh"))
         .agg(sort_array(collect_list(col("vec_id"))).as("docs"))
         .filter(size(col("docs")).between(2, LshBucketCap))
@@ -208,7 +198,7 @@ object VectorQueries {
     Some(s"""WITH wm AS (SELECT j.j AS j, i.i AS i,
                    CASE WHEN (CAST(concat('0x', substr(md5(j.j || '|' || i.i), 1, 15)) AS BIGINT) & 1) = 1
                         THEN 1.0 ELSE -1.0 END AS w
-                   FROM range(0, ${LshBands * LshBits}) j(j), range(1, ${LshDim + 1}) i(i)),
+                   FROM range(0, ${LshBandCount * LshBits}) j(j), range(1, ${LshDim + 1}) i(i)),
              ev AS (SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS x
                     FROM embeddings, range(1, ${LshDim + 1}) i(i)),
              dots AS (SELECT e.vec_id, w.j, sum(w.w * e.x) AS dot,
