@@ -224,6 +224,55 @@ object CorpusOps {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** TF-IDF top term per document: tf·ln(N/df), rounded, token tie-break.
+    *
+    * `dfJoin` picks how the vocabulary-sized df relation joins back onto
+    * the tf relation — the round-2 watch item: "vocabulary-sized" is
+    * data-dependent at web scale (a 100 TB multilingual crawl's token
+    * vocabulary can exceed any broadcast budget), so forcing a broadcast
+    * is a latent OOM:
+    *  - "auto" (default): no hint. Catalyst sizes the join from stats and
+    *    AQE converts the shuffle join to broadcast at runtime when the
+    *    built df side is actually under
+    *    spark.sql.adaptive.autoBroadcastJoinThreshold — the right call is
+    *    made from MEASURED bytes, not an assumption.
+    *  - "broadcast": force broadcast (known-small vocabularies).
+    *  - "shuffle": force a shuffled hash join (known-huge vocabularies;
+    *    also what AQE falls back to when the measured size is large).
+    * All three are value-identical (CorpusOpsSpec locks it).
+    *
+    * The per-doc ranking window partitions by doc id — bounded by a
+    * document's distinct-token count, never data-sized. */
+  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String,
+      dfJoin: String = "auto"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    guard(Seq("token", "tf", "df", "n_docs", "score", "rn", "top_token"),
+      idCol, textCol)
+    val tf = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // df = #docs containing the token: explode the per-doc DISTINCT token
+    // set (array_distinct is map-side) — skew-free: partial counts
+    // combine before the token shuffle.
+    val dfRel = docs
+      .select(explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfSide = dfJoin match {
+      case "auto"      => dfRel
+      case "broadcast" => broadcast(dfRel)
+      case "shuffle"   => dfRel.hint("shuffle_hash")
+      case other => throw new IllegalArgumentException(
+        s"dfJoin must be auto|broadcast|shuffle, got '$other'")
+    }
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfSide, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("token").as("top_token"), col("score"))
+  }
+
   /** Concat-and-cut sequence packing: lay documents out in deterministic
     * content-hash order, cut every `seqLen` tokens, assign each document
     * to the sequence where its first token lands. Returns the input plus

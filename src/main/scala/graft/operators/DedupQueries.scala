@@ -210,66 +210,23 @@ object DedupQueries {
     * its component. This is the post-candidate step every dedup pipeline
     * runs (pairs → clusters → keep one representative per cluster).
     *
-    * Distributed iterative min-label propagation: per round, every vertex
-    * takes the min of its own label and its neighbors' labels — one small
-    * join + aggregate per round over the candidate-pair relation (already
-    * reduced by LSH, orders of magnitude smaller than the corpus), cached
-    * between rounds. The driver loop only checks a scalar convergence
-    * count per round (the canonical distributed-CC control flow — data
-    * never leaves the executors); rounds are bounded by the component
-    * diameter. At 100 TB scale the same loop runs with periodic
-    * checkpointing to cut lineage, or the large-star/small-star variant
-    * for graphs with deep components.
+    * Runs Graph.connectedComponents — min-label propagation fused with
+    * pointer doubling, so rounds are O(log diameter) (a chain component
+    * of 10^6 docs converges in ~25 rounds, not 10^6), with eager
+    * localCheckpoint every 8 rounds bounding plan lineage. The driver
+    * loop only checks a scalar convergence count per round (the
+    * canonical distributed-CC control flow — data never leaves the
+    * executors).
     *
     * Converges to the unique fixpoint (component minimum) regardless of
     * execution schedule, so the output is deterministic and matches the
     * oracle's recursive-CTE transitive closure exactly. */
   private val q60 = GQuery(
     "q60_dup_clusters",
-    (s, d) => {
-      val pairs = minhashPairs(s, d)
-      val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-        .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
-        .persist()
-      // `cached` tracks the DataFrame that actually holds this round's
-      // cache — unpersisting a derived select would be a no-op and every
-      // round's cache would stay pinned for the session lifetime
-      var cached = edges.select(col("a").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .persist()
-      var labels = cached
-      var changed = 1L
-      var rounds = 0
-      val MaxRounds = 50
-      while (changed > 0 && rounds < MaxRounds) {
-        val nbrMin = edges.join(labels, col("b") === col("doc_id"))
-          .groupBy(col("a")).agg(min(col("cluster_id")).as("nbr_min"))
-        val updated = labels.join(nbrMin, col("doc_id") === col("a"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id"),
-            coalesce(col("nbr_min") < col("cluster_id"), lit(false)).as("chg"))
-          .persist()
-        changed = updated.filter(col("chg")).count()
-        cached.unpersist()
-        cached = updated
-        labels = updated.select(col("doc_id"), col("cluster_id"))
-        rounds += 1
-      }
-      // wrong labels must never leave this operator silently: the oracle
-      // (and any dedup downstream) assumes the true component minimum
-      if (changed > 0) sys.error(
-        s"q60: min-label propagation did not converge in $MaxRounds rounds " +
-          "(component diameter exceeds the bound) — use large-star/small-star")
-      // The returned plan reads the final round's cache (one vertex-sized
-      // relation). Unpersisting it here would force a full recompute of
-      // the whole iteration lineage at consumption, and checkpointing it
-      // out costs an extra materialization pass — so ownership transfers
-      // to the caller, the standard contract for iterative fit() results.
-      // All intermediate rounds are unpersisted above.
-      edges.unpersist()
-      labels.orderBy(col("doc_id"))
-    },
+    (s, d) =>
+      Graph.connectedComponents(minhashPairs(s, d), "doc1", "doc2",
+          vertexOut = "doc_id", componentOut = "cluster_id")
+        .orderBy(col("doc_id")),
     Some(SHINGLE_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, sig AS (SELECT doc_id,
                     min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,

@@ -161,37 +161,23 @@ object TextQueries {
             ORDER BY doc_id""")
   )
 
-  /** q42 — TF-IDF: per-document top term by tf·ln(N/df). Document
-    * frequency is a vocabulary-sized relation computed straight from the
-    * distinct-token arrays (map-side explode + groupBy(token) with partial
-    * aggregation) and broadcast-joined back onto the tf relation — no
-    * window over token partitions, whose hot stop-token groups would
-    * funnel at scale (VERDICT r1 #7). The corpus size N broadcasts as a
+  /** q42 — TF-IDF: per-document top term by tf·ln(N/df), via the generic
+    * CorpusOps.tfidfTopTerm. Document frequency is a vocabulary-sized
+    * relation computed straight from the distinct-token arrays (map-side
+    * explode + groupBy(token) with partial aggregation) joined back onto
+    * the tf relation — no window over token partitions, whose hot
+    * stop-token groups would funnel at scale (VERDICT r1 #7). The df join
+    * strategy is "auto" (round-2 watch item): no forced broadcast —
+    * Catalyst/AQE pick broadcast vs shuffle from the MEASURED df size, so
+    * a web-scale vocabulary larger than the broadcast budget degrades to
+    * a shuffle join instead of an OOM. The corpus size N broadcasts as a
     * one-row scalar. Ranking uses the rounded score (+ token tie-break)
     * so 1-ulp libm differences between engines cannot flip the top term. */
   private val q42 = GQuery(
     "q42_tfidf",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      // df = #docs containing the token: explode the per-doc DISTINCT token
-      // set (array_distinct is map-side) — skew-free: partial counts
-      // combine before the token shuffle, and the result is vocabulary-
-      // sized, small enough to broadcast.
-      val df = docs.select(explode(array_distinct(tokens(col("text")))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val wf = tf.join(broadcast(df), "token")
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      wf.crossJoin(broadcast(n))
-        .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("token").as("top_token"), col("score"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) =>
+      CorpusOps.tfidfTopTerm(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
     Some("""WITH tf AS (SELECT doc_id, token, count(*) AS tf
                         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
                         GROUP BY doc_id, token),

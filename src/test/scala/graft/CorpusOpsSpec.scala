@@ -102,6 +102,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.decontaminate(empty, docs, "id", "body").count() == 0)
     assert(CorpusOps.decontaminate(docs, empty, "id", "body").count() == 0)
     assert(CorpusOps.pack(empty, "id", "body", 16).count() == 0)
+    assert(CorpusOps.tfidfTopTerm(empty, "id", "body").count() == 0)
+  }
+
+  test("tfidfTopTerm: broadcast, shuffle and auto df joins are value-identical") {
+    def run(mode: String) =
+      CorpusOps.tfidfTopTerm(docs, "id", "body", dfJoin = mode)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val auto = run("auto")
+    assert(auto == run("broadcast"))
+    assert(auto == run("shuffle"))
+    assert(auto.length == 5)
+    // the dup pair 10/11 must agree on the top term and score
+    assert(auto.find(_._1 == 10L).map(t => (t._2, t._3))
+      == auto.find(_._1 == 11L).map(t => (t._2, t._3)))
+    intercept[IllegalArgumentException] {
+      CorpusOps.tfidfTopTerm(docs, "id", "body", dfJoin = "bogus")
+    }
+  }
+
+  test("tfidfTopTerm join strategies produce the hinted physical joins") {
+    def plan(mode: String) =
+      CorpusOps.tfidfTopTerm(docs, "id", "body", dfJoin = mode)
+        .queryExecution.executedPlan.toString
+    // forced broadcast: the df side rides a BroadcastHashJoin
+    assert(plan("broadcast").contains("BroadcastHashJoin"))
+    // forced shuffle: the token join is a shuffled hash join (the only
+    // remaining broadcast is the one-row corpus-size scalar)
+    assert(plan("shuffle").contains("ShuffledHashJoin"))
   }
 
   test("pack assigns every doc to the sequence of its first token") {
