@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Deterministic quota sample: at most n rows per stratum, chosen by a
-    * stable order (hash of the id column — spreads selection across the
-    * key space rather than taking the lowest ids). */
+    * stable order (md5 of the id rendered as a string — spreads selection
+    * across the key space rather than taking the lowest ids, and is
+    * reproducible in any engine with md5, so the selection itself is
+    * oracle-checkable: q52 delegates here and the driver's DuckDB gate
+    * diffs it row-for-row). */
   def quotaPerGroup(df: DataFrame, stratum: String, id: String, n: Int): DataFrame =
     df.withColumn("_rk", row_number().over(
-        Window.partitionBy(col(stratum)).orderBy(xxhash64(col(id)), col(id))))
+        Window.partitionBy(col(stratum))
+          .orderBy(md5(col(id).cast("string")), col(id))))
       .filter(col("_rk") <= n)
       .drop("_rk")
 

@@ -194,23 +194,17 @@ object TextQueries {
   )
 
   /** q52 — deterministic per-stratum quota sample (dataset curation):
-    * 20 documents per language, selected by a stable content-hash order so
-    * the quota spreads over the key space. Same shape as
-    * Sampling.quotaPerGroup (which uses xxhash64 — no DuckDB equivalent);
-    * here the order key is md5(doc_id), identical in both engines, making
-    * the selection fully oracle-checkable. */
+    * 20 documents per language via the generic Sampling.quotaPerGroup,
+    * whose order key is md5(id-as-string) — identical in both engines, so
+    * the generic operator's SELECTION (not just its shape) is proven by
+    * the driver's DuckDB gate through this entry. */
   private val q52 = GQuery(
     "q52_quota_sample",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("lang"))
-            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-        .filter(col("rk") <= 20)
-        .select(col("doc_id"), col("lang"))
-        .orderBy(col("lang"), col("doc_id"))
-    },
+    (s, d) =>
+      Sampling.quotaPerGroup(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", 20)
+        .orderBy(col("lang"), col("doc_id")),
     Some("""SELECT doc_id, lang FROM (
               SELECT doc_id, lang,
                      row_number() OVER (PARTITION BY lang

@@ -292,6 +292,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
+    import graft.sources.Io
+    def files(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    // 1) fragment scale: three router micro-batches, each fanning out over
+    //    8 shuffle partitions -> dozens of small files under train/
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.splitRouter(input.toDF().toDF("doc_id", "text"), s"$dir/route")
+    try {
+      (0 until 3).foreach { b =>
+        // several addData blocks per micro-batch: each block is its own
+        // input partition, so every _batch partition lands several files
+        // — the fragmentation profile a real per-core streaming sink has
+        (0 until 4).foreach { blk =>
+          input.addData((1 to 15).map(i => (b * 100 + blk * 20 + i).toLong ->
+            s"maintenance doc ${b * 100 + blk * 20 + i} body ${"w " * (i % 17)}"): _*)
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // partition-column type inference reads _batch back as int — pin it
+    def trainRows(p: String): Set[(Long, String, Long)] =
+      spark.read.parquet(p)
+        .select(col("doc_id"), col("text"), col("_batch").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val before = trainRows(s"$dir/route/train")
+    val fragCount = files(s"$dir/route/train").size
+    assert(fragCount > 3, s"expected a fragmented sink, got $fragCount files")
+    assert(new java.io.File(s"$dir/route/train").listFiles()
+      .count(_.getName.startsWith("_batch=")) == 3)
+    // 2) compact the partitioned streaming sink, preserving the _batch layout
+    Io.compact(spark, s"$dir/route/train", s"$dir/route/train_c",
+      partitionCols = Seq("_batch"))
+    assert(trainRows(s"$dir/route/train_c") == before)
+    assert(files(s"$dir/route/train_c").size < fragCount)
+    assert(new java.io.File(s"$dir/route/train_c").listFiles()
+      .exists(_.getName.startsWith("_batch=")), "partition layout flattened")
+    // 3) snapshot maintenance: compact the CURRENT committed snapshot into
+    //    the next version — latestSnapshot must flip to the compacted copy
+    //    (the _SUCCESS marker of the compaction write IS the commit) and
+    //    readers must see identical rows
+    val snapIn = MemoryStream[(Long, String, Long)](spark)
+    val sq = StreamOps.snapshotMaintain(
+      snapIn.toDF().toDF("doc_id", "text", "version"), s"$dir/snap")
+    try {
+      (1 to 3).foreach { b =>
+        snapIn.addData((1 to 50).map(i => (i.toLong, s"doc $i v$b", b.toLong)): _*)
+        sq.processAllAvailable()
+      }
+    } finally sq.stop()
+    val cur = StreamOps.latestSnapshot(spark, s"$dir/snap").get
+    val curId = cur.stripPrefix("snapshot_v").toLong
+    val pre = spark.read.parquet(s"$dir/snap/$cur")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    Io.compact(spark, s"$dir/snap/$cur", s"$dir/snap/snapshot_v${curId + 1}")
+    assert(StreamOps.latestSnapshot(spark, s"$dir/snap")
+      .contains(s"snapshot_v${curId + 1}"))
+    val post = spark.read.parquet(
+      s"$dir/snap/${StreamOps.latestSnapshot(spark, s"$dir/snap").get}")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(post == pre)
+    assert(files(s"$dir/snap/snapshot_v${curId + 1}").size
+      <= files(s"$dir/snap/$cur").size)
+  }
+
   test("s06 split router partitions the stream into train/val/test sinks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_router").toString
     val input = MemoryStream[(Long, String)](spark)
