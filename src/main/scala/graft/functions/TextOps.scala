@@ -23,6 +23,17 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
+  /** All bigram occurrences "w1 w2" in document order, repeats kept
+    * (unlike `shingles`, which dedups) — the n-gram LM statistics base:
+    * occurrence counts are what language-model estimates need. Docs with
+    * fewer than 2 tokens contribute none. SQL twin:
+    * `unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))`. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** MinHash of a shingle set for a given seed: min over 60-bit integers
     * parsed from the leading 15 hex digits of md5. md5 produces identical
     * output in DuckDB, so the signature is oracle-checkable — a

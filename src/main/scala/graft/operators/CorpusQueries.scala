@@ -63,12 +63,7 @@ object CorpusQueries {
         // toks must be an attribute before the lambda references it —
         // lambda bodies re-evaluate non-attribute expressions per element
         .select(tokens(col("text")).as("toks"))
-        .select(explode(when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ",
-              element_at(col("toks"), i),
-              element_at(col("toks"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .select(explode(graft.functions.TextOps.bigrams(col("toks"))).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 5)
         .orderBy(col("cnt").desc, col("bigram"))
@@ -114,5 +109,157 @@ object CorpusQueries {
             GROUP BY 1 ORDER BY split""")
   )
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58)
+  /** The (doc_id, w1, bg) bigram-occurrence relation shared by q75/q82:
+    * one map-only projection (explode of the per-row bigram array), w1
+    * split back out of the bigram string map-side. */
+  private def bigramOccurrences(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextOps.bigrams(col("toks"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+
+  /** q75 — bigram-LM coherence score (wave 3): the n-gram quality filter
+    * a curation pipeline runs with a corpus-trained LM. Per document:
+    * Σ C(w1 w2) / Σ C(w1 ·) over its bigram occurrences — the doc-level
+    * aggregate of the conditional bigram frequency P(w2|w1), high for
+    * documents whose continuations are common in the corpus, low for
+    * shuffled/garbled text. Both sums are INTEGER (exact, order-free);
+    * the single final division is IEEE-identical cross-engine, so the
+    * rounded score is oracle-exact — no log/exp whose libm ulps differ.
+    *
+    * Scale notes: the count relations are observed-bigram/vocabulary-
+    * sized with map-side partial aggregation; their joins back onto the
+    * occurrence relation are UNHINTED — Catalyst/AQE broadcast them when
+    * measured-small (the q42 policy). Final per-doc aggregate shuffles
+    * (doc_id, two longs). */
+  private val q75 = GQuery(
+    "q75_bigram_coherence",
+    (s, d) => {
+      val b = bigramOccurrences(s, d)
+      val cb = b.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val cw = b.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+      b.join(cb, "bg").join(cw, "w1")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("cb")) / sum(col("cw")), 6).as("coherence"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 b AS (SELECT doc_id,
+                              unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                              unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                       FROM t WHERE len(toks) >= 2),
+                 cb AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+                 cw AS (SELECT w1, count(*) AS cw FROM b GROUP BY w1)
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(sum(cb.cb) * 1.0 / sum(cw.cw), 6) AS coherence
+            FROM b JOIN cb USING (bg) JOIN cw USING (w1)
+            GROUP BY b.doc_id ORDER BY doc_id""")
+  )
+
+  /** q77 — Zipf magnitude histogram of token occurrence counts (wave 3):
+    * the corpus-statistics audit that shows whether a token distribution
+    * is Zipf-shaped (head of stop tokens, long tail of rare ones).
+    * Magnitude = decimal-digit count of the occurrence count — an exact
+    * integer bucket in both engines (string length), immune to the libm
+    * log10 ulp at bucket boundaries.
+    *
+    * Scale notes: one token shuffle with map-side combine (the count),
+    * then a ≤20-group aggregate. Nothing data-sized past the first
+    * aggregate. */
+  private val q77 = GQuery(
+    "q77_token_zipf",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .groupBy(length(col("cnt").cast("string")).as("magnitude"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("cnt")).as("total_occurrences"),
+          min(col("cnt")).as("min_count"),
+          max(col("cnt")).as("max_count"))
+        .orderBy(col("magnitude")),
+    Some("""WITH c AS (SELECT token, count(*) AS cnt
+                       FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                       GROUP BY token)
+            SELECT CAST(len(CAST(cnt AS VARCHAR)) AS INTEGER) AS magnitude,
+                   count(*) AS n_tokens,
+                   CAST(sum(cnt) AS BIGINT) AS total_occurrences,
+                   min(cnt) AS min_count, max(cnt) AS max_count
+            FROM c GROUP BY 1 ORDER BY magnitude""")
+  )
+
+  /** The fixed conjunctive query for q81 — mirrors a user's AND query
+    * against the q56 inverted index. */
+  private val PhraseTokens = Seq("spark", "join", "vector", "stream")
+
+  /** q81 — conjunctive index probe (wave 3): documents containing ALL
+    * query tokens — the retrieval twin of the q56 index build (posting-
+    * list intersection expressed relationally).
+    *
+    * Scale notes: the `token IN (...)` filter applies DURING the map-side
+    * explode, so the shuffle carries at most |query| rows per document —
+    * the plan is the postings intersection, never a corpus scan shuffle.
+    * A production engine would probe the MATERIALIZED q56 index instead
+    * of the raw corpus; the relational shape (filter → group → count =
+    * |query|) is identical either way. */
+  private val q81 = GQuery(
+    "q81_index_probe",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+        .filter(col("token").isin(PhraseTokens: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") === PhraseTokens.length)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id
+             FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                   FROM documents)
+             WHERE token IN (${PhraseTokens.map(t => s"'$t'").mkString(", ")})
+             GROUP BY doc_id HAVING count(*) = ${PhraseTokens.length}
+             ORDER BY doc_id""")
+  )
+
+  /** q82 — bigram novelty ratio (wave 3): per document, the share of its
+    * DISTINCT bigrams that occur in no other document — the memorization/
+    * novelty audit run before adding a source to a training mix (near-1
+    * means genuinely new text; near-0 means the corpus already covers
+    * it). Integer counts + one final division: oracle-exact.
+    *
+    * Scale notes: per-doc distinct bigrams are deduped map-side
+    * (array_distinct); one bigram-key shuffle builds the df relation,
+    * whose join back is unhinted (AQE broadcast when measured-small, the
+    * q42 policy); final aggregate shuffles (doc_id, two longs). */
+  private val q82 = GQuery(
+    "q82_bigram_novelty",
+    (s, d) => {
+      val db = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextOps.bigrams(col("toks")))).as("bg"))
+      val dfRel = db.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      db.join(dfRel, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", round(col("n_novel") / col("n_bigrams"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 b AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]))) AS bg
+                       FROM t WHERE len(toks) >= 2),
+                 f AS (SELECT bg, count(*) AS df FROM b GROUP BY bg)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+            FROM b JOIN f USING (bg) GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82)
 }

@@ -371,5 +371,76 @@ object CurationQueries {
             ORDER BY psh""")
   )
 
-  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74)
+  /** q80 — cross-split NEAR-duplicate leakage audit (wave 3): the q58
+    * content-hash split guarantees exact duplicates land in one split,
+    * but near-duplicates can still straddle the boundary (train/test
+    * contamination that exact-match decontamination like q68 cannot
+    * see). This query counts MinHash candidate pairs whose endpoints sit
+    * in different splits — the leakage matrix a curation pipeline
+    * publishes before a dataset ships.
+    *
+    * Scale notes: the pair relation is the LSH-reduced q31 candidate set
+    * (duplicate-sized, never all-pairs); split assignment is the map-only
+    * q58 projection joined on doc_id; output is a ≤3-row aggregate with
+    * canonical (least, greatest) pair ordering. */
+  private val q80 = GQuery(
+    "q80_split_leakage",
+    (s, d) => {
+      val splits = CorpusOps.withSplit(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("split"))
+      CorpusOps.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 5, stopCap = 1000, k = 8, bands = 2)
+        .join(splits.toDF("doc1", "split1"), "doc1")
+        .join(splits.toDF("doc2", "split2"), "doc2")
+        .filter(col("split1") =!= col("split2"))
+        .groupBy(least(col("split1"), col("split2")).as("split_a"),
+          greatest(col("split1"), col("split2")).as("split_b"))
+        .agg(count(lit(1)).as("n_leaky_pairs"),
+          min(least(col("doc1"), col("doc2"))).as("min_doc"))
+        .orderBy(col("split_a"), col("split_b"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh0 AS (SELECT doc_id,
+                       CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS sgh
+                FROM (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                        FOR i IN range(1, len(t) - 3)])) AS sg
+                      FROM toks WHERE len(t) >= 5)),
+        sh AS (SELECT doc_id, sgh FROM sh0
+               WHERE sgh IN (SELECT sgh FROM sh0 GROUP BY sgh HAVING count(*) <= 1000)),
+        sig AS (SELECT doc_id,
+                    min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
+                    min(CAST(concat('0x', substr(md5('1|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h1,
+                    min(CAST(concat('0x', substr(md5('2|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h2,
+                    min(CAST(concat('0x', substr(md5('3|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h3,
+                    min(CAST(concat('0x', substr(md5('4|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h4,
+                    min(CAST(concat('0x', substr(md5('5|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h5,
+                    min(CAST(concat('0x', substr(md5('6|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h6,
+                    min(CAST(concat('0x', substr(md5('7|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h7
+                  FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band,
+                         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
+                  UNION ALL
+                  SELECT doc_id, 1 AS band,
+                         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bh FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                  FROM band a JOIN band b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sp AS (SELECT doc_id,
+                       CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                            WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents),
+         leaks AS (SELECT c.doc1, c.doc2, s1.split AS split1, s2.split AS split2
+                   FROM cand c
+                   JOIN sp s1 ON c.doc1 = s1.doc_id
+                   JOIN sp s2 ON c.doc2 = s2.doc_id
+                   WHERE s1.split <> s2.split)
+         SELECT least(split1, split2) AS split_a,
+                greatest(split1, split2) AS split_b,
+                count(*) AS n_leaky_pairs,
+                min(least(doc1, doc2)) AS min_doc
+         FROM leaks GROUP BY 1, 2 ORDER BY split_a, split_b""")
+  )
+
+  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80)
 }

@@ -255,5 +255,157 @@ object DedupQueries {
          FROM reach GROUP BY src ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60)
+  /** The q60 oracle's cluster-label CTE chain (recursive closure over the
+    * MinHash candidate graph), reusable by queries that CONSUME clusters. */
+  private val CLUSTER_SQL = SHINGLE_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """, sig AS (SELECT doc_id,
+                    min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
+                    min(CAST(concat('0x', substr(md5('1|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h1,
+                    min(CAST(concat('0x', substr(md5('2|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h2,
+                    min(CAST(concat('0x', substr(md5('3|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h3,
+                    min(CAST(concat('0x', substr(md5('4|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h4,
+                    min(CAST(concat('0x', substr(md5('5|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h5,
+                    min(CAST(concat('0x', substr(md5('6|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h6,
+                    min(CAST(concat('0x', substr(md5('7|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h7
+                  FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band,
+                         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
+                  UNION ALL
+                  SELECT doc_id, 1 AS band,
+                         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bh FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+                  FROM band a JOIN band b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+         reach(src, dst) AS (
+           SELECT DISTINCT u, u FROM edges
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                    FROM reach GROUP BY src)"""
+
+  /** q78 — duplicate-cluster representative selection (wave 3): the step
+    * AFTER q60 in every dedup pipeline — pick ONE document to keep per
+    * cluster. Policy: keep the longest version (max n_chars, ties to the
+    * smallest doc_id) — the standard "keep the most complete copy" rule.
+    *
+    * Scale notes: consumes the vertex-sized cluster labels (already
+    * LSH-reduced), joins the corpus only on doc_id to fetch one integer
+    * attribute, then a single argmax AGGREGATE per cluster (max_by over a
+    * (n_chars, -doc_id) struct) — no per-cluster window, no data-sized
+    * partitions, exactly the q73 MERGE argmax pattern. */
+  private val q78 = GQuery(
+    "q78_dedup_keep_best",
+    (s, d) =>
+      Graph.connectedComponents(minhashPairs(s, d), "doc1", "doc2",
+          vertexOut = "doc_id", componentOut = "cluster_id")
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_chars")).as("max_chars"),
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("kept_doc"))
+        .orderBy(col("cluster_id")),
+    Some(CLUSTER_SQL +
+      """, sel AS (SELECT cluster_id, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk
+                   FROM labels JOIN documents USING (doc_id))
+         SELECT cluster_id, count(*) AS n_docs, max(n_chars) AS max_chars,
+                max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc
+         FROM sel GROUP BY cluster_id ORDER BY cluster_id""")
+  )
+
+  /** q79 — MinHash estimation-accuracy audit (wave 3): for every LSH
+    * candidate pair, the sketch's Jaccard ESTIMATE (agreeing signature
+    * components / k) next to the TRUE shingle-set Jaccard, with the
+    * absolute error. The sketch-quality report a pipeline publishes when
+    * tuning (k, bands) — it quantifies, in-engine, what the q31 candidate
+    * generation actually trades away.
+    *
+    * Determinism: the estimate is an integer count / 8 (exact eighths in
+    * binary); the true Jaccard is an integer ratio; both round(6) after
+    * one IEEE division — oracle-exact.
+    *
+    * Scale notes: signatures aggregate per doc from the capped shingle
+    * postings (one doc-keyed shuffle); true-overlap counts come from the
+    * same postings relation joined on the 8-byte shingle hash — both
+    * relations are the LSH family's existing shapes; everything downstream
+    * joins on the candidate-pair relation, which is duplicate-sized. */
+  private val q79 = GQuery(
+    "q79_minhash_accuracy",
+    (s, d) => {
+      val sh = shingleDf(s, d)
+      val sigs = sh.groupBy(col("doc_id"))
+        .agg(TextOps.minhash(col("sgh"), 0).as("h0"),
+          (1 until MINHASH_K).map(i => TextOps.minhash(col("sgh"), i).as(s"h$i")): _*)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val common = sh.as("a").join(sh.as("b"),
+          col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("common"))
+      val pairs = minhashPairs(s, d)
+      val withSigs = pairs
+        .join(sigs.toDF("doc1" +: (0 until MINHASH_K).map(i => s"a$i"): _*), "doc1")
+        .join(sigs.toDF("doc2" +: (0 until MINHASH_K).map(i => s"b$i"): _*), "doc2")
+      val matches = (0 until MINHASH_K)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      withSigs
+        .join(common, Seq("doc1", "doc2"), "left")
+        .join(sizes.toDF("doc1", "nsh1"), "doc1")
+        .join(sizes.toDF("doc2", "nsh2"), "doc2")
+        .withColumn("est_jaccard", round(matches / lit(MINHASH_K.toDouble), 6))
+        .withColumn("jaccard", round(coalesce(col("common"), lit(0L)) /
+          (col("nsh1") + col("nsh2") - coalesce(col("common"), lit(0L))), 6))
+        .select(col("doc1"), col("doc2"), col("est_jaccard"), col("jaccard"),
+          round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(SHINGLE_SQL +
+      """, sig AS (SELECT doc_id,
+                    min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
+                    min(CAST(concat('0x', substr(md5('1|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h1,
+                    min(CAST(concat('0x', substr(md5('2|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h2,
+                    min(CAST(concat('0x', substr(md5('3|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h3,
+                    min(CAST(concat('0x', substr(md5('4|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h4,
+                    min(CAST(concat('0x', substr(md5('5|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h5,
+                    min(CAST(concat('0x', substr(md5('6|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h6,
+                    min(CAST(concat('0x', substr(md5('7|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h7
+                  FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band,
+                         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
+                  UNION ALL
+                  SELECT doc_id, 1 AS band,
+                         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bh FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                  FROM band a JOIN band b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         com AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+                 FROM sh a JOIN sh b ON a.sgh = b.sgh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         est AS (SELECT c.doc1, c.doc2,
+                        ((CASE WHEN x.h0 = y.h0 THEN 1 ELSE 0 END) +
+                         (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END) +
+                         (CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END) +
+                         (CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END) +
+                         (CASE WHEN x.h4 = y.h4 THEN 1 ELSE 0 END) +
+                         (CASE WHEN x.h5 = y.h5 THEN 1 ELSE 0 END) +
+                         (CASE WHEN x.h6 = y.h6 THEN 1 ELSE 0 END) +
+                         (CASE WHEN x.h7 = y.h7 THEN 1 ELSE 0 END)) AS m,
+                        coalesce(com.common, 0) AS common, s1.nsh AS nsh1, s2.nsh AS nsh2
+                 FROM cand c
+                 JOIN sig x ON c.doc1 = x.doc_id
+                 JOIN sig y ON c.doc2 = y.doc_id
+                 LEFT JOIN com ON c.doc1 = com.doc1 AND c.doc2 = com.doc2
+                 JOIN sizes s1 ON c.doc1 = s1.doc_id
+                 JOIN sizes s2 ON c.doc2 = s2.doc_id)
+         SELECT doc1, doc2,
+                round(m / 8.0, 6) AS est_jaccard,
+                round(common * 1.0 / (nsh1 + nsh2 - common), 6) AS jaccard,
+                round(abs(round(m / 8.0, 6) - round(common * 1.0 / (nsh1 + nsh2 - common), 6)), 6) AS abs_err
+         FROM est ORDER BY doc1, doc2""")
+  )
+
+  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79)
 }

@@ -264,6 +264,57 @@ object VectorQueries {
             FROM e ORDER BY vec_id""")
   )
 
+  /** q76 — SemDedup-style cluster pruning (wave 3): assign every
+    * non-codebook vector to its nearest centroid (the q37 map-only argmax
+    * over the broadcast codebook), then keep only the top 3
+    * representatives per cluster by similarity-to-centroid — the
+    * embedding-clustering curation step that prunes semantically
+    * redundant documents before training.
+    *
+    * Scale notes: assignment is the q37 single-pass projection (no ×B
+    * expansion, no shuffle); the per-cluster rank-≤3 filter is a window
+    * WITH a rank predicate, so Spark's WindowGroupLimit keeps only ~3
+    * rows per (task, cluster) ahead of the cluster shuffle — per-cluster
+    * data volume never aggregates anywhere. Ties break on vec_id; sims
+    * rounded to 6 before ranking so engine ulps cannot flip an order. */
+  private val q76 = GQuery(
+    "q76_semdedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      CosineSim.register(s)
+      val cents = emb(s, d).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centsArr = cents
+        .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+      emb(s, d).filter(col("vec_id") >= 16)
+        .crossJoin(broadcast(centsArr))
+        .withColumn("best", array_max(transform(col("cents"), c =>
+          struct(round(CosineSim(col("embedding"), c.getField("cvec")), 6).as("csim"),
+            (-c.getField("cid")).as("ncid")))))
+        .select(col("vec_id"),
+          (-col("best").getField("ncid")).as("cid"),
+          col("best").getField("csim").as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("cid"), col("rk").cast("bigint").as("rk"), col("vec_id"), col("sim"))
+        .orderBy(col("cid"), col("rk"))
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+             scored AS (
+               SELECT e.vec_id, c.cid, ${cosineSql6("e.embedding", "c.cvec")} AS sim,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cosineSql6("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+               FROM embeddings e, cents c WHERE e.vec_id >= 16),
+             assigned AS (SELECT vec_id, cid, sim FROM scored WHERE rn = 1),
+             ranked AS (SELECT cid, vec_id, sim,
+                               row_number() OVER (PARTITION BY cid
+                                 ORDER BY sim DESC, vec_id) AS rk
+                        FROM assigned)
+             SELECT cid, rk, vec_id, sim FROM ranked WHERE rk <= 3
+             ORDER BY cid, rk""")
+  )
+
   /** Oracle helper at 6-digit rounding (centroid assignment). */
   private def cosineSql6(vecExpr: String, qvExpr: String): String =
     s"""round(
@@ -274,5 +325,5 @@ object VectorQueries {
              * sqrt((SELECT sum(CAST($qvExpr[i.i] AS DOUBLE) * CAST($qvExpr[i.i] AS DOUBLE))
                      FROM range(1, 65) i(i)))), 6)"""
 
-  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59)
+  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76)
 }

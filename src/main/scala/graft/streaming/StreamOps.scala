@@ -326,6 +326,58 @@ object StreamOps {
       .start()
   }
 
+  /** s11 — incremental inverted-index maintenance (streaming twin of the
+    * q56 index build): every micro-batch writes a PARTIAL index delta —
+    * (token, df contribution, sorted postings) for just that batch's
+    * documents — and readers (or a periodic compaction, the Io.compact
+    * story) merge deltas by token. This is how a 100 TB index actually
+    * stays fresh: the corpus is never re-indexed; each ingest batch adds
+    * a segment and merge happens on read or in a background OPTIMIZE —
+    * the LSM pattern reduced to parquet + batch-id partitions.
+    *
+    * Exactly-once on replay via the s06 `_batch` dynamic-partition-
+    * overwrite contract. Zero streaming state: a batch's delta depends
+    * only on that batch. Per-delta postings are batch-bounded; a
+    * production deployment shards a hot token's postings into
+    * (token, shard) segments at merge time — mergedIndex's cap mirrors
+    * q56's emitted head. */
+  def indexDeltas(docs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextOps
+    docs.writeStream
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .select(col("doc_id"),
+            explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("df"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch").parquet(s"$outDir/deltas")
+        ()
+      }
+      .start()
+  }
+
+  /** Merge the s11 delta segments into the current index view: df sums
+    * across deltas; postings union-sorted with the same presentation cap
+    * as batch q56 (ScalaTest asserts the merged view equals the batch
+    * build exactly). One token-keyed aggregate over the delta relation —
+    * deltas are pre-aggregated per batch, so this is a merge of partial
+    * states, not a corpus re-scan (the reference's partial→final combine
+    * one more time, across TIME instead of tasks). */
+  def mergedIndex(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      minDf: Long = 10, cap: Int = 20): DataFrame =
+    spark.read.parquet(s"$outDir/deltas")
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("df"),
+        slice(array_sort(flatten(collect_list(col("postings")))), 1, cap)
+          .as("postings"))
+      .filter(col("df") >= minDf)
+
   /** s06 — streaming corpus router: per-microbatch quality features plus
     * the deterministic content-hash split (the streaming twin of q58 —
     * same TextOps.contentSplitHash expression), fanned out to one parquet

@@ -292,6 +292,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s11 incremental index deltas merge to exactly the batch q56 index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.indexDeltas(input.toDF().toDF("doc_id", "text"), dir)
+    try {
+      // the full sf0.001 documents table streamed in 3 arbitrary slices —
+      // the merged view must not depend on how ingest was batched
+      val docs = graft.sources.Tables.documents(spark, sfSmoke)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(docs.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val merged = StreamOps.mergedIndex(spark, dir)
+      .select(col("token"), col("df"),
+        concat_ws(",", transform(col("postings"), x => x.cast("string"))).as("postings"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val batch = SparkEntry.queries("q56_inverted_index")(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(merged == batch)
+    // replay idempotence: deltas are _batch-partitioned, so a re-write of
+    // one batch partition cannot duplicate df contributions
+    assert(spark.read.parquet(s"$dir/deltas")
+      .groupBy(col("_batch")).count().count() == 3)
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {
