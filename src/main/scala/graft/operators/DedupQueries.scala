@@ -334,16 +334,38 @@ object DedupQueries {
   private val q79 = GQuery(
     "q79_minhash_accuracy",
     (s, d) => {
-      val sh = shingleDf(s, d)
+      // ONE evaluation of the shingle pipeline: this audit consumes the
+      // posting relation five times (signatures, sizes, both sides of the
+      // overlap self-join, candidate generation), and Spark does not
+      // reuse exchanges across repeated subtree references — the eager
+      // localCheckpoint materializes the narrow (sgh, doc_id) relation
+      // once and every consumer reads the blocks.
+      val sh = shingleDf(s, d).localCheckpoint()
       val sigs = sh.groupBy(col("doc_id"))
         .agg(TextOps.minhash(col("sgh"), 0).as("h0"),
           (1 until MINHASH_K).map(i => TextOps.minhash(col("sgh"), i).as(s"h$i")): _*)
+        .localCheckpoint()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val common = sh.as("a").join(sh.as("b"),
           col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .agg(count(lit(1)).as("common"))
-      val pairs = minhashPairs(s, d)
+      // candidate pairs derived from the SAME signature relation (band
+      // hashing identical to CorpusOps.minhashCandidates, which q31
+      // proves against the oracle)
+      val rowsPerBand = MINHASH_K / 2
+      val bandStructs = (0 until 2).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+        struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+      }
+      val pairs = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+        .groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) >= 2)
+        .select(explode(TextOps.orderedPairs(col("docs"))).as("p"))
+        .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
+        .distinct()
       val withSigs = pairs
         .join(sigs.toDF("doc1" +: (0 until MINHASH_K).map(i => s"a$i"): _*), "doc1")
         .join(sigs.toDF("doc2" +: (0 until MINHASH_K).map(i => s"b$i"): _*), "doc2")

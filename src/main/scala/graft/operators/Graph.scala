@@ -15,14 +15,17 @@ object Graph {
     *
     * Algorithm: min-label propagation FUSED WITH POINTER DOUBLING. Per
     * round every vertex takes the least of (its label, its neighbors'
-    * labels, its label's label). The third term is the pointer jump
-    * `l(l(v))` — one self-join of the vertex-sized label relation — and
-    * is what turns the O(diameter) rounds of plain propagation into
-    * O(log diameter): a chain of 10^6 vertices converges in ~25 rounds
-    * instead of 10^6. This is the hook-and-jump family of PRAM CC
-    * algorithms re-expressed as joins (the same round bound as
-    * large-star/small-star, with simpler per-round plans: the edge
-    * relation is never rewritten, only the vertex-sized labels change).
+    * labels, its label's label). The third term — the pointer jump
+    * `l(l(v)` — is what turns the O(diameter) rounds of plain propagation
+    * into O(log diameter): a chain of 10^6 vertices converges in ~25
+    * rounds instead of 10^6. The jump costs NO extra join: the round's
+    * neighbor relation is augmented with the label edges (l(v) → v and
+    * v → l(v)), so one join + one aggregate per round computes
+    * min(neighbor labels ∪ {l(l(v))} ∪ {labels hooked up from children}).
+    * This is the hook-and-jump family of PRAM CC algorithms re-expressed
+    * as joins (the same round bound as large-star/small-star, with
+    * simpler per-round plans: the true edge relation is never rewritten,
+    * only the vertex-sized label edges change per round).
     *
     * Scale notes (100 TB):
     * - Per round: one edges⋈labels join + aggregate (edge-sized, but the
@@ -62,8 +65,16 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       vertexOut: String = "vertex", componentOut: String = "component",
       maxRounds: Int = 64, checkpointEvery: Int = 2): DataFrame = {
-    val e = edges.select(col(srcCol).as("ga"), col(dstCol).as("gb"))
-      .union(edges.select(col(dstCol).as("ga"), col(srcCol).as("gb")))
+    // ONE evaluation of the caller's edge pipeline (often an expensive
+    // LSH candidate generation): the both-directions union references it
+    // twice, and Spark re-evaluates repeated subtree references. Eager
+    // localCheckpoint materializes the narrow 16-byte edge relation once;
+    // a cluster deployment with executor churn would use reliable
+    // checkpoint() (same contract as CorpusOps.pack).
+    val src = edges.select(col(srcCol).as("ga"), col(dstCol).as("gb"))
+      .localCheckpoint()
+    val e = src
+      .union(src.select(col("gb").as("ga"), col("ga").as("gb")))
       .filter(col("ga") =!= col("gb"))
       .persist()
     // `cached` tracks the DataFrame that actually holds this round's
@@ -75,17 +86,18 @@ object Graph {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = e.join(labels, col("gb") === col("gv"))
+      // label edges both ways: (v -> l(v)) makes the neighbor-min include
+      // the pointer jump l(l(v)); (l(v) -> v) hooks a label vertex onto
+      // the minimum its children already found (star collapse)
+      val labelEdges = labels.filter(col("gv") =!= col("gl"))
+      val eAug = e
+        .union(labelEdges.select(col("gv").as("ga"), col("gl").as("gb")))
+        .union(labelEdges.select(col("gl").as("ga"), col("gv").as("gb")))
+      val nbrMin = eAug.join(labels, col("gb") === col("gv"))
         .groupBy(col("ga")).agg(min(col("gl")).as("nbr_min"))
-      val jump = labels.as("x")
-        .join(labels.as("y"), col("x.gl") === col("y.gv"), "left")
-        .select(col("x.gv").as("jv"), coalesce(col("y.gl"), col("x.gl")).as("jmp"))
-      val newLab = least(col("gl"),
-        coalesce(col("nbr_min"), col("gl")),
-        coalesce(col("jmp"), col("gl")))
+      val newLab = least(col("gl"), coalesce(col("nbr_min"), col("gl")))
       var updated = labels
         .join(nbrMin, col("gv") === col("ga"), "left")
-        .join(jump, col("gv") === col("jv"), "left")
         .select(col("gv"), newLab.as("new_gl"), (newLab < col("gl")).as("chg"))
         .select(col("gv"), col("new_gl").as("gl"), col("chg"))
       rounds += 1
