@@ -261,5 +261,62 @@ object CorpusQueries {
             FROM b JOIN f USING (bg) GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82)
+  /** q84 — token co-occurrence lift over a FIXED analysis vocabulary
+    * (wave 3): for the top-50 tokens by document frequency, pairs that
+    * co-occur in ≥20 documents, scored by lift
+    * = P(a,b) / (P(a)·P(b)) = c_ab·N / (df_a·df_b) — the corpus
+    * association-mining audit (collocations, topic structure). Lift stays
+    * a ratio of exact integers (one IEEE division, round 6) — no log/PMI
+    * whose libm ulps differ across engines.
+    *
+    * Scale notes: THE pair-blowup guard is the fixed vocabulary — the
+    * top-V relation is V rows, broadcast; per-doc intersections are ≤ V
+    * tokens, so pair fan-out is ≤ V²/2 per doc, a CONSTANT bound
+    * (unlike df-threshold filters, which are data-dependent at web
+    * scale). At fixture scale c_ab·N and df_a·df_b fit comfortably in
+    * longs; at corpus scale cast to double before the multiply (the
+    * ratio, not the products, is the signal). Head via
+    * TakeOrderedAndProject. */
+  private val q84 = GQuery(
+    "q84_cooccurrence_lift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      val dfRel = dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val top = dfRel.orderBy(col("df").desc, col("token")).limit(50)
+      val pairs = dt.join(broadcast(top), "token")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("token"), col("df")))).as("ts"))
+        .select(explode(graft.functions.TextOps.orderedPairs(col("ts"))).as("p"))
+        .select(col("p.d1.token").as("t1"), col("p.d1.df").as("df1"),
+          col("p.d2.token").as("t2"), col("p.d2.df").as("df2"))
+        .groupBy(col("t1"), col("df1"), col("t2"), col("df2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 20)
+      pairs.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("lift",
+          round((col("c_ab") * col("n_docs")) / (col("df1") * col("df2")), 6))
+        .select(col("t1"), col("t2"), col("c_ab"), col("lift"))
+        .orderBy(col("lift").desc, col("t1"), col("t2"))
+        .limit(100)
+    },
+    Some("""WITH dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                        FROM documents),
+                 f AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+                 top AS (SELECT token, df FROM f ORDER BY df DESC, token LIMIT 50),
+                 ft AS (SELECT dt.doc_id, dt.token, top.df FROM dt JOIN top USING (token)),
+                 pr AS (SELECT a.token AS t1, a.df AS df1, b.token AS t2, b.df AS df2,
+                               count(*) AS c_ab
+                        FROM ft a JOIN ft b
+                          ON a.doc_id = b.doc_id AND a.token < b.token
+                        GROUP BY 1, 2, 3, 4 HAVING count(*) >= 20),
+                 n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT t1, t2, c_ab,
+                   round((c_ab * n_docs) * 1.0 / (df1 * df2), 6) AS lift
+            FROM pr, n
+            ORDER BY lift DESC, t1, t2 LIMIT 100""")
+  )
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84)
 }

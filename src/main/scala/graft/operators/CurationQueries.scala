@@ -442,5 +442,38 @@ object CurationQueries {
          FROM leaks GROUP BY 1, 2 ORDER BY split_a, split_b""")
   )
 
-  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80)
+  /** q83 — training-mixture report (wave 3): per-source corpus shares —
+    * the dataset card every training run publishes (how much of the mix
+    * each source contributes, in documents and tokens, over how many
+    * languages).
+    *
+    * Scale notes: map-only token-count feature, one ≤|sources|-group
+    * aggregate with partial combine; the share denominators window over
+    * the source-sized AGGREGATE relation (never the corpus), the q70
+    * funnel pattern. */
+  private val q83 = GQuery(
+    "q83_source_mix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), size(tokens(col("text"))).as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("pct_tokens", round(col("total_tokens") * 100.0 /
+          sum(col("total_tokens")).over(Window.partitionBy()), 6))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (SELECT source, lang, len(string_split(text, ' ')) AS nt FROM documents),
+                 a AS (SELECT source, count(*) AS n_docs,
+                              CAST(sum(nt) AS BIGINT) AS total_tokens,
+                              count(DISTINCT lang) AS n_langs
+                       FROM f GROUP BY source)
+            SELECT source, n_docs, total_tokens, n_langs,
+                   round(total_tokens * 100.0 / sum(total_tokens) OVER (), 6) AS pct_tokens
+            FROM a ORDER BY source""")
+  )
+
+  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80, q83)
 }

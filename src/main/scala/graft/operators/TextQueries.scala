@@ -213,6 +213,36 @@ object TextQueries {
             WHERE rk <= 20 ORDER BY lang, doc_id""")
   )
 
+  /** q85 — per-language document-length quartiles (wave 3): the length
+    * distribution report a curation pipeline reads before picking
+    * truncation/chunking thresholds. Exact interpolated quartiles via
+    * the Ranks decomposition (parallel local sorts in range slices +
+    * k-row final interpolation — q63's scale path, one call per
+    * quantile), never a single-task-per-group percentile. The inputs are
+    * deterministic file-scan projections, satisfying the Ranks input
+    * contract; values are integer-valued doubles so interpolation is
+    * exact in both engines. */
+  private val q85 = GQuery(
+    "q85_length_quartiles",
+    (s, d) => {
+      val lens = Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).cast("double").as("nt"))
+      Ranks.quantileCont(lens, "lang", col("nt"), 0.25, "p25")
+        .join(Ranks.quantileCont(lens, "lang", col("nt"), 0.5, "p50"), "lang")
+        .join(Ranks.quantileCont(lens, "lang", col("nt"), 0.75, "p75"), "lang")
+        .select(col("lang"), round(col("p25"), 6).as("p25"),
+          round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang,
+                   round(quantile_cont(nt, 0.25), 6) AS p25,
+                   round(quantile_cont(nt, 0.5), 6) AS p50,
+                   round(quantile_cont(nt, 0.75), 6) AS p75
+            FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+                  FROM documents)
+            GROUP BY lang ORDER BY lang""")
+  )
+
   /** q53 — positional explode (Generate with ordinality): leading trigram
     * of every document with 0-based positions. */
   private val q53 = GQuery(
@@ -278,5 +308,5 @@ object TextQueries {
             FROM documents""")
   )
 
-  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54, q55)
+  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54, q55, q85)
 }

@@ -209,6 +209,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q76 cluster pruning rides WindowGroupLimit (map-side per-cluster heaps)") {
+    // rank<=3 over partitionBy(cid) must rewrite to WindowGroupLimit —
+    // without it the per-cluster window concentrates corpus/B rows per
+    // task at any cluster size
+    val p = plan("q76_semdedup")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q81 filters query tokens before the aggregation shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val qe = SparkEntry.queries("q81_index_probe")(spark, sfSmoke).queryExecution
+    // the IN predicate must sit BELOW the doc_id aggregate, so the
+    // shuffle carries at most |query| rows per document
+    val agg = qe.optimizedPlan.collectFirst {
+      case a: logical.Aggregate => a }.get
+    val filtered = agg.child.collectFirst {
+      case f: logical.Filter if f.condition.references.exists(_.name == "token") => f }
+    assert(filtered.isDefined, qe.optimizedPlan.toString)
+  }
+
   test("q04 never funnels the full table through an unpartitioned window") {
     val (ws, p) = windows("q04_sorted_check")
     assert(ws.nonEmpty, p)
