@@ -46,6 +46,11 @@ class GraphSpec extends SparkSpec {
     assert(cc == expected)
   }
 
+  test("empty edge relation yields an empty labeling without error") {
+    val empty = Seq.empty[(Long, Long)].toDF("s", "t")
+    assert(Graph.connectedComponents(empty, "s", "t").count() == 0)
+  }
+
   test("custom output column names and self-loop tolerance") {
     val edges = Seq((1L, 1L), (1L, 2L), (3L, 3L)).toDF("s", "t")
     val cc = Graph.connectedComponents(edges, "s", "t",
