@@ -28,7 +28,7 @@ object Vectors {
       cents = assigned.groupBy(col("cid"))
         .agg(udaf(VectorAvg).apply(col("embedding")).as("cvec"))
       // keep each iteration's result materialized-small: k rows
-      cents = cents.localCheckpoint(eager = true)
+      cents = graft.sources.Io.materialize(cents)
     }
     cents
   }

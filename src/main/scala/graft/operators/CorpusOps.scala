@@ -283,21 +283,19 @@ object CorpusOps {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     guard(Seq("k", "nt", "_g", "run", "prior", "seq_id", "n_tokens", "_slice", "_v"),
       idCol, textCol)
-    val prepared = docs
+    val prepared = graft.sources.Io.materialize(docs
       .select(col(idCol), md5(col(textCol)).as("k"),
         size(TextOps.tokens(col(textCol))).as("nt"))
-      .withColumn("_g", lit(0))
+      .withColumn("_g", lit(0)))
       // MATERIALIZE before Ranks: this API accepts arbitrary relations,
       // and Ranks' sliced decomposition requires deterministically-ordered
       // input (its two internal references re-evaluate the subtree; a
       // shuffled input can slice the two branches differently and silently
-      // drop rows — the recorded q71 incident). EAGER localCheckpoint is
+      // drop rows — the recorded q71 incident). EAGER materialization is
       // deliberate: a lazy one could still let the two branches race-
       // compute a partition. Costs: a job at construction time (narrow
-      // (id, hash, count) relation — cheap) and non-recomputable blocks
-      // on executor loss; a production deployment with a checkpoint dir
-      // would use reliable .checkpoint() here instead.
-      .localCheckpoint()
+      // (id, hash, count) relation — cheap); Io.materialize picks local
+      // vs reliable checkpoint from the engine-wide config switch.
     Ranks.runningSum(prepared, "_g", Seq(col("k"), col(idCol)), col("nt"), "run")
       .withColumn("prior", col("run") - col("nt"))
       .withColumn("seq_id", expr(s"prior div $seqLen"))

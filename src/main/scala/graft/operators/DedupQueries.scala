@@ -213,7 +213,7 @@ object DedupQueries {
     * Runs Graph.connectedComponents — min-label propagation fused with
     * pointer doubling, so rounds are O(log diameter) (a chain component
     * of 10^6 docs converges in ~25 rounds, not 10^6), with eager
-    * localCheckpoint every 8 rounds bounding plan lineage. The driver
+    * materialization every 2 rounds bounding plan lineage. The driver
     * loop only checks a scalar convergence count per round (the
     * canonical distributed-CC control flow — data never leaves the
     * executors).
@@ -221,12 +221,34 @@ object DedupQueries {
     * Converges to the unique fixpoint (component minimum) regardless of
     * execution schedule, so the output is deterministic and matches the
     * oracle's recursive-CTE transitive closure exactly. */
+  /** Cluster labels SHARED between q60 (producer) and q78 (consumer): at
+    * production scale no pipeline runs CC twice on the same edge set —
+    * the labels are materialized once and every downstream view derives
+    * from them (r3 verdict item 2). q60 always RECOMPUTES and re-publishes
+    * (so its bench time honestly measures the CC loop every rep); q78
+    * consumes the latest published relation when one exists for its
+    * (session, dir) and only computes its own when run standalone. */
+  private val publishedLabels =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def labelKey(s: SparkSession, d: String): String =
+    s.sparkContext.applicationId + "|" + d
+  private def computeLabels(s: SparkSession, d: String): DataFrame =
+    Graph.connectedComponents(minhashPairs(s, d), "doc1", "doc2",
+      vertexOut = "doc_id", componentOut = "cluster_id")
+  private def publishLabels(s: SparkSession, d: String): DataFrame = {
+    // materialize: the published relation is vertex-sized (16 bytes/row)
+    // and must be a block scan for consumers — re-deriving it would rerun
+    // the whole CC loop, the exact duplication this cache removes
+    val labels = graft.sources.Io.materialize(computeLabels(s, d))
+    publishedLabels.put(labelKey(s, d), labels)
+    labels
+  }
+  private def labelsFor(s: SparkSession, d: String): DataFrame =
+    Option(publishedLabels.get(labelKey(s, d))).getOrElse(publishLabels(s, d))
+
   private val q60 = GQuery(
     "q60_dup_clusters",
-    (s, d) =>
-      Graph.connectedComponents(minhashPairs(s, d), "doc1", "doc2",
-          vertexOut = "doc_id", componentOut = "cluster_id")
-        .orderBy(col("doc_id")),
+    (s, d) => publishLabels(s, d).orderBy(col("doc_id")),
     Some(SHINGLE_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, sig AS (SELECT doc_id,
                     min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
@@ -290,15 +312,16 @@ object DedupQueries {
     * smallest doc_id) — the standard "keep the most complete copy" rule.
     *
     * Scale notes: consumes the vertex-sized cluster labels (already
-    * LSH-reduced), joins the corpus only on doc_id to fetch one integer
-    * attribute, then a single argmax AGGREGATE per cluster (max_by over a
-    * (n_chars, -doc_id) struct) — no per-cluster window, no data-sized
-    * partitions, exactly the q73 MERGE argmax pattern. */
+    * LSH-reduced) PUBLISHED BY q60 — one CC execution per pipeline run,
+    * not one per view (r3 verdict item 2); joins the corpus only on
+    * doc_id to fetch one integer attribute, then a single argmax
+    * AGGREGATE per cluster (max_by over a (n_chars, -doc_id) struct) —
+    * no per-cluster window, no data-sized partitions, exactly the q73
+    * MERGE argmax pattern. */
   private val q78 = GQuery(
     "q78_dedup_keep_best",
     (s, d) =>
-      Graph.connectedComponents(minhashPairs(s, d), "doc1", "doc2",
-          vertexOut = "doc_id", componentOut = "cluster_id")
+      labelsFor(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
@@ -338,34 +361,46 @@ object DedupQueries {
       // posting relation five times (signatures, sizes, both sides of the
       // overlap self-join, candidate generation), and Spark does not
       // reuse exchanges across repeated subtree references — the eager
-      // localCheckpoint materializes the narrow (sgh, doc_id) relation
-      // once and every consumer reads the blocks.
-      val sh = shingleDf(s, d).localCheckpoint()
-      val sigs = sh.groupBy(col("doc_id"))
+      // materialization pins the narrow (sgh, doc_id) relation once and
+      // every consumer reads the blocks.
+      val sh = graft.sources.Io.materialize(shingleDf(s, d))
+      val sigs = graft.sources.Io.materialize(sh.groupBy(col("doc_id"))
         .agg(TextOps.minhash(col("sgh"), 0).as("h0"),
-          (1 until MINHASH_K).map(i => TextOps.minhash(col("sgh"), i).as(s"h$i")): _*)
-        .localCheckpoint()
+          (1 until MINHASH_K).map(i => TextOps.minhash(col("sgh"), i).as(s"h$i")): _*))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val common = sh.as("a").join(sh.as("b"),
-          col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .agg(count(lit(1)).as("common"))
       // candidate pairs derived from the SAME signature relation (band
       // hashing identical to CorpusOps.minhashCandidates, which q31
-      // proves against the oracle)
+      // proves against the oracle); materialized because THREE consumers
+      // read it (candidate-doc semi-join, signature probe, final join)
       val rowsPerBand = MINHASH_K / 2
       val bandStructs = (0 until 2).map { b =>
         val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
         struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
       }
-      val pairs = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-        .groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")) >= 2)
-        .select(explode(TextOps.orderedPairs(col("docs"))).as("p"))
-        .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
+      val pairs = graft.sources.Io.materialize(
+        sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+          .groupBy(col("band"), col("bh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) >= 2)
+          .select(explode(TextOps.orderedPairs(col("docs"))).as("p"))
+          .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
+          .distinct())
+      // TRUE-Jaccard overlap restricted to CANDIDATE docs (r3 verdict
+      // item 5): the audit only reports candidate pairs, so computing
+      // `common` for every co-shingle pair in the corpus is pure waste —
+      // semi-join the posting relation down to docs that appear in some
+      // candidate pair FIRST, making the heavy sgh self-join candidate-
+      // sized. At 100 TB candidates are the LSH-reduced near-dup set,
+      // orders of magnitude smaller than the corpus.
+      val candDocs = pairs.select(col("doc1").as("doc_id"))
+        .union(pairs.select(col("doc2").as("doc_id")))
         .distinct()
+      val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      val common = shCand.as("a").join(shCand.as("b"),
+          col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("common"))
       val withSigs = pairs
         .join(sigs.toDF("doc1" +: (0 until MINHASH_K).map(i => s"a$i"): _*), "doc1")
         .join(sigs.toDF("doc2" +: (0 until MINHASH_K).map(i => s"b$i"): _*), "doc2")
@@ -429,5 +464,70 @@ object DedupQueries {
          FROM est ORDER BY doc1, doc2""")
   )
 
-  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79)
+  /** The candidate-graph CTE chain (shingles → signatures → bands → LSH
+    * candidate pairs as (u, v)) shared by graph-consumer oracles. */
+  private val CAND_SQL = SHINGLE_SQL +
+    """, sig AS (SELECT doc_id,
+                    min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
+                    min(CAST(concat('0x', substr(md5('1|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h1,
+                    min(CAST(concat('0x', substr(md5('2|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h2,
+                    min(CAST(concat('0x', substr(md5('3|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h3,
+                    min(CAST(concat('0x', substr(md5('4|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h4,
+                    min(CAST(concat('0x', substr(md5('5|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h5,
+                    min(CAST(concat('0x', substr(md5('6|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h6,
+                    min(CAST(concat('0x', substr(md5('7|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h7
+                  FROM sh GROUP BY doc_id),
+         band AS (SELECT doc_id, 0 AS band,
+                         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
+                  UNION ALL
+                  SELECT doc_id, 1 AS band,
+                         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bh FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+                  FROM band a JOIN band b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
+  /** One PageRank iteration as a chained (non-recursive) CTE — the exact
+    * integer update rule of Graph.pageRankScaled with `//` in place of
+    * Spark's `div`; both truncate toward zero and all values are
+    * non-negative, so the arithmetic is bit-identical. */
+  private def prIterSql(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"r${k - 1}"
+    s""", r$k AS (SELECT nd.gu,
+            ((15 * (1000000000000 // (SELECT n FROM np))) // 100)
+            + ((85 * coalesce(s.s, 0)) // 100) AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT e.gv AS gu, sum(r.rank // d.deg) AS s
+            FROM e JOIN $prev r ON e.gu = r.gu JOIN deg d ON e.gu = d.gu
+            GROUP BY e.gv) s ON nd.gu = s.gu)"""
+  }
+
+  /** q86 — duplicate-graph PageRank (wave 4): rank every document in the
+    * near-dup candidate graph by 5 damped PageRank iterations, in scaled
+    * exact-integer arithmetic (Graph.pageRankScaled). The curation use:
+    * a document's rank in the duplicate graph measures how CENTRAL it is
+    * to a template family — high-rank nodes are boilerplate hubs (the
+    * thing to down-weight or keep exactly once), rank ≈ teleport means
+    * incidental similarity. Complements q60/q78: CC says WHICH cluster,
+    * PageRank says HOW HUB-LIKE within it. */
+  private val q86 = GQuery(
+    "q86_pagerank",
+    (s, d) =>
+      Graph.pageRankScaled(minhashPairs(s, d), "doc1", "doc2", iters = 5)
+        .select(col("vertex").as("doc_id"), col("rank_scaled"))
+        .orderBy(col("doc_id")),
+    Some(CAND_SQL +
+      """, e AS (SELECT u AS gu, v AS gv FROM cand
+                 UNION SELECT v AS gu, u AS gv FROM cand),
+         deg AS (SELECT gu, count(*) AS deg FROM e GROUP BY gu),
+         nodes AS (SELECT DISTINCT gu FROM e),
+         np AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT gu, (1000000000000 // (SELECT n FROM np)) AS rank FROM nodes)""" +
+      (1 to 5).map(prIterSql).mkString +
+      // CAST: DuckDB's sum() widens to HUGEINT and the width propagates
+      // through the iterations; values stay < scale so BIGINT is exact
+      """ SELECT gu AS doc_id, CAST(rank AS BIGINT) AS rank_scaled
+          FROM r5 ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86)
 }

@@ -68,11 +68,11 @@ object Graph {
     // ONE evaluation of the caller's edge pipeline (often an expensive
     // LSH candidate generation): the both-directions union references it
     // twice, and Spark re-evaluates repeated subtree references. Eager
-    // localCheckpoint materializes the narrow 16-byte edge relation once;
-    // a cluster deployment with executor churn would use reliable
-    // checkpoint() (same contract as CorpusOps.pack).
-    val src = edges.select(col(srcCol).as("ga"), col(dstCol).as("gb"))
-      .localCheckpoint()
+    // materialization pins the narrow 16-byte edge relation once;
+    // Io.materialize picks localCheckpoint vs reliable checkpoint() from
+    // the one engine-wide config switch.
+    val src = graft.sources.Io.materialize(
+      edges.select(col(srcCol).as("ga"), col(dstCol).as("gb")))
     val e = src
       .union(src.select(col("gb").as("ga"), col("ga").as("gb")))
       .filter(col("ga") =!= col("gb"))
@@ -103,7 +103,8 @@ object Graph {
       rounds += 1
       // eager truncation: without it the plan for round N contains every
       // prior round's join tree and planning time grows superlinearly
-      if (rounds % checkpointEvery == 0) updated = updated.localCheckpoint(true)
+      if (rounds % checkpointEvery == 0)
+        updated = graft.sources.Io.materialize(updated)
       val mat = updated.persist()
       changed = mat.filter(col("chg")).count()
       cached.unpersist()
@@ -120,5 +121,60 @@ object Graph {
     // standard contract for iterative fit() results); all intermediate
     // rounds were unpersisted above
     labels.select(col("gv").as(vertexOut), col("gl").as(componentOut))
+  }
+
+  /** Fixed-iteration PageRank in SCALED INTEGER arithmetic: ranks are
+    * maintained as BIGINT multiples of 1/`scale` and every step uses exact
+    * integer division (`div`), so the result is bit-identical on any
+    * engine, any partitioning, any reduction order. Floating-point
+    * PageRank is NOT reproducible on a cluster — the per-vertex Σ of
+    * double contributions changes with aggregation order, and a 100 TB
+    * pipeline that feeds ranking into downstream filters needs replayable
+    * output (the same reasoning as the engine-wide exact-decimal
+    * aggregate rule, SURVEY §7). The truncation bias per step is < 1/scale
+    * per in-edge — at scale=10^12, nine orders below any ranking decision.
+    *
+    * Update rule (damping 0.85 as the classic constant):
+    *   r_0(v)    = scale div n
+    *   r_{k+1}(v) = (15·(scale div n)) div 100
+    *              + (85 · Σ_{u→v} (r_k(u) div outdeg(u))) div 100
+    *
+    * Scale notes (100 TB): per iteration ONE edge⋈rank join + vertex-keyed
+    * aggregate (partial combine before the shuffle) and a vertex-sized
+    * left join for dangling-safe carry; deg and the node list materialize
+    * once; rank lineage truncates through Io.materialize every iteration,
+    * so plan depth is constant no matter `iters`. The only driver-side
+    * value is the single node count.
+    */
+  def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && scale > 0)
+    // one evaluation of the caller's (possibly expensive) edge pipeline
+    val src = graft.sources.Io.materialize(
+      edges.select(col(srcCol).as("gu"), col(dstCol).as("gv")))
+    val e = graft.sources.Io.materialize(
+      src.union(src.select(col("gv").as("gu"), col("gu").as("gv")))
+        .filter(col("gu") =!= col("gv"))
+        .distinct())
+    val deg = e.groupBy(col("gu")).agg(count(lit(1)).as("deg"))
+    val nodes = graft.sources.Io.materialize(e.select(col("gu")).distinct())
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("gu").as("vertex"),
+      col("gu").as("rank_scaled"))
+    val r0 = scale / n
+    val teleport = 15L * r0 / 100L
+    var rank = nodes.select(col("gu"), lit(r0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(deg, "gu")
+        .select(col("gu"), expr("rank div deg").as("c"))
+      val inSum = e.join(contrib, "gu")
+        .groupBy(col("gv")).agg(sum(col("c")).as("s"))
+      rank = graft.sources.Io.materialize(
+        nodes.join(inSum, nodes("gu") === inSum("gv"), "left")
+          .select(nodes("gu"),
+            (lit(teleport) +
+              expr("(85 * coalesce(s, 0L)) div 100")).as("rank")))
+    }
+    rank.select(col("gu").as("vertex"), col("rank").as("rank_scaled"))
   }
 }

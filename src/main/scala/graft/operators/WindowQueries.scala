@@ -43,11 +43,11 @@ object WindowQueries {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-      // localCheckpoint: the ranked relation feeds the tie aggregate AND
+      // materialize: the ranked relation feeds the tie aggregate AND
       // the final probe — one evaluation of the range shuffle, not two
-      val rn = Ranks.rowNumber(li, "l_returnflag",
+      val rn = graft.sources.Io.materialize(Ranks.rowNumber(li, "l_returnflag",
         Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
-        "rn").localCheckpoint()
+        "rn"))
       val ties = rn.groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(min(col("rn")).as("rk"), max(col("rn")).as("cdn"))
       val topTies = ties.filter(col("rk") <= 50)
@@ -114,11 +114,11 @@ object WindowQueries {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_linestatus"))
       val li = Tables.lineitem(s, d).select(col("l_returnflag") +: ord: _*)
-      // localCheckpoint: the ranked relation feeds three consumers (donor
+      // materialize: the ranked relation feeds three consumers (donor
       // aggregate, firsts, final join) — without it each reference
       // re-evaluates the range exchange (no exchange reuse, q69 precedent)
-      val ranked = Ranks.rowNumberAndRunningSum(li, "l_returnflag", ord,
-        col("l_quantity"), "rn", "running_qty").localCheckpoint()
+      val ranked = graft.sources.Io.materialize(Ranks.rowNumberAndRunningSum(
+        li, "l_returnflag", ord, col("l_quantity"), "rn", "running_qty"))
       val donors = ranked.select(col("l_returnflag"), explode(array(
           struct((col("rn") + 1).as("trn"), lit(1).as("role"), col("l_quantity").as("q")),
           struct((col("rn") + 2).as("trn"), lit(2).as("role"), col("l_quantity").as("q")),

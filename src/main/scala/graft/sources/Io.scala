@@ -15,6 +15,42 @@ import org.apache.spark.sql.types.StructType
 object Io {
   val CorruptCol = "_corrupt_record"
 
+  /** One config key flips every lineage-truncation site in the engine
+    * between eager localCheckpoint (default — executor-resident blocks,
+    * no distributed-FS round-trip, right for local mode and short jobs)
+    * and reliable `checkpoint()` (blocks on the checkpoint dir, survive
+    * executor loss — required on a real cluster with dynamic allocation,
+    * where a lost executor would otherwise kill every iterative operator
+    * mid-flight at once). */
+  val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
+
+  /** Optional convenience: when set, materialize() installs this as the
+    * SparkContext checkpoint dir on first reliable use. */
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
+  /** Central materialization switch: every operator that must truncate
+    * lineage / force one evaluation of a multi-consumer subtree (the CC
+    * loop, Ranks' offset producers, pack()'s prefix sums, q79's posting
+    * relation) calls this instead of hard-coding localCheckpoint. The
+    * eager=true semantics are identical in both modes: the returned
+    * DataFrame is already computed and its plan is a block scan.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption(ReliableCheckpointKey).exists(_.toBoolean)
+    if (reliable) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.conf.getOption(CheckpointDirKey) match {
+          case Some(dir) => spark.sparkContext.setCheckpointDir(dir)
+          case None => sys.error(
+            s"$ReliableCheckpointKey=true requires a checkpoint dir: set " +
+              s"$CheckpointDirKey or call sparkContext.setCheckpointDir")
+        }
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
   /** Read CSV with an enforced schema + quarantine column. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read

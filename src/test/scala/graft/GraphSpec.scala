@@ -60,4 +60,74 @@ class GraphSpec extends SparkSpec {
     assert(cc.orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       == Seq((1L, 1L), (2L, 1L)))
   }
+
+  test("giant component: converges with no single task holding the label join") {
+    // One giant 4096-vertex component with mixed topology: a long chain
+    // (diameter stressor — plain propagation would need ~2000 rounds and
+    // die at maxRounds=64, so passing PROVES the pointer-doubling round
+    // bound), a high-degree star whose hub is NOT the component min (hook
+    // stressor), and random shortcuts. Near convergence every vertex's
+    // label edge points at vertex 0 — the giant-component hot key the
+    // scaladoc's skew claim is about.
+    val n = 4096
+    val rnd = new scala.util.Random(13)
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+    val star = (1 to 64).map(i => (2048L, 2048L + i))
+    val shortcuts = Seq.fill(256)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val edges = (chain ++ star ++ shortcuts).toDF("s", "t")
+
+    // Per-stage shuffle-read skew listener: records (max single-task
+    // records, stage total). Broadcast joins would make the metric
+    // vacuous, so the label joins are forced to shuffle for this test.
+    val stageMax = scala.collection.concurrent.TrieMap[Int, Long]()
+    val stageTot = scala.collection.concurrent.TrieMap[Int, Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val recs = te.taskMetrics.shuffleReadMetrics.recordsRead
+        if (recs > 0) {
+          stageMax.updateWith(te.stageId)(m => Some(math.max(m.getOrElse(0L), recs)))
+          stageTot.updateWith(te.stageId)(t => Some(t.getOrElse(0L) + recs))
+        }
+      }
+    }
+    // Broadcast joins and AQE's small-partition coalescing both make the
+    // per-task metric vacuous at fixture scale (everything lands in one
+    // task BY DESIGN when the data is kilobytes) — force real hash-
+    // partitioned shuffles so the distribution is observable.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val cc = Graph.connectedComponents(edges, "s", "t").collect()
+      assert(cc.length == n)
+      assert(cc.forall(_.getLong(1) == 0L), "every vertex labels to the component min")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // listener events are delivered async; wait until the metric map settles
+    var snap = -1L
+    var settled = false
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (!settled && System.nanoTime() < deadline) {
+      Thread.sleep(300)
+      val now = stageTot.values.sum
+      settled = now == snap && now > 0
+      snap = now
+    }
+    // Skew lock: in every shuffle stage big enough to matter, the largest
+    // single task read well under the whole stage's input — the hot label
+    // key (everything -> vertex 0) never collapsed a join onto one task.
+    val big = stageTot.filter(_._2 >= 1000)
+    assert(big.nonEmpty, "expected at least one non-trivial shuffle stage")
+    big.foreach { case (stage, tot) =>
+      val mx = stageMax(stage)
+      assert(mx.toDouble / tot <= 0.75,
+        s"stage $stage: one task read $mx of $tot shuffle records — label-join skew")
+    }
+  }
 }

@@ -318,6 +318,15 @@ class StreamingSpec extends SparkSpec {
     // one batch partition cannot duplicate df contributions
     assert(spark.read.parquet(s"$dir/deltas")
       .groupBy(col("_batch")).count().count() == 3)
+    // bounded-merge lock (r3 verdict item 4): the merge must aggregate
+    // postings through the constant-state BoundedHead (each delta's list
+    // pre-sliced map-side), NOT collect every delta's full postings and
+    // slice after — that state grows with ingest history for hot tokens.
+    val plan = StreamOps.mergedIndex(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("flatten"),
+      s"merge plan regressed to unbounded collect_list+flatten:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the typed BoundedHead aggregate in the merge plan:\n$plan")
   }
 
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
