@@ -318,5 +318,71 @@ object CorpusQueries {
             ORDER BY lift DESC, t1, t2 LIMIT 100""")
   )
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84)
+  /** q87 — BM25 retrieval scoring (wave 4): every document scored against
+    * a fixed 3-term query with Okapi BM25 (k1=1.2, b=0.75), the standard
+    * lexical ranking function — the retrieval step of a RAG / data-mining
+    * pipeline run IN the engine instead of an external search service.
+    *
+    * Determinism: the per-document score is a FIXED-ORDER sum of the
+    * three per-term components (pivoted to columns and added left-to-
+    * right), never a SQL SUM over rows whose order the shuffle owns —
+    * the same reasoning as q42's rounded-rank tie-break. ln() may differ
+    * from DuckDB's libm by 1 ulp; round(6) absorbs it (q42 precedent).
+    *
+    * Scale notes (100 TB): tokens are filtered to the query terms BEFORE
+    * the tf aggregate, so the shuffled relation is (docs containing a
+    * term) × 3 rows max, not the corpus token stream; df is a 3-row
+    * aggregate of that same relation (broadcast); doc length is a map-
+    * side size(); the pivot is 3 fixed columns, no wide-pivot hazard. */
+  private val BM25_TERMS = Seq("spark", "merge", "window")
+  private val q87 = GQuery(
+    "q87_bm25",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("len"), col("toks"))
+      val stats = docs.agg(count(lit(1)).as("n"), sum(col("len")).as("sumlen"))
+      val tf = docs
+        .select(col("doc_id"), col("len"), explode(col("toks")).as("token"))
+        .filter(col("token").isin(BM25_TERMS: _*))
+        .groupBy(col("doc_id"), col("len"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val comp = tf
+        .join(broadcast(dfr), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("c",
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) *
+               (lit(0.25) + lit(0.75) * col("len") / (col("sumlen") / col("n")))))
+      comp.groupBy(col("doc_id"))
+        .pivot("token", BM25_TERMS)
+        .agg(first(col("c")))
+        .select(col("doc_id"),
+          round(coalesce(col(BM25_TERMS(0)), lit(0.0))
+            + coalesce(col(BM25_TERMS(1)), lit(0.0))
+            + coalesce(col(BM25_TERMS(2)), lit(0.0)), 6).as("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+                 st AS (SELECT count(*) AS n, sum(len) AS sumlen FROM dl),
+                 tf AS (SELECT doc_id, token, count(*) AS tf
+                        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+                        WHERE token IN ('spark', 'merge', 'window')
+                        GROUP BY doc_id, token),
+                 dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+                 comp AS (SELECT tf.doc_id, tf.token,
+                                 ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                                 * (tf.tf * 2.2)
+                                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / (st.sumlen * 1.0 / st.n))) AS c
+                          FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+            SELECT doc_id,
+                   round(coalesce(max(CASE WHEN token = 'spark' THEN c END), 0)
+                       + coalesce(max(CASE WHEN token = 'merge' THEN c END), 0)
+                       + coalesce(max(CASE WHEN token = 'window' THEN c END), 0), 6) AS score
+            FROM comp GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84, q87)
 }

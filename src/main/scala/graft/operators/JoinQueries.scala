@@ -237,5 +237,58 @@ object JoinQueries {
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
-  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15, q48, q49, q64)
+  /** q90 — bloom-pruned semi-join (wave 4): a runtime bloom filter built
+    * over a selective key subquery prunes the fact table BEFORE its
+    * shuffle; an exact semi-join afterwards removes the bloom's false
+    * positives, so the result is value-identical to the plain semi-join
+    * (which is the oracle — the q64 salted-join proof pattern).
+    *
+    * Scale notes (100 TB): this is the join shape where the key set is
+    * too big to broadcast as a hash relation but its bloom filter is
+    * kilobytes; the fact side tests membership inside whole-stage codegen
+    * (native BloomContains expression — a UDF here would break the
+    * codegen span at the scan) and only surviving rows reach the shuffle.
+    * Spark's AQE injects such filters only under narrow conditions
+    * (spark.sql.optimizer.runtime.bloomFilter.*); having it as a
+    * composable operator covers the rest. The filter aggregate's partial
+    * state is a constant numBits/8 bytes per task (bitwise-OR combine —
+    * the reference's partial→final merge pattern).
+    *
+    * Two-phase on purpose: the bitset is materialized FIRST (a 1-row
+    * aggregate — the driver holds only the constant-size filter, never
+    * rows) and probed as a literal. Expressing the probe as a
+    * crossJoin(broadcast(bloom)) instead lets Catalyst's
+    * PushDownLeftSemiAntiJoin reorder the exact semi-join BELOW the
+    * probe, running the full-fact join first and reducing the bloom to
+    * pure overhead — the literal probe is a deterministic scan-level
+    * filter the optimizer can only push further DOWN (PlanShapeSpec locks
+    * it below the join). This mirrors Spark's own runtime-filter
+    * execution, where the build subquery completes before the probe scan. */
+  private val q90 = GQuery(
+    "q90_bloom_semi_join",
+    (s, d) => {
+      graft.functions.Bloom.register(s)
+      val keys = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      val bits = keys.agg(
+          graft.functions.Bloom.buildAgg(1 << 14)(col("o_orderkey")).as("bits"))
+        .head.getSeq[Long](0).toArray
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      fact
+        .filter(graft.functions.Bloom.mightContain(typedLit(bits), col("l_orderkey")))
+        .join(keys, fact("l_orderkey") === keys("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 400000.0)
+            GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15, q48, q49, q64, q90)
 }

@@ -34,6 +34,26 @@ object Sampling {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratum, fractions, seed)
 
+  /** DETERMINISTIC stratified sample: per-stratum percentage rates with
+    * inclusion decided by a content hash of the id (md5 → 60-bit value
+    * mod 100), not an RNG. Map-only — no shuffle, no state, no seed
+    * bookkeeping — and the decision replays identically across engines,
+    * reruns, and partitionings: the property a 100 TB curation pipeline
+    * actually needs from its sampling stage (re-running a failed
+    * partition must re-select the SAME rows, and the oracle can re-derive
+    * the selection row-for-row, which q88 proves via DuckDB). */
+  def hashStratifiedSample(df: DataFrame, stratum: String, id: String,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100))
+    val u = pmod(
+      conv(substring(md5(col(id).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(stratum) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
   /** Seeded train/test split: complementary, exhaustive, reproducible. */
   def trainTestSplit(df: DataFrame, testFraction: Double, seed: Long): (DataFrame, DataFrame) = {
     val Array(train, test) = df.randomSplit(Array(1.0 - testFraction, testFraction), seed)

@@ -308,5 +308,70 @@ object TextQueries {
             FROM documents""")
   )
 
-  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54, q55, q85)
+  /** q88 — deterministic hash-stratified sample (wave 4): per-language
+    * sampling rates (es 50%, de 30%, everything else 10%) with inclusion
+    * decided by md5(doc_id) mod 100 via Sampling.hashStratifiedSample —
+    * the mixture-rebalancing step of corpus curation as a map-only,
+    * replay-stable operator. The driver's DuckDB gate re-derives the
+    * SELECTION itself (not just counts), proving the hash decision is
+    * engine-portable. */
+  private val q88 = GQuery(
+    "q88_stratified_sample",
+    (s, d) =>
+      Sampling.hashStratifiedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", Map("es" -> 50, "de" -> 30), defaultPct = 10)
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                  < (CASE lang WHEN 'es' THEN 50 WHEN 'de' THEN 30 ELSE 10 END)
+            ORDER BY doc_id""")
+  )
+
+  /** q89 — PII redaction (wave 4): scrub email addresses and IPv4
+    * literals with compiled-regex replacement, reporting per-document
+    * redaction counts. The fixture corpus is synthetic-clean, so the PII
+    * surface is INJECTED deterministically from doc_id (a contact line
+    * appended to the text) — the operator's regexes, counting, and
+    * map-only shape are what's under test, and the oracle applies the
+    * same injection so the redaction is diffed row-for-row.
+    *
+    * Regex dialect note: patterns stay in the Java∩RE2 common subset
+    * (character classes, +, bounded repetition — no backrefs, no
+    * lookaround) so Spark (java.util.regex) and DuckDB (RE2) agree.
+    * Scale notes: map-only (regexp_replace + regexp_count are row-local,
+    * codegen'd); no shuffle at all before the presentation sort. */
+  private val q89 = {
+    val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    GQuery(
+      "q89_pii_redact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com from 10."), pmod(col("doc_id"), lit(200)),
+              lit(".0."), pmod(col("doc_id"), lit(250))).as("body"))
+          .select(col("doc_id"),
+            (regexp_count(col("body"), lit(emailRe)) +
+              regexp_count(col("body"), lit(ipRe))).as("n_pii"),
+            regexp_replace(regexp_replace(col("body"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>").as("redacted"))
+          .orderBy(col("doc_id")),
+      // "full"/"body" naming: FULL is a DuckDB reserved word
+      Some(s"""WITH pii AS (SELECT doc_id,
+                      text || ' contact user' || doc_id || '@mail.example.com from 10.'
+                           || (doc_id % 200) || '.0.' || (doc_id % 250) AS body
+                    FROM documents)
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(body, '$emailRe')) +
+                       len(regexp_extract_all(body, '$ipRe')) AS INT) AS n_pii,
+                  regexp_replace(regexp_replace(body, '$emailRe', '<EMAIL>', 'g'),
+                                 '$ipRe', '<IP>', 'g') AS redacted
+           FROM pii ORDER BY doc_id""")
+    )
+  }
+
+  val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54,
+    q55, q85, q88, q89)
 }

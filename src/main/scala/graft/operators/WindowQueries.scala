@@ -298,5 +298,126 @@ object WindowQueries {
             ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber, run_qty""")
   )
 
-  val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51, q65)
+  /** q91 — time-series gap-fill / resample (wave 4): per-user daily
+    * activity grid over the corpus' full date span, missing days filled
+    * by carrying the last observed daily sum forward (nulls before a
+    * user's first event become 0). The feature-store resample step —
+    * model features need a dense time grid, events are sparse.
+    *
+    * Scale notes: daily pre-aggregation shrinks events to (user × active
+    * day) BEFORE any window; the grid explode is users × days (bounded by
+    * the span, not event volume); the carry-forward window partitions by
+    * user_id (cardinality scales with data) over day-count-bounded rows.
+    * The span comes from a 1-row min/max aggregate (broadcast). */
+  private val q91 = GQuery(
+    "q91_gapfill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("day_value"))
+      val span = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      val grid = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(last(col("day_value"), ignoreNulls = true).over(w), lit(0.0))
+            .as("carried_value"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                                  count(*) AS n_events,
+                                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+                           FROM events GROUP BY 1, 2),
+                 grid AS (SELECT u.user_id, CAST(g.day AS DATE) AS day
+                          FROM (SELECT DISTINCT user_id FROM events) u,
+                               (SELECT unnest(generate_series(CAST(min(ts) AS DATE),
+                                                              CAST(max(ts) AS DATE),
+                                                              INTERVAL 1 DAY)) AS day
+                                FROM events) g)
+            SELECT user_id, day,
+                   coalesce(n_events, 0) AS n_events,
+                   coalesce(last_value(day_value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS carried_value
+            FROM grid LEFT JOIN daily USING (user_id, day)
+            ORDER BY user_id, day""")
+  )
+
+  /** q92 — trailing 7-day rolling features per event (wave 4): for every
+    * event, the count and exact-decimal sum of the SAME USER's events in
+    * the preceding 7 days (inclusive of now) — the classic point-in-time-
+    * correct feature join input. The RANGE frame is over exact epoch
+    * MICROseconds on both engines, so the boundary set is bit-identical
+    * (a seconds-truncated frame would disagree with the oracle's
+    * microsecond timestamps on sub-second boundary gaps).
+    *
+    * Scale notes: one user-keyed range shuffle; the frame is time-bounded
+    * so Spark's sliding-frame evaluator keeps O(window) state per
+    * partition stream, and partitions scale with users. */
+  private val q92 = GQuery(
+    "q92_rolling_features",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-604800000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(dec2(col("value"))).over(w).cast("double").as("sum_7d"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+                   count(*) OVER w AS n_7d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""")
+  )
+
+  /** q93 — conversion funnel (wave 4): per user, first signup and the
+    * first purchase AT OR AFTER it; converted = within 7 days. Two
+    * user-keyed aggregates (first the anchor, then the conditional min
+    * over the join) — no self-join of the raw stream, no window over
+    * event history.
+    *
+    * Column-name hygiene: days_to_convert only when converted (else
+    * null); all values are min()s of timestamps — deterministic. */
+  private val q93 = GQuery(
+    "q93_event_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val anchors = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(anchors, "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase_ts"))
+      anchors.join(conv, Seq("user_id"), "left")
+        .select(col("user_id"), col("signup_ts"), col("first_purchase_ts"),
+          (col("first_purchase_ts").isNotNull &&
+            unix_micros(col("first_purchase_ts")) - unix_micros(col("signup_ts"))
+              <= 604800000000L).as("converted_7d"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH anchors AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                             WHERE event_type = 'signup' GROUP BY user_id),
+                 conv AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+                          FROM events e JOIN anchors a ON e.user_id = a.user_id
+                          WHERE e.event_type = 'purchase' AND e.ts >= a.signup_ts
+                          GROUP BY e.user_id)
+            SELECT user_id, signup_ts, first_purchase_ts,
+                   (first_purchase_ts IS NOT NULL AND
+                    epoch_us(first_purchase_ts) - epoch_us(signup_ts) <= 604800000000)
+                     AS converted_7d
+            FROM anchors LEFT JOIN conv USING (user_id)
+            ORDER BY user_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51, q65, q91, q92, q93)
 }

@@ -46,6 +46,21 @@ object StreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** s13 — streaming sliding (hopping) windows, the streaming twin of
+    * batch q51: 2-hour windows every hour, each event expanding into two
+    * window rows BEFORE the stateful aggregate (TimeWindow expansion is
+    * stateless); the watermark closes windows and bounds state to the
+    * open-window set — at any throughput the state store holds
+    * (windows inside watermark horizon) × event_types rows, independent
+    * of history. ScalaTest drives the full fixture through AvailableNow
+    * and matches batch q51 on watermark-closed windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** s02 — streaming exact dedup on event_id; watermark bounds the
     * dedup state (late duplicates beyond it are dropped by design). */
   def dedupEvents(events: DataFrame): DataFrame =
@@ -386,6 +401,50 @@ object StreamOps {
         graft.functions.BoundedHead.head(cap)(slice(col("postings"), 1, cap))
           .as("postings"))
       .filter(col("df") >= minDf)
+
+  final case class QuotaState(keep: Seq[(String, Long)], version: Long)
+  final case class QuotaOut(stratum: String, version: Long, doc_ids: Seq[Long])
+
+  /** s12 — streaming stratified quota sampler (streaming twin of batch
+    * q52): per-stratum state holds the n smallest (md5(id), id) pairs
+    * seen so far — the SAME selection rule as Sampling.quotaPerGroup, so
+    * once the stream drains, the final sample per stratum equals the
+    * batch quota sample EXACTLY regardless of how ingest was batched
+    * (ScalaTest-asserted against q52). Arrival order cannot affect the
+    * fixpoint: the n smallest of a set is order-free.
+    *
+    * State is bounded at n entries per stratum BY CONSTRUCTION — the
+    * BoundedHead principle applied to streaming state: a 100 TB ingest
+    * history costs the same state as the first megabyte. Update mode:
+    * a batch that changes a stratum's sample re-emits that stratum's
+    * current selection under an incremented version; max version per
+    * stratum = the current sample (consumers upsert on stratum). */
+  def quotaSampleStream(docs: Dataset[(Long, String)], n: Int): Dataset[QuotaOut] = {
+    import docs.sparkSession.implicits._
+    require(n > 0)
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[QuotaState, QuotaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (stratum: String, rows: Iterator[(Long, String)],
+            state: GroupState[QuotaState]) =>
+          val cur = state.getOption.getOrElse(QuotaState(Vector.empty, 0L))
+          // same key as Sampling.quotaPerGroup's ORDER BY: (md5(id), id)
+          val incoming = rows.map { case (id, _) => (md5Hex(id.toString), id) }
+          val merged = (cur.keep ++ incoming).distinct.sorted.take(n)
+          if (merged == cur.keep) Iterator.empty
+          else {
+            val next = QuotaState(merged, cur.version + 1)
+            state.update(next)
+            Iterator.single(QuotaOut(stratum, next.version, merged.map(_._2)))
+          }
+      }
+  }
+
+  /** Hex md5 matching Spark's md5() / DuckDB's md5() exactly. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 
   /** s06 — streaming corpus router: per-microbatch quality features plus
     * the deterministic content-hash split (the streaming twin of q58 —

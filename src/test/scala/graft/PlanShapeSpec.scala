@@ -153,6 +153,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q90 bloom probe filters the fact side before the exact semi-join") {
+    // The composable-operator twin of the AQE-injected filter above: the
+    // native bloom_contains test must sit BELOW the semi-join (pruning
+    // rows before the join machinery), stay inside whole-stage codegen,
+    // and the exact semi-join must still be present (false positives are
+    // removed, so correctness never rests on the bloom).
+    val p = plan("q90_bloom_semi_join")
+    val probeAt = p.indexOf("bloomcontains")
+    val joinAt = p.indexOf("LeftSemi")
+    assert(probeAt >= 0, p)
+    assert(joinAt >= 0, p)
+    // executedPlan prints top-down: the probe appearing AFTER the join
+    // header means it executes below (before) the join
+    assert(probeAt > joinAt, s"bloom probe not below the semi-join:\n$p")
+    // and it reached the scan-level Filter (DataFilters), not a post-join
+    // Project — the pruning happens before any join machinery sees a row
+    assert(p.contains("DataFilters: [bloomcontains"), p)
+  }
+
   test("q72 inference is map-only up to the presentation sort") {
     val p = plan("q72_batch_inference")
     assert(p.contains("MapPartitions"), p)

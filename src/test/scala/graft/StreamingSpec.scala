@@ -329,6 +329,64 @@ class StreamingSpec extends SparkSpec {
       s"expected the typed BoundedHead aggregate in the merge plan:\n$plan")
   }
 
+  test("s13 sliding windows over the file source match batch q51 (closed windows)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt13").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events13")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfSmoke/events.parquet"),
+      streamDir.resolve("part-00000.parquet"))
+    val q = StreamOps.slidingCounts(StreamOps.eventsFileStream(spark, streamDir.toString))
+      .writeStream.format("memory").queryName("s13_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("s13_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // append emits only watermark-closed windows: window end (start + 2h)
+    // at or before max ts - 10 min
+    val batch = SparkEntry.queries("q51_hopping_window")(spark, sfSmoke).collect()
+    val maxTs = graft.sources.Tables.events(spark, sfSmoke)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val cutoffMs = maxTs.getTime - 10 * 60 * 1000
+    val closed = batch.filter(_.getTimestamp(0).getTime + 2 * 3600000 <= cutoffMs)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == closed)
+    assert(streamed.nonEmpty)
+  }
+
+  test("s12 streaming quota sampler converges to exactly the batch q52 sample") {
+    val input = MemoryStream[(Long, String)](spark)
+    val out = StreamOps.quotaSampleStream(input.toDS(), 20)
+    val q = out.writeStream.format("memory").queryName("s12out")
+      .outputMode("update").start()
+    try {
+      // the full sf0.001 (doc_id, lang) relation in 3 arbitrary slices —
+      // the final sample must not depend on ingest batching
+      val docs = graft.sources.Tables.documents(spark, sfSmoke)
+        .select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(docs.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // latest version per stratum = the converged sample
+    val updates = spark.table("s12out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toSet))
+    val got = updates.groupBy(_._1).map { case (lang, rows) =>
+      lang -> rows.maxBy(_._2)._3
+    }
+    val want = SparkEntry.queries("q52_quota_sample")(spark, sfSmoke)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (lang, rows) => lang -> rows.map(_._2).toSet }
+    assert(got == want)
+    // bounded-state sanity: no emitted sample ever exceeded the quota
+    assert(updates.forall(_._3.size <= 20))
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {
