@@ -252,7 +252,12 @@ object CorpusOps {
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // df = #docs containing the token: explode the per-doc DISTINCT token
     // set (array_distinct is map-side) — skew-free: partial counts
-    // combine before the token shuffle.
+    // combine before the token shuffle. Measured (r4 A/B at sf0.1): this
+    // second scan+distinct-explode beats both deriving df from tf (AQE
+    // does not reuse the tf exchange across the two consumers — the tf
+    // shuffle computes twice, 0.88→1.13 median) and materializing tf
+    // (checkpoint write cost exceeds the re-scan at any scale where the
+    // token relation is corpus-sized).
     val dfRel = docs
       .select(explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))

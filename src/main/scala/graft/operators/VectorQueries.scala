@@ -325,5 +325,72 @@ object VectorQueries {
              * sqrt((SELECT sum(CAST($qvExpr[i.i] AS DOUBLE) * CAST($qvExpr[i.i] AS DOUBLE))
                      FROM range(1, 65) i(i)))), 6)"""
 
-  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76)
+  /** q94 — batch ANN join (wave 4): top-3 approximate neighbours for a
+    * BATCH of query vectors (every 50th vec_id) via the q37 IVF cells —
+    * queries and corpus both assign to the broadcast 16-centroid
+    * codebook map-side, candidates are (query × corpus) pairs WITHIN a
+    * cell only, exact cosine + per-query top-3 on candidates. This is
+    * the retrieval join of a RAG/embedding-dedup pipeline as ONE
+    * relational operator, not a per-query loop.
+    *
+    * Scale notes (100 TB): assignment is the q37 map-only argmax (zero
+    * expansion, plan-locked family); the join carries vectors only into
+    * the LSH-reduced cell-candidate relation (queries are the broadcast
+    * side); per-query top-3 is a rank filter over sim rounded BEFORE
+    * ranking (rank sees exactly what the oracle sees — 1-ulp cosine
+    * differences cannot flip a rank), and WindowGroupLimit keeps
+    * per-group heaps map-side (q76 lock). At production scale the
+    * codebook grows as √n and nothing else changes. */
+  private val q94 = GQuery(
+    "q94_knn_join",
+    (s, d) => {
+      CosineSim.register(s)
+      val cents = emb(s, d).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centsArr = cents
+        .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+      def assign(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(centsArr))
+          .withColumn("best", array_max(transform(col("cents"), c =>
+            struct(round(CosineSim(col("embedding"), c.getField("cvec")), 6).as("csim"),
+              (-c.getField("cid")).as("ncid")))))
+          .select(col("vec_id"), col("embedding"),
+            (-col("best").getField("ncid")).as("cid"))
+      val corpus = assign(emb(s, d))
+      val queries = assign(emb(s, d).filter(col("vec_id") % 50 === 0))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("nbr"))
+      corpus.join(broadcast(queries), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nbr"),
+          round(CosineSim(col("embedding"), col("q_vec")), 4).as("sim"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                            FROM embeddings WHERE vec_id < 16),
+             assigned AS (
+               SELECT vec_id, embedding, cid FROM (
+                 SELECT e.vec_id, e.embedding, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${cosineSql6("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+                 FROM embeddings e, cents c)
+               WHERE rn = 1),
+             qs AS (SELECT vec_id AS q_id, embedding AS q_vec, cid
+                    FROM assigned WHERE vec_id % 50 = 0),
+             pr AS (SELECT qs.q_id, a.vec_id AS nbr,
+                           ${cosineSql("a.embedding", "qs.q_vec")} AS sim
+                    FROM assigned a JOIN qs ON a.cid = qs.cid
+                    WHERE a.vec_id <> qs.q_id)
+             SELECT q_id, nbr, sim, rk FROM (
+               SELECT q_id, nbr, sim,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, nbr) AS rk
+               FROM pr)
+             WHERE rk <= 3 ORDER BY q_id, rk""")
+  )
+
+  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94)
 }

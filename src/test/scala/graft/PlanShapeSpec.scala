@@ -172,6 +172,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("DataFilters: [bloomcontains"), p)
   }
 
+  test("q79 true-Jaccard overlap joins only candidate-doc postings") {
+    // r3 verdict item 5: the heavy sgh self-join must consume postings
+    // semi-joined down to candidate docs (at 100 TB candidates are the
+    // LSH-reduced near-dup set; the fixture's template corpus makes the
+    // reduction invisible in TIME, so the SHAPE is what's locked).
+    val p = plan("q79_minhash_accuracy")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q72 inference is map-only up to the presentation sort") {
     val p = plan("q72_batch_inference")
     assert(p.contains("MapPartitions"), p)
