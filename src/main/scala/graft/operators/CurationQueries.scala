@@ -475,5 +475,54 @@ object CurationQueries {
             FROM a ORDER BY source""")
   )
 
-  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80, q83)
+  /** q95 — mixture quota rebalance (wave 4): shrink the corpus to a
+    * fixed training budget (200 docs) with per-source quotas apportioned
+    * PROPORTIONALLY in exact integer arithmetic — quota_s = (T·c_s) div N
+    * — and each source's quota filled in the md5(doc_id) selection order
+    * (the q52 key, so the SELECTION is oracle-checkable row-for-row).
+    * This is the mixture-weighting step of corpus assembly: q83 reports
+    * the mix, q95 enforces a target one. Floor apportionment
+    * under-allocates by < |sources| docs (the standard largest-remainder
+    * refinement would consume the slack; kept floor-simple and
+    * documented).
+    *
+    * Scale notes: quotas are a |sources|-row broadcast; the per-source
+    * rank window carries a LITERAL rank cap (the global budget) as its
+    * first filter conjunct so WindowGroupLimit keeps map-side per-source
+    * heaps of ≤T rows — the variable per-source quota then filters on the
+    * broadcast column. Without the literal conjunct the rank filter is
+    * column-vs-column and the pushdown cannot fire (plan-audited). */
+  private val MixTarget = 200
+  private val q95 = GQuery(
+    "q95_mixture_quota",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val quotas = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select(col("source"), expr(s"($MixTarget * c) div n").as("quota"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("_rk") <= MixTarget)
+        .join(broadcast(quotas), "source")
+        .filter(col("_rk") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+             q AS (SELECT source,
+                          ($MixTarget * c) // (SELECT count(*) FROM documents) AS quota
+                   FROM c),
+             r AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                   FROM documents)
+             SELECT doc_id, source FROM r JOIN q USING (source)
+             WHERE rk <= quota ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80,
+    q83, q95)
 }
