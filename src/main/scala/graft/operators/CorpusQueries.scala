@@ -384,5 +384,36 @@ object CorpusQueries {
             FROM comp GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84, q87)
+  /** q99 — BPE merge statistics (wave 5): corpus-wide adjacent
+    * character-pair counts within words — the count table a byte-pair-
+    * encoding tokenizer trainer builds every merge round (the top pair
+    * IS the next merge). One round is the representative kernel: the
+    * full trainer loops count→merge with the merged symbol re-entering
+    * the pair alphabet, and every round is this same job shape.
+    *
+    * Scale notes: two chained map-side explodes (words, then the char
+    * index range — no per-row pair array materialized), one shuffle
+    * carrying (pair, partial count) after map-side combine — the
+    * reference's wordcount shape at character granularity; the head is
+    * TakeOrderedAndProject 30-row heaps. */
+  private val q99 = GQuery(
+    "q99_bpe_pair_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(30),
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+                 p AS (SELECT unnest(list_transform(range(1, len(w)),
+                              i -> substr(w, i, 2))) AS pair
+                       FROM w WHERE len(w) >= 2)
+            SELECT pair, count(*) AS cnt FROM p
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""")
+  )
+
+  val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84, q87,
+    q99)
 }

@@ -529,5 +529,36 @@ object DedupQueries {
           FROM r5 ORDER BY doc_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86)
+  /** q97 — duplicate-graph degree histogram (wave 5): how many documents
+    * have k LSH candidate partners, for each k. The corpus-health report
+    * behind every dedup run: a long high-degree tail means template
+    * families (boilerplate hubs) and predicts CC cluster sizes, band-cap
+    * hit rates, and how much q78's keep-best pass will remove — the
+    * statistic one checks BEFORE committing a 100 TB dedup pass.
+    *
+    * Scale notes: the candidate relation fans out 2× map-side (one
+    * explode — the pair subplan is evaluated once, not self-unioned),
+    * the degree aggregate is keyed by doc (|docs|-sized with partial
+    * combine), and the histogram aggregate is degree-bounded (≤ max
+    * degree rows). No windows, no joins. */
+  private val q97 = GQuery(
+    "q97_dup_graph_degree",
+    (s, d) =>
+      minhashPairs(s, d)
+        .select(explode(array(col("doc1"), col("doc2"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("degree")),
+    Some(CAND_SQL +
+      """, deg AS (SELECT doc_id, count(*) AS degree
+                   FROM (SELECT u AS doc_id FROM cand
+                         UNION ALL SELECT v AS doc_id FROM cand)
+                   GROUP BY doc_id)
+         SELECT degree, count(*) AS n_docs,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM deg GROUP BY degree ORDER BY degree""")
+  )
+
+  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97)
 }

@@ -290,5 +290,40 @@ object JoinQueries {
             GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
-  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15, q48, q49, q64, q90)
+  /** q96 — join-key skew profile (wave 5): the heavy-hitter diagnostic
+    * that DRIVES q64's salting decision — the top-20 heaviest join keys
+    * of the fact table with exact counts and corpus share in basis
+    * points. At 100 TB this report is what tells an operator whether a
+    * key needs salting (share_bp ≫ 10000/|keys|) before the join even
+    * runs; production pipelines run it on a sample or maintain it as a
+    * table statistic.
+    *
+    * Scale notes: one partial-combine aggregate keyed on the join key
+    * (the counts relation is |keys|-sized, never row-sized), the head is
+    * TakeOrderedAndProject per-partition 20-row heaps, and the
+    * denominator is a 1-row broadcast (BroadcastNestedLoopJoin with a
+    * single-row side — constant work, not a cartesian). Share is exact
+    * integer arithmetic (`div`), so the hash compare is stable. */
+  private val q96 = GQuery(
+    "q96_key_skew",
+    (s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("l_partkey"), col("cnt"),
+          expr("(cnt * 10000) div total").as("share_bp"))
+        .orderBy(col("cnt").desc, col("l_partkey"))
+        .limit(20)
+    },
+    Some("""WITH c AS (SELECT l_partkey, count(*) AS cnt
+                       FROM lineitem GROUP BY l_partkey),
+                 t AS (SELECT sum(cnt) AS total FROM c)
+            SELECT l_partkey, cnt,
+                   CAST((cnt * 10000) // total AS BIGINT) AS share_bp
+            FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 20""")
+  )
+
+  val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15, q48, q49, q64,
+    q90, q96)
 }

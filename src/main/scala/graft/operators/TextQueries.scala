@@ -372,6 +372,47 @@ object TextQueries {
     )
   }
 
+  /** q98 — character-entropy quality filter (wave 5): per-document
+    * Shannon entropy of the character distribution plus alphabet size.
+    * Low-entropy documents are machine-generated repetition / encoding
+    * junk — this is the cheapest content-quality signal a curation
+    * pipeline has, run before anything tokenizer-shaped.
+    *
+    * Scale notes: one map-side fan-out (explode of the per-row char
+    * index range — no intermediate char-array materialization), one
+    * shuffle keyed (doc_id, ch) with partial combine, then a doc-keyed
+    * aggregate whose per-doc state is alphabet-bounded (≤ |charset|
+    * rows), never text-length-bounded. The entropy sum is a float
+    * aggregate over ≤ |charset| irrational terms — per-engine ulp drift
+    * is ~1e-14, five orders below the 4-decimal rounding grid, so the
+    * hash compare is stable (same argument as q83's share rounding). */
+  private val q98 = GQuery(
+    "q98_char_entropy",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .select(col("doc_id"), col("n"),
+          explode(transform(sequence(lit(1), col("n")),
+            i => col("text").substr(i, lit(1)))).as("ch"))
+        .groupBy(col("doc_id"), col("n"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          round(-sum(col("c").cast("double") / col("n")
+            * log2(col("c").cast("double") / col("n"))), 4).as("entropy"))
+        .orderBy(col("doc_id")),
+    Some("""WITH ch AS (SELECT doc_id, len(text) AS n,
+                               unnest(list_transform(range(1, len(text) + 1),
+                                 i -> substr(text, i, 1))) AS ch
+                        FROM documents),
+                 c AS (SELECT doc_id, n, ch, count(*) AS c
+                       FROM ch GROUP BY doc_id, n, ch)
+            SELECT doc_id, count(*) AS n_distinct_chars,
+                   round(-sum((CAST(c AS DOUBLE) / n)
+                     * log2(CAST(c AS DOUBLE) / n)), 4) AS entropy
+            FROM c GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54,
-    q55, q85, q88, q89)
+    q55, q85, q88, q89, q98)
 }
