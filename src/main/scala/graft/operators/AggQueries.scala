@@ -284,5 +284,54 @@ object AggQueries {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
-  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43, q44, q45, q63)
+  /** q105 — distributed numeric histogram + sketch quantile (wave 5):
+    * fixed-width 5000-unit buckets over l_extendedprice with cumulative
+    * counts and the histogram-estimated median (the bucket whose
+    * cumulative count first reaches half the rows). This is the
+    * numeric-profiling primitive behind data validation and the
+    * one-pass approximate-quantile path a 100 TB pipeline uses when
+    * q63's exact rank machinery is overkill — error bounded by bucket
+    * width, cost bounded by ONE map-side-combined aggregate.
+    *
+    * Scale notes: bucket assignment is a map-only projection; the
+    * aggregate is |buckets|-sized (value-range-bounded, NOT row-bounded);
+    * the cumulative window runs over that bounded aggregate (q70/q83
+    * pattern). is_median_bucket is exact integer arithmetic. */
+  private val q105 = GQuery(
+    "q105_histogram",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy()
+      Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_cnt", sum(col("cnt")).over(w))
+        .withColumn("total", sum(col("cnt")).over(wTot))
+        .select(col("bucket"),
+          (col("bucket") * 5000).as("lo"), ((col("bucket") + 1) * 5000).as("hi"),
+          col("cnt"), col("cum_cnt"),
+          (col("cum_cnt") * 2 >= col("total") &&
+            (col("cum_cnt") - col("cnt")) * 2 < col("total"))
+            .as("is_median_bucket"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH h AS (SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+                              count(*) AS cnt
+                       FROM lineitem GROUP BY 1),
+                 c AS (SELECT bucket, cnt,
+                              CAST(sum(cnt) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+                              CAST(sum(cnt) OVER () AS BIGINT) AS total
+                       FROM h)
+            SELECT bucket, bucket * 5000 AS lo, (bucket + 1) * 5000 AS hi,
+                   cnt, cum_cnt,
+                   (cum_cnt * 2 >= total AND (cum_cnt - cnt) * 2 < total)
+                     AS is_median_bucket
+            FROM c ORDER BY bucket""")
+  )
+
+  val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43, q44,
+    q45, q63, q105)
 }

@@ -66,10 +66,11 @@ object CorpusOps {
       .select(col("sgh"), explode(col("docs")).as(idCol))
   }
 
-  /** MinHash+LSH candidate pairs (unordered, distinct): `k` md5-min
-    * hashes per shingle set, `bands` bands hashed to band keys, pairs
-    * generated inside band buckets without a self-join. */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+  /** The (idCol, band, bh) LSH band relation behind minhashCandidates —
+    * exposed separately so incremental consumers (q100) can treat it as
+    * the STANDING index a new ingest batch probes, instead of re-pairing
+    * the whole corpus. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
       bands: Int = 2): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
@@ -86,6 +87,15 @@ object CorpusOps {
     }
     sigs.select(col(idCol), explode(array(bandStructs: _*)).as("e"))
       .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /** MinHash+LSH candidate pairs (unordered, distinct): `k` md5-min
+    * hashes per shingle set, `bands` bands hashed to band keys, pairs
+    * generated inside band buckets without a self-join. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
+      bands: Int = 2): DataFrame = {
+    minhashBands(docs, idCol, textCol, shingleN, stopCap, k, bands)
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col(idCol))).as("docs"))
       .filter(size(col("docs")) >= 2)

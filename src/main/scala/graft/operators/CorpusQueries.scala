@@ -414,6 +414,87 @@ object CorpusQueries {
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""")
   )
 
+  /** q101 — perplexity bucketing (wave 5): score every document by its
+    * average negative log-likelihood under an add-one-smoothed corpus
+    * bigram LM, then split the corpus into head/middle/tail NLL terciles
+    * — the CCNet recipe (Wenzek et al. 2020) that decides which slice of
+    * a crawl is worth training on, with the corpus's own bigram stats
+    * standing in for the external LM (the job shape is identical; a real
+    * LM plugs into q72's batch-inference plumbing).
+    *
+    * Scale notes: the model relations (bigram counts, left-context
+    * totals, vocabulary) are aggregate-sized and AQE-broadcast at
+    * measured size (the q42 pattern — shuffle-join fallback at web
+    * scale); the occurrence relation is materialized once and feeds
+    * build and probe sides; tercile boundaries come from
+    * Ranks.quantileCont (parallel range sort, never a single-task
+    * percentile) and join back as a 1-row broadcast. Per-doc NLL is
+    * rounded to 6 BEFORE the quantile so both engines rank identical
+    * doubles — boundary comparisons are then decided identically (an
+    * interpolated boundary can only equal a score when the straddling
+    * order stats tie, in which case it is exact in both engines). */
+  private val q101 = GQuery(
+    "q101_perplexity_bucket",
+    (s, d) => {
+      val occ = graft.sources.Io.materialize(
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(graft.functions.TextOps.bigrams(col("toks"))).as("bg")))
+      val bc = occ.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+      val wc = bc
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .groupBy(col("w1")).agg(sum(col("cbg")).as("cw1"))
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("vv"))
+      val scores = occ
+        .join(bc, "bg")
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .join(wc, "w1")
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(round(-avg(log2((col("cbg") + lit(1.0)) / (col("cw1") + col("vv")))), 6)
+          .as("nll"))
+      // two 1-row relations; the constant "g" key would fold a key-join
+      // into an unbroadcast CartesianProduct, so cross them broadcast
+      val b = Ranks.quantileCont(scores.withColumn("g", lit(1)), "g",
+          col("nll"), 1.0 / 3, "b1").drop("g")
+        .crossJoin(broadcast(Ranks.quantileCont(scores.withColumn("g", lit(1)),
+          "g", col("nll"), 2.0 / 3, "b2").drop("g")))
+      scores.crossJoin(broadcast(b))
+        .select(col("doc_id"), col("nll"),
+          when(col("nll") <= col("b1"), lit("head"))
+            .when(col("nll") <= col("b2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("nll")), 4).as("avg_nll"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 occ AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                         FROM t WHERE len(toks) >= 2),
+                 bc AS (SELECT bg, count(*) AS cbg FROM occ GROUP BY bg),
+                 wc AS (SELECT string_split(bg, ' ')[1] AS w1,
+                               CAST(sum(cbg) AS BIGINT) AS cw1
+                        FROM bc GROUP BY 1),
+                 v AS (SELECT count(DISTINCT tok) AS vv
+                       FROM (SELECT unnest(toks) AS tok FROM t)),
+                 sc AS (SELECT doc_id,
+                               round(-avg(log2((cbg + 1.0) / (cw1 + vv))), 6) AS nll
+                        FROM occ JOIN bc USING (bg)
+                             JOIN wc ON string_split(bg, ' ')[1] = wc.w1, v
+                        GROUP BY doc_id),
+                 q AS (SELECT quantile_cont(nll, 1.0/3) AS b1,
+                              quantile_cont(nll, 2.0/3) AS b2 FROM sc)
+            SELECT CASE WHEN nll <= b1 THEN 'head'
+                        WHEN nll <= b2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   count(*) AS n_docs, round(avg(nll), 4) AS avg_nll
+            FROM sc, q GROUP BY 1 ORDER BY bucket""")
+  )
+
   val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84, q87,
-    q99)
+    q99, q101)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GQuery
 import graft.functions.TextOps
-import graft.sources.Tables
+import graft.sources.{Io, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -560,5 +560,79 @@ object DedupQueries {
          FROM deg GROUP BY degree ORDER BY degree""")
   )
 
-  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97)
+  /** q100 — incremental near-dup admission (wave 5): dedup an INCOMING
+    * ingest batch (here: doc_id ≡ 7 mod 10 — the driver-reproducible
+    * stand-in for "today's crawl") against the standing corpus WITHOUT
+    * re-pairing the corpus: the batch's LSH bands probe the corpus band
+    * index, yielding exactly the candidate pairs with ≥1 new endpoint
+    * (new×old and new×new — the batch dedups against corpus ∪ batch).
+    *
+    * This is how a 100 TB corpus actually stays deduplicated: the full
+    * q31 pass runs once, after which every ingest runs THIS — probe-side
+    * work scales with the batch, not the corpus. The band index is
+    * materialized (Io.materialize) exactly as production would keep it
+    * (s11's streaming deltas are the maintenance story for the same
+    * relation); the probe side is batch-sized, so AQE broadcasts it at
+    * measured size and the corpus side never reshuffles at fixture
+    * scale. Old×old pairs are never generated — not generated-then-
+    * filtered. */
+  private val q100 = GQuery(
+    "q100_incremental_dedup",
+    (s, d) => {
+      val bands = graft.sources.Io.materialize(
+        CorpusOps.minhashBands(Tables.documents(s, d), "doc_id", "text",
+          SHINGLE_N, STOP_SHINGLE_CAP, MINHASH_K, bands = 2))
+      val probe = bands.filter(col("doc_id") % 10 === 7)
+        .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+      probe.join(bands, Seq("band", "bh"))
+        .filter(col("doc_id") =!= col("new_id"))
+        .select(least(col("new_id"), col("doc_id")).as("doc1"),
+          greatest(col("new_id"), col("doc_id")).as("doc2"))
+        .distinct()
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(CAND_SQL +
+      """ SELECT u AS doc1, v AS doc2 FROM cand
+          WHERE u % 10 = 7 OR v % 10 = 7 ORDER BY doc1, doc2""")
+  )
+
+  /** q104 — novelty audit / orphan documents (wave 5): documents that
+    * share NO shingle with any other document (under the same
+    * stop-shingle cap as q25 — oversized buckets carry no discriminating
+    * signal and are excluded symmetrically in the oracle). The
+    * complement of the dedup family: q31/q60 find what repeats, q104
+    * certifies what is genuinely novel — the slice of a crawl worth
+    * up-weighting, and the negative control for dedup-recall audits.
+    * Shingle-less documents (< 5 tokens) are trivially orphan.
+    *
+    * Scale notes: the shingle relation is materialized once
+    * (Io.materialize) and feeds both the bucket-count aggregate and the
+    * membership semi-join; the anti join runs against the |docs|-sized
+    * id relation. No pair generation anywhere — novelty needs bucket
+    * MEMBERSHIP, not pairs. */
+  private val q104 = GQuery(
+    "q104_shingle_orphans",
+    (s, d) => {
+      val sh = Io.materialize(shingleDf(s, d))
+      val sharedShingles = sh.groupBy(col("sgh"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select(col("sgh"))
+      val sharedDocs = sh.join(sharedShingles, Seq("sgh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(sharedDocs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(SHINGLE_SQL +
+      """, shared AS (SELECT DISTINCT doc_id FROM sh
+                      WHERE sgh IN (SELECT sgh FROM sh
+                                    GROUP BY sgh HAVING count(*) >= 2))
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM shared)
+         ORDER BY doc_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
+    q100, q104)
 }

@@ -392,5 +392,119 @@ object VectorQueries {
              WHERE rk <= 3 ORDER BY q_id, rk""")
   )
 
-  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94)
+  /** q102 — distributed k-means over the embedding corpus (wave 5): two
+    * Lloyd iterations, k = 4, in SCALED EXACT-INTEGER arithmetic (the
+    * q86 PageRank determinism recipe applied to clustering): vectors
+    * quantize to round(x·1000) longs, distances are integer squared-L2,
+    * centroid updates are integer element-wise means (`div`, which
+    * truncates toward zero exactly like DuckDB's `//`) — so every
+    * assignment and update is bit-identical on any reduction order, and
+    * the whole trajectory is oracle-checkable. Seeding is the md5
+    * selection order (deterministic, content-independent). This is the
+    * clustering pass behind q37's IVF codebook and q76's SemDedup cells,
+    * here as a first-class trainable operator.
+    *
+    * Scale notes (100 TB): assignment is MAP-ONLY — centroids travel as
+    * k·dim literals (the q90 bloom-bits pattern: the driver holds only
+    * constant-size model state, never rows; k·dim = 256 longs/round).
+    * The update is one posexplode → (cluster, pos)-keyed aggregate whose
+    * partial state is k·dim-bounded per task regardless of corpus size.
+    * Ties (equal distance) break to the lowest cluster id in both
+    * engines; a cluster emptied by a round simply drops out of the next
+    * update (both engines aggregate only present groups). */
+  private val KmK = 4
+  private val KmIters = 2
+  private val q102 = GQuery(
+    "q102_kmeans",
+    (s, d) => {
+      val dim = 64
+      val qvecs = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+      var cents: Seq[(Long, IndexedSeq[Long])] =
+        qvecs
+          .withColumn("mkey", md5(col("vec_id").cast("string")))
+          .orderBy(col("mkey"), col("vec_id")).limit(KmK)
+          .collect().zipWithIndex
+          .map { case (r, i) => ((i + 1).toLong, r.getSeq[Long](1).toIndexedSeq) }
+          .toSeq
+      // `cluster` is always the ORIGINAL seed id (ties → lowest id, both
+      // engines): array_position yields the slot in the current centroid
+      // array, which a literal id lookup maps back — so an id surviving a
+      // cluster drop-out keeps labeling the same centroid as the oracle.
+      def assign(df: DataFrame): DataFrame = {
+        val dists = array(cents.map { case (_, cv) =>
+          aggregate(
+            zip_with(col("qv"), typedLit(cv), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)
+        }: _*)
+        val ids = typedLit(cents.map(_._1))
+        df.withColumn("dists", dists)
+          .withColumn("cluster",
+            element_at(ids,
+              array_position(col("dists"), array_min(col("dists"))).cast("int")))
+          .drop("dists")
+      }
+      for (_ <- 1 to KmIters) {
+        val updated = assign(qvecs)
+          .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(expr("sum(v) div count(1)").as("v"))
+          .collect()
+        cents = updated.groupBy(_.getLong(0)).toSeq.map { case (c, rows) =>
+          (c, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq)
+        }.sortBy(_._1)
+        require(cents.forall(_._2.length == dim))
+      }
+      val sums = typedLit(cents.map { case (c, cv) => c -> cv.sum }.toMap)
+      assign(qvecs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+        .withColumn("centroid_sum", element_at(sums, col("cluster")))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+                        FROM embeddings),
+          c0 AS (SELECT rn AS c, qv FROM
+                   (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, qv
+                    FROM e) WHERE rn <= $KmK)""" +
+      (1 to KmIters).map(kmIterSql).mkString +
+      s""", df AS (SELECT e.vec_id, c.c,
+                    list_sum(list_transform(range(1, 65),
+                      i -> (e.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)])
+                         * (e.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)]))) AS dist
+                 FROM e, c$KmIters c),
+          af AS (SELECT vec_id, c FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+                    FROM df) WHERE rn = 1),
+          cs AS (SELECT c, CAST(list_sum(qv) AS BIGINT) AS centroid_sum FROM c$KmIters)
+          SELECT af.c AS cluster, count(*) AS n_vecs,
+                 min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+                 any_value(cs.centroid_sum) AS centroid_sum
+          FROM af JOIN cs ON af.c = cs.c
+          GROUP BY af.c ORDER BY cluster""")
+  )
+
+  /** One Lloyd iteration as a chained CTE: assignment against c{k-1},
+    * then integer element-wise centroid means (`//` truncates toward
+    * zero for BIGINTs — verified — exactly like Spark's `div`). */
+  private def kmIterSql(k: Int): String = {
+    val prev = s"c${k - 1}"
+    s""", d$k AS (SELECT e.vec_id, e.qv, c.c,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (e.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)])
+                        * (e.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)]))) AS dist
+                FROM e, $prev c),
+       a$k AS (SELECT vec_id, qv, c FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+                  FROM d$k) WHERE rn = 1),
+       c$k AS (SELECT c, list(v ORDER BY i) AS qv FROM
+                 (SELECT c, i, CAST(sum(qv[CAST(i AS INT)]) AS BIGINT) // count(*) AS v
+                  FROM a$k, range(1, 65) t(i) GROUP BY c, i)
+               GROUP BY c)"""
+  }
+
+  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94, q102)
 }

@@ -419,5 +419,49 @@ object WindowQueries {
             ORDER BY user_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51, q65, q91, q92, q93)
+  /** q103 — behavioral Markov transition matrix (wave 5): per-user
+    * event sequences (ordered by time) reduced to first-order transition
+    * counts and probabilities — the session-model statistic behind
+    * journey analysis, anomaly scoring, and synthetic-session generation.
+    *
+    * Scale notes: ONE user-keyed window (lag over ts, per-user state
+    * bounded by that user's events — the q92 shape), then a ≤|types|²
+    * aggregate with partial combine; the probability denominator windows
+    * over the |types|²-row AGGREGATE (q70/q83 pattern), never the
+    * events. Probabilities are exact integer ratios evaluated in one
+    * IEEE division — identical in both engines, no rounding needed.
+    * Tie-break: same-timestamp events order by event_id in BOTH engines
+    * (deterministic sequence, not implementation order). */
+  private val q103 = GQuery(
+    "q103_markov_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prob", col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("from_type"))))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH seq AS (SELECT event_type,
+                                lead(event_type) OVER
+                                  (PARTITION BY user_id ORDER BY ts, event_id)
+                                  AS next_type
+                         FROM events),
+                 c AS (SELECT event_type AS from_type, next_type AS to_type,
+                              count(*) AS cnt
+                       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, cnt,
+                   CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY from_type)
+                     AS prob
+            FROM c ORDER BY from_type, to_type""")
+  )
+
+  val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51, q65, q91, q92,
+    q93, q103)
 }

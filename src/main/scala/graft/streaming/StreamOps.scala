@@ -478,4 +478,68 @@ object StreamOps {
       }
       .start()
   }
+
+  final case class FunnelState(signup: Option[Long], purchases: Vector[Long],
+      version: Long)
+  final case class FunnelOut(user_id: Long, version: Long, signup_us: Long,
+      first_purchase_us: Option[Long], converted_7d: Boolean)
+
+  /** s14 — streaming conversion funnel (wave 5; streaming twin of batch
+    * q93): per user, the earliest signup and the earliest purchase at or
+    * after it, maintained incrementally. The drained fixpoint equals the
+    * batch query on the same events REGARDLESS of ingest batching or
+    * arrival order (ScalaTest-asserted against q93), because state keeps
+    * exactly what out-of-order arrival can still change: the anchor only
+    * ever moves EARLIER, so a purchase already above the current answer
+    * can never become the answer (the answer only moves earlier too) and
+    * is dropped; purchases at or below the answer are retained in case a
+    * still-earlier signup arrives and re-qualifies them.
+    *
+    * State per user is therefore (anchor, purchases ≤ current answer) —
+    * bounded by purchase frequency × how late a signup may arrive; a
+    * production deployment bounds the retained window with the same
+    * allowed-lateness contract the s01 watermark encodes (drop retained
+    * purchases older than anchor − lateness once the anchor is
+    * watermark-final; the fixture test drains everything, lateness = ∞).
+    * Update mode with a per-user version: a batch that changes the
+    * visible (signup, first-purchase) tuple re-emits it; max version per
+    * user = current truth (the s10/s12 upsert contract). Users with
+    * purchases but no signup yet hold state and emit nothing — q93's
+    * anchor semantics. */
+  def funnelStream(events: Dataset[(Long, Long, String)],
+      convertWithinUs: Long = 604800000000L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def answerOf(st: FunnelState): Option[Long] =
+      st.signup.flatMap(s => st.purchases.find(_ >= s))
+    def visible(st: FunnelState): Option[(Long, Option[Long])] =
+      st.signup.map(s => (s, answerOf(st)))
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[FunnelState]) =>
+          val cur = state.getOption.getOrElse(FunnelState(None, Vector.empty, 0L))
+          var signup = cur.signup
+          var purch = cur.purchases
+          rows.foreach {
+            case (_, ts, "signup") =>
+              if (signup.forall(ts < _)) signup = Some(ts)
+            case (_, ts, "purchase") => purch = purch :+ ts
+            case _ => ()
+          }
+          val sorted = purch.distinct.sorted
+          val pruned = FunnelState(signup, signup.flatMap(s =>
+            sorted.find(_ >= s)) match {
+            case Some(a) => sorted.takeWhile(_ <= a)
+            case None => sorted
+          }, cur.version + 1)
+          state.update(pruned)
+          if (visible(pruned) == visible(cur)) Iterator.empty
+          else visible(pruned) match {
+            case Some((s, ans)) => Iterator.single(FunnelOut(user,
+              pruned.version, s, ans, ans.exists(_ - s <= convertWithinUs)))
+            case None => Iterator.empty
+          }
+      }
+  }
 }

@@ -387,6 +387,42 @@ class StreamingSpec extends SparkSpec {
     assert(updates.forall(_._3.size <= 20))
   }
 
+  test("s14 streaming funnel converges to exactly the batch q93 result") {
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val out = StreamOps.funnelStream(input.toDS())
+    val q = out.writeStream.format("memory").queryName("s14out")
+      .outputMode("update").start()
+    try {
+      // the full event log in 3 slices, fed in REVERSED order — the
+      // fixpoint must survive out-of-order arrival (late signups must
+      // re-qualify earlier purchases)
+      val evs = graft.sources.Tables.events(spark, sfSmoke)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .reverse
+      evs.grouped(evs.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("s14out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .groupBy(_._1).map { case (u, rows) =>
+        val last = rows.maxBy(_._2)
+        u -> (last._3, last._4, last._5)
+      }
+    val want = SparkEntry.queries("q93_event_funnel")(spark, sfSmoke)
+      .select(col("user_id"), unix_micros(col("signup_ts")),
+        unix_micros(col("first_purchase_ts")), col("converted_7d"))
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+      }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {

@@ -58,6 +58,112 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q100: equals the full-corpus pairs restricted to new endpoints") {
+    val full = run("q31_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.filter { case (u, v) => u % 10 == 7 || v % 10 == 7 }
+      .sorted.toSeq
+    val inc = run("q100_incremental_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc == expected)
+    // and it is a real restriction: no old×old pair leaks through
+    assert(inc.forall { case (u, v) => u % 10 == 7 || v % 10 == 7 })
+  }
+
+  test("q101: buckets partition the corpus into ordered NLL terciles") {
+    val rows = run("q101_perplexity_bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val total = spark.read.parquet(s"$sfSmoke/documents.parquet").count()
+    assert(rows.map(_._2).sum == total)
+    val byBucket = rows.map(r => r._1 -> r._3).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // tercile means are ordered and sizes are near-equal thirds
+    assert(byBucket("head") < byBucket("middle") &&
+      byBucket("middle") < byBucket("tail"))
+    rows.foreach { case (_, n, _) =>
+      assert(math.abs(n - total / 3.0) <= total / 6.0, s"lopsided tercile: $n")
+    }
+  }
+
+  test("q102: matches an exact local replay of integer Lloyd iterations") {
+    val vecs = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toIndexedSeq)
+      .sortBy(_._1)
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    var cents = vecs.sortBy { case (id, _) => (md5Hex(id.toString), id) }
+      .take(4).zipWithIndex.map { case ((_, qv), i) => (i + 1).toLong -> qv }.toSeq
+    def assignAll() = vecs.map { case (id, qv) =>
+      val (bestId, _) = cents.map { case (c, cv) =>
+        c -> qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.minBy { case (c, dist) => (dist, c) }
+      id -> bestId
+    }
+    for (_ <- 1 to 2) {
+      val byC = assignAll().groupBy(_._2)
+      cents = byC.toSeq.sortBy(_._1).map { case (c, members) =>
+        val qvs = members.map(m => vecs(vecs.indexWhere(_._1 == m._1))._2)
+        c -> (0 until 64).map(i => qvs.map(_(i)).sum / qvs.length).toIndexedSeq
+      }
+    }
+    val want = assignAll().groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (c, members) =>
+        (c, members.length.toLong, members.map(_._1).min, members.map(_._1).max,
+          cents.find(_._1 == c).get._2.sum)
+    }
+    val got = run("q102_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("q103: transition mass and per-state probability simplex") {
+    val ev = graft.sources.Tables.events(spark, sfSmoke)
+    val n = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    val rows = run("q103_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._3).sum == n - users)
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      assert(math.abs(ts.map(_._4).sum - 1.0) < 1e-9, s"from=$from")
+    }
+  }
+
+  test("q104: orphans are exactly the docs outside every shared bucket") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shingleDocs = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      if (t.length < 5) Seq.empty
+      else t.sliding(5).map(_.mkString(" ")).toSeq.distinct.map(_ -> id)
+    }.groupBy(_._1).filter(_._2.length <= 1000) // stop-shingle cap
+    val shared = shingleDocs.values.filter(_.length >= 2)
+      .flatMap(_.map(_._2)).toSet
+    val wantOrphans = docs.map(_._1).filterNot(shared).sorted.toSeq
+    val got = run("q104_shingle_orphans").collect().map(_.getLong(0)).toSeq
+    assert(got == wantOrphans)
+  }
+
+  test("q105: histogram mass, monotone cumsum, true median bucket") {
+    val prices = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    val rows = run("q105_histogram").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.map(_._2).sum == prices.length)
+    assert(rows.map(_._3).toSeq == rows.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+    val medianBuckets = rows.filter(_._4)
+    assert(medianBuckets.length == 1)
+    // the exact lower median lands inside the flagged bucket
+    val med = prices((prices.length - 1) / 2)
+    val b = medianBuckets.head._1
+    assert(med >= b * 5000 && med < (b + 1) * 5000)
+  }
+
   test("q99: pair counts match a local brute-force recompute") {
     val words = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("text").collect().iterator
