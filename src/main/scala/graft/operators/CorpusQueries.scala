@@ -448,14 +448,16 @@ object CorpusQueries {
       val vocab = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
         .agg(countDistinct(col("tok")).as("vv"))
-      val scores = occ
+      // materialized: three consumers (two quantile boundaries + the
+      // bucket pass) would otherwise re-evaluate the model joins
+      val scores = graft.sources.Io.materialize(occ
         .join(bc, "bg")
         .withColumn("w1", element_at(split(col("bg"), " "), 1))
         .join(wc, "w1")
         .crossJoin(broadcast(vocab))
         .groupBy(col("doc_id"))
         .agg(round(-avg(log2((col("cbg") + lit(1.0)) / (col("cw1") + col("vv")))), 6)
-          .as("nll"))
+          .as("nll")))
       // two 1-row relations; the constant "g" key would fold a key-join
       // into an unbroadcast CartesianProduct, so cross them broadcast
       val b = Ranks.quantileCont(scores.withColumn("g", lit(1)), "g",

@@ -133,5 +133,84 @@ object MultimodalQueries {
              ORDER BY doc_id, frame_no""")
   )
 
-  val all: Seq[GQuery] = Seq(q38, q39, q62)
+  /** q106 — frame ↔ caption as-of alignment (wave 5): pair every sampled
+    * video frame (q62's grid: frame f starts at codepoint f·64) with the
+    * caption segment in force at that position — the text chunk (q66's
+    * 24-token stride) whose start offset is the latest ≤ the frame start.
+    * This is the multimodal pairing step that builds (image, text)
+    * training examples from time-aligned media: caption starts are
+    * IRREGULAR in character space (token lengths vary), so the alignment
+    * is a genuine as-of join, not modular arithmetic.
+    *
+    * Scale notes: frames and caption starts are map-only fan-outs (the
+    * caption offset is a per-row aggregate() over the token-prefix — no
+    * join against a positions relation); the as-of is q15's union-merge
+    * form — one doc-keyed shuffle, per-doc state bounded by that doc's
+    * frames + captions, no inequality join, no fan-out. Every doc has a
+    * caption at offset 0, so no probe misses. */
+  private val CapStride = 24 // tokens per caption segment (q66's stride)
+  private val q106 = GQuery(
+    "q106_frame_caption_align",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextOps.tokens(col("text")).as("toks"),
+          length(col("text")).as("tlen"))
+      val captions = docs
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            expr(s"(size(toks) - 1) div $CapStride"))).as("caption_id"))
+        .select(col("doc_id"), col("caption_id").cast("long").as("caption_id"),
+          (aggregate(slice(col("toks"), lit(1), col("caption_id") * CapStride),
+            lit(0), (a, x) => a + length(x))
+            + col("caption_id") * CapStride).cast("long").as("pos"))
+      val frames = docs.filter(col("tlen") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            ceil(col("tlen") / lit((FrameChars * FrameStride).toDouble))
+              .cast("int") - 1)).as("i"))
+        .select(col("doc_id"), (col("i") * FrameStride).cast("long").as("frame_no"),
+          (col("i") * FrameChars * FrameStride).cast("long").as("pos"))
+      val probes = frames.select(col("doc_id"), col("pos"), lit(1).as("is_probe"),
+        col("frame_no"), lit(null).cast("long").as("caption_id"),
+        lit(null).cast("long").as("caption_start"))
+      val builds = captions.select(col("doc_id"), col("pos"), lit(0).as("is_probe"),
+        lit(null).cast("long").as("frame_no"), col("caption_id"),
+        col("pos").as("caption_start"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos"), col("is_probe"), col("caption_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probes.unionAll(builds)
+        .withColumn("cap", last(col("caption_id"), ignoreNulls = true).over(w))
+        .withColumn("cap_start", last(col("caption_start"), ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("doc_id"), col("frame_no"), col("cap").as("caption_id"),
+          col("cap_start").as("caption_start"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                               length(text) AS tlen
+                        FROM documents),
+           cap AS (SELECT doc_id, CAST(caption_id AS BIGINT) AS caption_id,
+                          CAST(coalesce(len(array_to_string(toks[1:CAST(caption_id * $CapStride AS INT)], ' ')), 0)
+                            + (CASE WHEN caption_id > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                   FROM (SELECT doc_id, toks,
+                                unnest(range(0, ((len(toks) - 1) // $CapStride) + 1)) AS caption_id
+                         FROM t)),
+           fr AS (SELECT doc_id, CAST(i * $FrameStride AS BIGINT) AS frame_no,
+                         CAST(i * ${FrameChars * FrameStride} AS BIGINT) AS pos
+                  FROM (SELECT doc_id,
+                               unnest(range(0, CAST(ceil(tlen / ${(FrameChars * FrameStride).toDouble}) AS BIGINT))) AS i
+                        FROM t WHERE tlen > 0)),
+           j AS (SELECT f.doc_id, f.frame_no, c.caption_id, c.pos AS caption_start,
+                        row_number() OVER (PARTITION BY f.doc_id, f.frame_no
+                          ORDER BY c.pos DESC, c.caption_id DESC) AS rn
+                 FROM fr f JOIN cap c
+                   ON f.doc_id = c.doc_id AND c.pos <= f.pos)
+           SELECT doc_id, frame_no, caption_id, caption_start
+           FROM j WHERE rn = 1 ORDER BY doc_id, frame_no""")
+  )
+
+  val all: Seq[GQuery] = Seq(q38, q39, q62, q106)
 }

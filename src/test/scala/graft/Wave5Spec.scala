@@ -164,6 +164,22 @@ class Wave5Spec extends SparkSpec {
     assert(med >= b * 5000 && med < (b + 1) * 5000)
   }
 
+  test("q106: every frame pairs with the latest caption at or before it") {
+    val caps = run("q106_frame_caption_align").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val frames = run("q62_frame_sample").count()
+    assert(caps.length == frames) // no probe misses, no fan-out
+    caps.foreach { case (_, frameNo, _, capStart) =>
+      assert(capStart <= frameNo * 64, s"caption after frame $frameNo")
+    }
+    // caption ids are monotone along each doc's frame sequence
+    caps.groupBy(_._1).foreach { case (docId, rows) =>
+      val ordered = rows.sortBy(_._2).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        s"doc $docId caption sequence not monotone")
+    }
+  }
+
   test("q99: pair counts match a local brute-force recompute") {
     val words = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("text").collect().iterator
