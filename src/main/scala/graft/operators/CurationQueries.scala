@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GQuery
 import graft.functions.TextOps.{contentSplitHash, shingles, tokens}
-import graft.sources.Tables
+import graft.sources.{Io, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -523,6 +523,60 @@ object CurationQueries {
              WHERE rk <= quota ORDER BY doc_id""")
   )
 
+  /** q108 — curriculum packing (wave 5): order the corpus easiest-first
+    * by a difficulty score (lexical diversity + length, exact-integer
+    * ratios rounded to 6) and cut it into training phases of a fixed
+    * token budget — the curriculum-learning preparation step; each phase
+    * is what one training stage consumes. Phase = the bucket the doc's
+    * STARTING token offset falls in, so a doc straddling a boundary
+    * belongs to the phase it began in (the q69 packing rule).
+    *
+    * Scale notes: features are map-only; the global prefix sum runs
+    * through Ranks.runningSum (bounded range slices + broadcast offsets
+    * — never a single-task window; the feature relation is materialized
+    * first per the Ranks input contract); the phase aggregate is
+    * budget-bounded. Descending score order is encoded as an ascending
+    * sort on the negated score (range partitioning samples ascending
+    * bounds). */
+  private val PhaseBudget = 10000L
+  private val q108 = GQuery(
+    "q108_curriculum_pack",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val feats = Io.materialize(Tables.documents(s, d).select(
+        col("doc_id"),
+        size(t).cast("bigint").as("n_tokens"),
+        round(lit(0.5) * (size(array_distinct(t)).cast("double") / size(t)) +
+          lit(0.5) * least(size(t) / lit(200.0), lit(1.0)), 6).as("score"))
+        .withColumn("neg_score", -col("score"))
+        .withColumn("g", lit("all")))
+      Ranks.runningSum(feats, "g", Seq(col("neg_score"), col("doc_id")),
+          col("n_tokens"), "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          expr(s"(cum_tokens - n_tokens) div $PhaseBudget").as("phase"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("phase_tokens"),
+          round(avg(col("score")), 6).as("avg_score"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("phase"))
+    },
+    Some(s"""WITH f AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                        + 0.5 * least(len(string_split(text, ' ')) / 200.0, 1.0), 6) AS score
+                 FROM documents),
+           c AS (SELECT doc_id, n_tokens, score,
+                        CAST(sum(n_tokens) OVER (ORDER BY -score, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                 FROM f)
+           SELECT CAST((cum_tokens - n_tokens) // $PhaseBudget AS BIGINT) AS phase,
+                  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS phase_tokens,
+                  round(avg(score), 6) AS avg_score, min(doc_id) AS min_doc
+           FROM c GROUP BY 1 ORDER BY phase""")
+  )
+
   val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80,
-    q83, q95)
+    q83, q95, q108)
 }

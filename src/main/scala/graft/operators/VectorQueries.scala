@@ -506,5 +506,69 @@ object VectorQueries {
                GROUP BY c)"""
   }
 
-  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94, q102)
+  /** q107 — embedding-space health audit (wave 5): per label, the mean
+    * vector norm and the mean cosine to the label centroid — the
+    * collapse/drift report run before trusting an embedding corpus for
+    * dedup (q41/q76) or retrieval (q26/q37/q94): collapsed embeddings
+    * show cosine→1 within labels; scale drift shows in the norm.
+    *
+    * Determinism: vectors quantize to the q102 integer grid; the
+    * centroid is the integer element-wise mean; norms/dots are integer
+    * sums whose sqrt/division happen on identical integer-valued doubles
+    * in both engines (IEEE sqrt is correctly rounded — bit-identical),
+    * leaving only the label-avg reduction order, absorbed by round(4).
+    *
+    * Scale notes: one |labels|·dim-bounded centroid aggregate
+    * (posexplode partial-combines map-side), centroids broadcast back
+    * (labels are bounded), per-row integer kernels map-only, final
+    * aggregate |labels|-sized. */
+  private val q107 = GQuery(
+    "q107_embedding_audit",
+    (s, d) => {
+      val qvecs = emb(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+      val cent = qvecs
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("v"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          e => e.getField("v")).as("cv"))
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      qvecs.join(broadcast(cent), "label")
+        .select(col("label"),
+          dot(col("qv"), col("qv")).as("nn"), dot(col("qv"), col("cv")).as("dd"),
+          dot(col("cv"), col("cv")).as("cc"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(sqrt(col("nn")) / 1000.0), 4).as("avg_norm"),
+          round(avg(when(col("nn") > 0 && col("cc") > 0,
+            col("dd") / (sqrt(col("nn")) * sqrt(col("cc"))))), 4).as("avg_cosine"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+                       FROM embeddings),
+                 u AS (SELECT label, i,
+                              CAST(sum(qv[CAST(i AS INT)]) AS BIGINT) // count(*) AS v
+                       FROM e, range(1, 65) t(i) GROUP BY label, i),
+                 c AS (SELECT label, list(v ORDER BY i) AS cv FROM u GROUP BY label),
+                 m AS (SELECT e.vec_id, e.label,
+                              CAST(list_sum(list_transform(range(1, 65),
+                                i -> e.qv[CAST(i AS INT)] * e.qv[CAST(i AS INT)])) AS BIGINT) AS nn,
+                              CAST(list_sum(list_transform(range(1, 65),
+                                i -> e.qv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) AS BIGINT) AS dd,
+                              CAST(list_sum(list_transform(range(1, 65),
+                                i -> c.cv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) AS BIGINT) AS cc
+                       FROM e JOIN c USING (label))
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(sqrt(nn) / 1000.0), 4) AS avg_norm,
+                   round(avg(CASE WHEN nn > 0 AND cc > 0
+                             THEN dd / (sqrt(nn) * sqrt(cc)) END), 4) AS avg_cosine
+            FROM m GROUP BY label ORDER BY label""")
+  )
+
+  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94, q102, q107)
 }

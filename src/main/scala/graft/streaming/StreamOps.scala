@@ -479,6 +479,65 @@ object StreamOps {
       .start()
   }
 
+  /** s15 — streaming incremental near-dup admission (wave 5; streaming
+    * twin of batch q100): every micro-batch of incoming documents (a)
+    * computes its LSH bands with the SAME CorpusOps.minhashBands kernel
+    * the batch path uses, (b) probes the standing band index — the
+    * pre-built corpus index plus every previously ingested batch's delta
+    * — for candidate pairs, and (c) appends its own bands as a new
+    * `_batch` delta, so later batches dedup against it. This closes the
+    * q100 loop operationally: the full-corpus pairing runs once,
+    * after which THIS is the only dedup work ingest ever does; the band
+    * index is maintained exactly like s11's posting deltas (LSM parquet
+    * segments, compacted by Io.compact in a background OPTIMIZE).
+    *
+    * Exactly-once on replay: both the delta write and the pair write are
+    * `_batch`-partitioned dynamic overwrites (the s06 contract); a
+    * replayed batch that already appended its bands re-probes an index
+    * that includes its own rows — identical rows, removed by the pair
+    * DISTINCT — and overwrites its own output partition. Each unordered
+    * pair is emitted exactly once (by the batch of its later-arriving
+    * endpoint). Zero streaming state: all cross-batch memory lives in
+    * the index directory.
+    *
+    * Stop-shingle caveat: the cap is a CORPUS-level parameter; per-batch
+    * re-derivation would see only batch-local frequencies. Production
+    * publishes the stop list from the standing corpus (alongside the
+    * index) instead of re-deriving it; at the test fixture's size the
+    * cap never fires, so batch-vs-stream equivalence is exact. */
+  def incrementalDedupStream(docs: DataFrame, indexDir: String, outDir: String,
+      shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8, bands: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val mine = graft.operators.CorpusOps
+          .minhashBands(batch, "doc_id", "text", shingleN, stopCap, k, bands)
+          .withColumn("_batch", lit(batchId))
+          .persist()
+        try {
+          mine.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch").parquet(indexDir)
+          val standing = s.read.parquet(indexDir)
+          mine.select(col("band"), col("bh"), col("doc_id").as("new_id"))
+            .join(standing.select(col("band"), col("bh"), col("doc_id")),
+              Seq("band", "bh"))
+            .filter(col("doc_id") =!= col("new_id"))
+            .select(least(col("new_id"), col("doc_id")).as("doc1"),
+              greatest(col("new_id"), col("doc_id")).as("doc2"))
+            .distinct()
+            .withColumn("_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch").parquet(s"$outDir/pairs")
+        } finally { mine.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   final case class FunnelState(signup: Option[Long], purchases: Vector[Long],
       version: Long)
   final case class FunnelOut(user_id: Long, version: Long, signup_us: Long,

@@ -423,6 +423,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("s15 streaming incremental dedup converges to exactly batch q100") {
+    val dir = java.nio.file.Files.createTempDirectory("s15").toString
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text")
+    // standing corpus index: everything that is NOT the incoming batch
+    graft.operators.CorpusOps
+      .minhashBands(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+      .withColumn("_batch", lit(-1L))
+      .write.partitionBy("_batch").parquet(s"$dir/index")
+    // the incoming batch (q100's doc_id % 10 = 7 cohort) in 3 slices
+    val incoming = docs.filter(col("doc_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/out")
+    try {
+      incoming.grouped(incoming.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out/pairs")
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = SparkEntry.queries("q100_incremental_dedup")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted)
+    // each unordered pair emitted exactly once across all batches
+    assert(got.distinct.length == got.length)
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {

@@ -180,6 +180,41 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q107: norms and centroid cosines respect analytic bounds") {
+    val total = spark.read.parquet(s"$sfSmoke/embeddings.parquet").count()
+    val rows = run("q107_embedding_audit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == total)
+    rows.foreach { case (label, _, norm, cos) =>
+      assert(norm > 0, s"$label norm")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"$label cosine $cos")
+      // members should lean TOWARD their own centroid
+      assert(cos > 0, s"$label mean cosine to own centroid is $cos")
+    }
+  }
+
+  test("q108: phases partition the corpus and respect the token budget") {
+    val rows = run("q108_curriculum_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val totalDocs = docs.count()
+    val totalTokens = docs.selectExpr("sum(size(split(text, ' ')))")
+      .head().getLong(0)
+    assert(rows.map(_._2).sum == totalDocs)
+    assert(rows.map(_._3).sum == totalTokens)
+    // phases are contiguous from 0 and easier (higher score) phases come first
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    val scores = rows.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"avg scores not descending: ${scores.toSeq}")
+    // a doc starts a new phase only after the previous budget is filled:
+    // every phase except the last holds >= budget - max_doc_tokens
+    val maxDoc = docs.selectExpr("max(size(split(text, ' ')))").head().getInt(0)
+    rows.init.foreach { case (p, _, tok, _) =>
+      assert(tok >= 10000 - maxDoc, s"phase $p underfilled: $tok")
+    }
+  }
+
   test("q99: pair counts match a local brute-force recompute") {
     val words = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("text").collect().iterator
