@@ -332,6 +332,51 @@ object AggQueries {
             FROM c ORDER BY bucket""")
   )
 
+  /** q110 — activity-outlier detection (wave 5): users whose event count
+    * deviates ≥ 2σ from the population — the abuse/bot screen a training
+    * pipeline runs over behavioral data before trusting it. Moments are
+    * EXACT integer sums (Σn, Σn², N) broadcast as one row; μ/σ/z then
+    * derive through the IDENTICAL formula in both engines on
+    * identical integer-valued doubles, so even the ≥ 2σ membership test
+    * is deterministic — a Welford-style stddev would be reduction-order-
+    * dependent and could flip a boundary user between runs.
+    *
+    * Scale notes: one user-keyed count (partial combine), one
+    * 1-row moment aggregate over the |users|-sized relation, broadcast
+    * back (BroadcastNestedLoopJoin, constant work). */
+  private val q110 = GQuery(
+    "q110_rate_outliers",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val moments = perUser.agg(sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"),
+        count(lit(1)).as("nu"))
+      perUser.crossJoin(broadcast(moments))
+        .withColumn("mu", col("s1").cast("double") / col("nu"))
+        .withColumn("sigma",
+          sqrt(col("s2").cast("double") / col("nu") - col("mu") * col("mu")))
+        .withColumn("z", (col("n_events") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("user_id"), col("n_events"), round(col("z"), 4).as("z"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH p AS (SELECT user_id, count(*) AS n_events
+                       FROM events GROUP BY user_id),
+                 m AS (SELECT CAST(sum(n_events) AS BIGINT) AS s1,
+                              CAST(sum(n_events * n_events) AS BIGINT) AS s2,
+                              count(*) AS nu
+                       FROM p),
+                 z AS (SELECT user_id, n_events,
+                              (n_events - (CAST(s1 AS DOUBLE) / nu))
+                                / sqrt(CAST(s2 AS DOUBLE) / nu
+                                       - (CAST(s1 AS DOUBLE) / nu)
+                                       * (CAST(s1 AS DOUBLE) / nu)) AS z
+                       FROM p, m)
+            SELECT user_id, n_events, round(z, 4) AS z
+            FROM z WHERE abs(z) >= 2.0 ORDER BY user_id""")
+  )
+
   val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43, q44,
-    q45, q63, q105)
+    q45, q63, q105, q110)
 }

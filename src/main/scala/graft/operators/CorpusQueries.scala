@@ -497,6 +497,61 @@ object CorpusQueries {
             FROM sc, q GROUP BY 1 ORDER BY bucket""")
   )
 
+  /** q109 — KMV distinct-count sketch audit (wave 5): per-source
+    * vocabulary cardinality estimated from the k minimum md5-60bit token
+    * hashes, next to the exact count and the relative error. KMV is the
+    * mergeable sketch HLL families approximate — but DETERMINISTIC and
+    * engine-portable (integer hashes, integer k-th minimum), so unlike
+    * approx_count_distinct the whole sketch pipeline is oracle-checkable.
+    * At 100 TB this is how per-segment cardinalities roll up: each
+    * segment keeps its k-head, merge is the k-smallest of the union —
+    * the BoundedHead aggregate again (s11's merge kernel), every partial
+    * state ≤ k longs.
+    *
+    * Scale notes: one (source, hash)-distinct shuffle (the same shape as
+    * countDistinct's Expand-free plan), then a |sources|-group aggregate
+    * whose state is k-bounded by construction. The estimate
+    * (k−1)·2⁶⁰∕h_k runs on identical long→double conversions in both
+    * engines. Sources with < k distinct hashes report exactly. */
+  private val KmvK = 256
+  private val q109 = GQuery(
+    "q109_kmv_distinct",
+    (s, d) => {
+      val H = 1.152921504606846976e18 // 2^60 — the hash space size
+      val hashes = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          graft.functions.TextOps.shingleHash60(col("tok")).as("h"))
+        .distinct()
+      hashes.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_exact"),
+          graft.functions.BoundedHead.head(KmvK)(array(col("h"))).as("heads"))
+        .select(col("source"), col("n_exact"),
+          round(when(size(col("heads")) < KmvK, col("n_exact").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * H /
+              element_at(col("heads"), KmvK)), 2).as("n_est"))
+        .withColumn("rel_err",
+          round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 4))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH h AS (SELECT DISTINCT source,
+                    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+                 FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                       FROM documents)),
+           a AS (SELECT source, count(*) AS n_exact,
+                        (list_sort(list(h)))[1:$KmvK] AS heads
+                 FROM h GROUP BY source),
+           e AS (SELECT source, n_exact,
+                        round(CASE WHEN len(heads) < $KmvK
+                              THEN CAST(n_exact AS DOUBLE)
+                              ELSE ${(KmvK - 1).toDouble} * 1.152921504606846976e18
+                                   / CAST(heads[$KmvK] AS DOUBLE) END, 2) AS n_est
+                 FROM a)
+           SELECT source, n_exact, n_est,
+                  round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
+           FROM e ORDER BY source""")
+  )
+
   val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84, q87,
-    q99, q101)
+    q99, q101, q109)
 }

@@ -215,6 +215,38 @@ class Wave5Spec extends SparkSpec {
     }
   }
 
+  test("q109: exact counts are exact; sketches degrade gracefully") {
+    val truth = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .selectExpr("source", "explode(split(text, ' ')) AS tok")
+      .distinct().groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("q109_kmv_distinct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == truth.size)
+    rows.foreach { case (src, exact, est, relErr) =>
+      assert(exact == truth(src), s"$src exact")
+      if (exact < 256) assert(est == exact.toDouble, s"$src small-set exact path")
+      else assert(relErr < 0.25, s"$src sketch error $relErr") // k=256 → ~6% σ
+    }
+  }
+
+  test("q110: z-scores match an exact local recompute, boundary included") {
+    val counts = graft.sources.Tables.events(spark, sfSmoke)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = counts.size.toDouble
+    val mu = counts.values.sum.toDouble / n
+    val sigma = math.sqrt(counts.values.map(c => c.toDouble * c).sum / n - mu * mu)
+    val want = counts.toSeq.map { case (u, c) => (u, c, (c - mu) / sigma) }
+      .filter { case (_, _, z) => math.abs(z) >= 2.0 }
+      .map { case (u, c, z) =>
+        (u, c, BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(_._1)
+    val got = run("q110_rate_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
   test("q99: pair counts match a local brute-force recompute") {
     val words = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("text").collect().iterator
