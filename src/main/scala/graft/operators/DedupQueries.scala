@@ -633,6 +633,45 @@ object DedupQueries {
          ORDER BY doc_id""")
   )
 
+  /** q111 — duplicate-graph triangle census (wave 5): per-document
+    * triangle participation counts in the LSH candidate graph. Triangles
+    * separate TEMPLATE FAMILIES (mutually-similar cliques — the thing to
+    * collapse to one representative) from chains of incidental pairwise
+    * similarity; together with q97's degrees and q86's PageRank this
+    * completes the dedup-graph diagnostics: degree says how connected,
+    * rank says how central, triangles say how CLIQUE-LIKE.
+    *
+    * Scale notes: the classic two-join kernel — wedges from an id-
+    * oriented edge join (u < v < w), closed against the edge relation on
+    * the (v, w) pair key. Wedge volume is Σ deg², bounded here because
+    * every band bucket is capped (degree ≤ caps × bands by
+    * construction); production graphs without that bound orient edges by
+    * DEGREE instead of id (same plan, skew-proof). The edge relation is
+    * materialized once and feeds all three roles. */
+  private val q111 = GQuery(
+    "q111_triangle_census",
+    (s, d) => {
+      val e = Io.materialize(
+        minhashPairs(s, d).select(col("doc1").as("u"), col("doc2").as("v")))
+      val wedges = e
+        .join(e.select(col("u"), col("v").as("w")), "u")
+        .filter(col("v") < col("w"))
+      val tri = wedges.join(
+        e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("doc_id"))
+    },
+    Some(CAND_SQL +
+      """, tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                   FROM cand a JOIN cand b ON a.u = b.u AND a.v < b.v
+                   JOIN cand c ON c.u = a.v AND c.v = b.v)
+         SELECT doc_id, count(*) AS n_triangles
+         FROM (SELECT x AS doc_id FROM tri
+               UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
-    q100, q104)
+    q100, q104, q111)
 }

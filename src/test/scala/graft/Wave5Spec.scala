@@ -247,6 +247,23 @@ class Wave5Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q111: triangle counts match a local brute-force recompute") {
+    val edges = run("q31_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val adj = edges ++ edges.map(_.swap)
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (u, v) <- edges
+      w <- verts if v < w
+      if adj((u, w)) && adj((v, w))
+    } Seq(u, v, w).foreach(x => triCount(x) = triCount.getOrElse(x, 0L) + 1)
+    val want = triCount.toSeq.sorted
+    val got = run("q111_triangle_census").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("q99: pair counts match a local brute-force recompute") {
     val words = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("text").collect().iterator
