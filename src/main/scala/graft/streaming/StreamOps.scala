@@ -538,6 +538,51 @@ object StreamOps {
       .start()
   }
 
+  final case class KmvState(heads: Vector[Long], version: Long)
+  final case class KmvOut(source: String, version: Long, n_heads: Int,
+      est: Double)
+
+  /** s16 — streaming KMV cardinality maintenance (wave 5; streaming twin
+    * of batch q109's sketch side): per-source state is the k smallest
+    * distinct md5-60bit token hashes seen so far — BoundedHead's merge
+    * rule as streaming state, bounded at k longs per source BY
+    * CONSTRUCTION no matter the ingest history. The drained estimate
+    * equals the batch sketch exactly (the k-smallest of a set is
+    * order-free, the same fixpoint argument as s12), so per-source
+    * vocabulary cardinality stays continuously fresh for mixture
+    * dashboards without ever recounting the corpus.
+    *
+    * Input rows are (source, token-hash) pairs — the map-only projection
+    * runs on the stream before grouping, so state updates are a sorted
+    * merge of longs, never strings. Update mode with versions: max
+    * version per source = the current sketch (s10/s12 contract). */
+  def kmvStream(hashes: Dataset[(String, Long)], k: Int): Dataset[KmvOut] = {
+    import hashes.sparkSession.implicits._
+    require(k > 1)
+    val space = 1.152921504606846976e18 // 2^60
+    hashes.groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long)],
+            state: GroupState[KmvState]) =>
+          val cur = state.getOption.getOrElse(KmvState(Vector.empty, 0L))
+          val merged = (cur.heads ++ rows.map(_._2)).distinct.sorted.take(k)
+          if (merged == cur.heads) Iterator.empty
+          else {
+            val next = KmvState(merged, cur.version + 1)
+            state.update(next)
+            val est =
+              if (merged.length < k) merged.length.toDouble
+              else (k - 1).toDouble * space / merged.last
+            // BigDecimal HALF_UP — the same rounding Spark's round() applies
+            // in batch q109, so the drained sketch compares exactly
+            Iterator.single(KmvOut(source, next.version, merged.length,
+              BigDecimal(est).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble))
+          }
+      }
+  }
+
   final case class FunnelState(signup: Option[Long], purchases: Vector[Long],
       version: Long)
   final case class FunnelOut(user_id: Long, version: Long, signup_us: Long,

@@ -454,6 +454,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.distinct.length == got.length)
   }
 
+  test("s16 streaming KMV sketch converges to exactly the batch q109 estimate") {
+    val input = MemoryStream[(String, Long)](spark)
+    val out = StreamOps.kmvStream(input.toDS(), 256)
+    val q = out.writeStream.format("memory").queryName("s16out")
+      .outputMode("update").start()
+    try {
+      // the full (source, token-hash) relation, shuffled slices — the
+      // k-smallest fixpoint must not depend on arrival order
+      val hashes = graft.sources.Tables.documents(spark, sfSmoke)
+        .selectExpr("source", "explode(split(text, ' ')) AS tok")
+        .select(col("source"),
+          graft.functions.TextOps.shingleHash60(col("tok")).as("h"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).reverse
+      hashes.grouped(hashes.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("s16out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (src, rows) =>
+        val last = rows.maxBy(_._2); src -> ((last._3, last._4))
+      }
+    val want = SparkEntry.queries("q109_kmv_distinct")(spark, sfSmoke)
+      .collect().map { r =>
+        val exact = r.getLong(1)
+        r.getString(0) -> ((math.min(exact, 256L).toInt, r.getDouble(2)))
+      }.toMap
+    assert(got == want)
+    // state bound: no emitted sketch ever exceeded k heads
+    assert(spark.table("s16out").collect().forall(_.getInt(2) <= 256))
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {
