@@ -245,6 +245,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q106 as-of alignment is join-free (union-merge, one doc-keyed shuffle)") {
+    // the naive plan is an inequality join (quadratic per doc); the
+    // union-merge form must plan with NO join operator at all
+    val p = plan("q106_frame_caption_align")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q109 KMV sketch partials combine map-side (bounded state)") {
+    // the BoundedHead aggregate must run in partial mode before the
+    // source shuffle — every shuffled buffer is <= k longs
+    val p = plan("q109_kmv_distinct")
+    assert(p.contains("partial_boundedhead"), p)
+  }
+
   test("q81 filters query tokens before the aggregation shuffle") {
     import org.apache.spark.sql.catalyst.plans.logical
     val qe = SparkEntry.queries("q81_index_probe")(spark, sfSmoke).queryExecution
