@@ -207,5 +207,42 @@ object ScalarQueries {
             FROM events ORDER BY event_id""")
   )
 
-  val all: Seq[GQuery] = Seq(q19, q20, q21, q22, q23, q46, q47)
+  /** q112 — UNPIVOT / melt (wave 5): the wide→long reshape that closes
+    * the q45 pivot round-trip — per-order charge components unpivoted to
+    * (metric, value) rows and aggregated per metric. Spark expresses
+    * UNPIVOT as `stack` (a Generate — map-only 1:4 fan-out, exactly like
+    * explode); the aggregate is |metrics|-bounded with partial combine.
+    * Values ride DECIMAL(18,2) so the per-metric sums are exact and
+    * order-independent. */
+  private val q112 = GQuery(
+    "q112_unpivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("""stack(4,
+                  'quantity', CAST(l_quantity AS DECIMAL(18,2)),
+                  'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)),
+                  'discount', CAST(l_discount AS DECIMAL(18,2)),
+                  'tax', CAST(l_tax AS DECIMAL(18,2))) AS (metric, value)"""))
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast("double").as("total"),
+          max(col("value")).cast("double").as("max_value"))
+        .orderBy(col("metric")),
+    Some("""SELECT metric, count(*) AS n,
+                   CAST(sum(value) AS DOUBLE) AS total,
+                   CAST(max(value) AS DOUBLE) AS max_value
+            FROM (SELECT l_orderkey, metric,
+                         CAST(value AS DECIMAL(18,2)) AS value
+                  FROM (SELECT l_orderkey,
+                               CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+                               CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice,
+                               CAST(l_discount AS DECIMAL(18,2)) AS discount,
+                               CAST(l_tax AS DECIMAL(18,2)) AS tax
+                        FROM lineitem)
+                  UNPIVOT (value FOR metric IN (quantity, extendedprice, discount, tax)))
+            GROUP BY metric ORDER BY metric""")
+  )
+
+  val all: Seq[GQuery] = Seq(q19, q20, q21, q22, q23, q46, q47, q112)
 }
