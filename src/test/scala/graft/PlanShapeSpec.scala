@@ -245,6 +245,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q98 entropy is map-only (native kernel, no hash exchange)") {
+    val p = plan("q98_char_entropy")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("charentropy"), p)
+  }
+
   test("q106 as-of alignment is join-free (union-merge, one doc-keyed shuffle)") {
     // the naive plan is an inequality join (quadratic per doc); the
     // union-merge form must plan with NO join operator at all

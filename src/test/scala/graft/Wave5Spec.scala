@@ -37,6 +37,19 @@ class Wave5Spec extends SparkSpec {
     assert(hist.map(_.getLong(0)).forall(_ >= 1))
   }
 
+  test("char_entropy kernel: analytic golden values") {
+    import spark.implicits._
+    graft.functions.CharEntropy.register(spark)
+    val rows = Seq("abcd", "aaaa", "aabb", "").toDF("t")
+      .select(graft.functions.CharEntropy(col("t")).as("e"))
+      .select(col("e.n_distinct_chars"), col("e.entropy"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows(0) == ((4L, 2.0)))  // uniform over 4 symbols -> 2 bits
+    assert(rows(1) == ((1L, 0.0)))  // constant -> 0 bits
+    assert(rows(2) == ((2L, 1.0)))  // fair coin -> 1 bit
+    assert(rows(3) == ((0L, 0.0)))  // empty -> defined as 0
+  }
+
   test("q98: entropy matches a local recompute and its analytic bounds") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("doc_id", "text").collect()
