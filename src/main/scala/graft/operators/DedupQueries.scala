@@ -650,18 +650,10 @@ object DedupQueries {
     * materialized once and feeds all three roles. */
   private val q111 = GQuery(
     "q111_triangle_census",
-    (s, d) => {
-      val e = Io.materialize(
-        minhashPairs(s, d).select(col("doc1").as("u"), col("doc2").as("v")))
-      val wedges = e
-        .join(e.select(col("u"), col("v").as("w")), "u")
-        .filter(col("v") < col("w"))
-      val tri = wedges.join(
-        e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-      tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) =>
+      Graph.triangleCensus(minhashPairs(s, d), "doc1", "doc2")
+        .select(col("vertex").as("doc_id"), col("n_triangles"))
+        .orderBy(col("doc_id")),
     Some(CAND_SQL +
       """, tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
                    FROM cand a JOIN cand b ON a.u = b.u AND a.v < b.v

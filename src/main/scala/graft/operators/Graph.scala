@@ -177,4 +177,27 @@ object Graph {
     }
     rank.select(col("gu").as("vertex"), col("rank").as("rank_scaled"))
   }
+
+  /** Per-vertex triangle participation counts (q111's kernel): edges are
+    * id-oriented (u < v enforced here), wedges come from the u-keyed
+    * self-join with v < w, and each wedge closes against the edge
+    * relation on the (v, w) pair key. Wedge volume is Σ deg² — bounded
+    * for capped candidate graphs (LSH band caps); uncapped graphs should
+    * pre-orient by DEGREE (same plan shape, skew-proof). The oriented
+    * edge relation is materialized once for its three roles. Vertices in
+    * no triangle are absent from the result (count 0). */
+  def triangleCensus(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = graft.sources.Io.materialize(
+      edges.filter(col(srcCol) =!= col(dstCol))
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .distinct())
+    val wedges = e
+      .join(e.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") < col("w"))
+    wedges.join(e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -12,6 +12,26 @@ import org.apache.spark.sql.functions._
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  test("triangleCensus: golden topologies (K5, cycle, chain, disoriented input)") {
+    // complete graph K5: C(5,3)=10 triangles, every vertex in C(4,2)=6
+    val k5 = (for { a <- 0 until 5; b <- 0 until 5 if a < b }
+      yield (a.toLong, b.toLong)).toDF("s", "t")
+    val gotK5 = Graph.triangleCensus(k5, "s", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(gotK5.toSeq == (0L until 5L).map(_ -> 6L))
+    assert(gotK5.map(_._2).sum == 30) // 10 triangles x 3 vertices
+    // a 6-cycle has no triangles
+    val c6 = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong)).toDF("s", "t")
+    assert(Graph.triangleCensus(c6, "s", "t").collect().isEmpty)
+    // orientation + duplicates + self-loops are normalized away: the same
+    // triangle given as (b,a) edges with repeats and a self-loop counts once
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 3L), (3L, 1L))
+      .toDF("s", "t")
+    val gotMessy = Graph.triangleCensus(messy, "s", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(gotMessy.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("chain graph of 201 vertices collapses to one component") {
     val edges = (0 until 200).map(i => (i.toLong, i.toLong + 1)).toDF("s", "t")
     val cc = Graph.connectedComponents(edges, "s", "t").collect()
