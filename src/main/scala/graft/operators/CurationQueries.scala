@@ -577,6 +577,52 @@ object CurationQueries {
            FROM c GROUP BY 1 ORDER BY phase""")
   )
 
+  /** q113 — weighted systematic sample (wave 5): ~50 documents drawn with
+    * probability proportional to length (n_chars), deterministically —
+    * the weighted counterpart of q88's uniform hash sample. Docs are laid
+    * on a line in md5(doc_id) order (content-independent, reproducible
+    * shuffle), each covering an interval of its weight; a pick lands at
+    * every multiple of step = total_weight div 50, and a doc is selected
+    * iff its interval contains a pick. All arithmetic is exact integers
+    * (`div` ≡ DuckDB `//` on our non-negative operands), so selection is
+    * bit-reproducible across engines, runs, and partitionings — the
+    * property priority/A-ExpJ sampling (float pow of hashes) cannot give
+    * an oracle.
+    *
+    * Scale notes: the weight prefix sum runs through Ranks.runningSum
+    * (materialized input, bounded range slices + broadcast offsets); the
+    * step denominator is a 1-row broadcast; selection is then a map-only
+    * predicate. A doc heavier than step is selected once (sampling
+    * without replacement — multiplicity would double-count it). */
+  private val WSampleN = 50
+  private val q113 = GQuery(
+    "q113_weighted_sample",
+    (s, d) => {
+      val feats = Io.materialize(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+        .withColumn("mkey", md5(col("doc_id").cast("string")))
+        .withColumn("g", lit("all")))
+      val cum = Ranks.runningSum(feats, "g", Seq(col("mkey"), col("doc_id")),
+        col("w"), "cum_w")
+      val step = feats.agg(expr(s"sum(w) div $WSampleN").as("step"))
+      cum.crossJoin(broadcast(step))
+        .filter(expr("((cum_w - 1) div step) > ((cum_w - w - 1) div step)"))
+        .select(col("doc_id"), col("w"), col("cum_w"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                               md5(CAST(doc_id AS VARCHAR)) AS mkey
+                        FROM documents),
+           c AS (SELECT doc_id, w,
+                        CAST(sum(w) OVER (ORDER BY mkey, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+                 FROM f),
+           st AS (SELECT CAST(sum(w) // $WSampleN AS BIGINT) AS step FROM f)
+           SELECT doc_id, w, cum_w FROM c, st
+           WHERE ((cum_w - 1) // step) > ((cum_w - w - 1) // step)
+           ORDER BY doc_id""")
+  )
+
   val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80,
-    q83, q95, q108)
+    q83, q95, q108, q113)
 }

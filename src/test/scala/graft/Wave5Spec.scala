@@ -277,6 +277,27 @@ class Wave5Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q113: selection equals an exact local replay of the weighted line") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => (md5Hex(id.toString), id) }
+    val total = docs.map(_._2).sum
+    val step = total / 50
+    var cum = 0L
+    val want = docs.flatMap { case (id, w) =>
+      cum += w
+      if ((cum - 1) / step > (cum - w - 1) / step) Some((id, w, cum)) else None
+    }.sortBy(_._1).toSeq
+    val got = run("q113_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.length >= 40 && got.length <= 50, s"sample size ${got.length}")
+  }
+
   test("q99: pair counts match a local brute-force recompute") {
     val words = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("text").collect().iterator
