@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Cols, GQuery}
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -462,6 +463,93 @@ object WindowQueries {
             FROM c ORDER BY from_type, to_type""")
   )
 
+  /** q114 — retention cohort matrix (wave 5): users bucketed by signup
+    * week (ISO date_trunc, identical in both engines), activity counted
+    * per whole-week offset from the cohort start — the
+    * cohort × week-offset retention table every behavioral dashboard
+    * draws. Offsets are exact integer day-differences `div` 7, so cell
+    * membership is deterministic.
+    *
+    * Scale notes: anchor aggregate is user-keyed (partial combine); the
+    * activity join is user-keyed fact⋈anchor (AQE picks broadcast at
+    * anchor sizes that fit); the matrix aggregate is
+    * |cohorts|·|offsets|-bounded. countDistinct shuffles on the
+    * (cell, user) pair — scales with distinct users per cell, not
+    * events. */
+  private val q114 = GQuery(
+    "q114_retention_cohorts",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val anchors = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+        .withColumn("cohort", to_date(date_trunc("week", col("signup_ts"))))
+      ev.join(anchors, "user_id")
+        .withColumn("off", expr("datediff(to_date(ts), cohort) div 7"))
+        .filter(col("off") >= 0)
+        .groupBy(col("cohort"), col("off"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort"), col("off"))
+    },
+    Some("""WITH a AS (SELECT user_id,
+                              CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY user_id)
+            SELECT cohort, date_diff('day', cohort, CAST(ts AS DATE)) // 7 AS off,
+                   count(DISTINCT e.user_id) AS n_active
+            FROM events e JOIN a ON e.user_id = a.user_id
+            WHERE date_diff('day', cohort, CAST(ts AS DATE)) >= 0
+            GROUP BY 1, 2 ORDER BY cohort, off""")
+  )
+
+  /** q115 — ordered funnel steps (wave 5): view → click → purchase in
+    * TIME ORDER per user (each step's timestamp must be ≥ the previous
+    * step's), with per-step survivor counts and conversion from the
+    * previous step — q93's two-step funnel generalized to an ordered
+    * chain. Each stage is one user-keyed conditional-min aggregate over
+    * a join with the previous stage's anchors (never a self-join of the
+    * raw stream, never an event-history window); the final rates come
+    * from a lag window over the 3-row step relation (q70 pattern).
+    * Conversion ratios are single exact-int IEEE divisions. */
+  private val q115 = GQuery(
+    "q115_funnel_steps",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      def stage(evType: String, prev: DataFrame): DataFrame =
+        ev.filter(col("event_type") === evType)
+          .join(prev, "user_id")
+          .filter(col("ts") >= col("t"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      val s2 = stage("click", s1)
+      val s3 = stage("purchase", s2)
+      val steps = s1.agg(count(lit(1)).as("n")).select(lit("1_view").as("step"), col("n"))
+        .unionAll(s2.agg(count(lit(1)).as("n")).select(lit("2_click").as("step"), col("n")))
+        .unionAll(s3.agg(count(lit(1)).as("n")).select(lit("3_purchase").as("step"), col("n")))
+      steps
+        .withColumn("conv_from_prev", col("n").cast("double") /
+          lag(col("n"), 1).over(Window.partitionBy().orderBy(col("step"))))
+        .orderBy(col("step"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s1 ON e.user_id = s1.user_id
+                        WHERE e.event_type = 'click' AND e.ts >= s1.t
+                        GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s2 ON e.user_id = s2.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                        GROUP BY e.user_id),
+                 st AS (SELECT '1_view' AS step, count(*) AS n FROM s1
+                        UNION ALL SELECT '2_click', count(*) FROM s2
+                        UNION ALL SELECT '3_purchase', count(*) FROM s3)
+            SELECT step, n,
+                   CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY step) AS conv_from_prev
+            FROM st ORDER BY step""")
+  )
+
   val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51, q65, q91, q92,
-    q93, q103)
+    q93, q103, q114, q115)
 }

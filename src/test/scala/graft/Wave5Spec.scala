@@ -298,6 +298,28 @@ class Wave5Spec extends SparkSpec {
     assert(got.length >= 40 && got.length <= 50, s"sample size ${got.length}")
   }
 
+  test("q114/q115: cohort mass and funnel monotonicity") {
+    val ev = graft.sources.Tables.events(spark, sfSmoke)
+    // every signup user appears in their cohort's offset-0-or-later cells
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    val cohorts = run("q114_retention_cohorts").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    assert(cohorts.nonEmpty && cohorts.forall(_._2 >= 0))
+    val off0 = cohorts.filter(_._2 == 0L).map(_._3).sum
+    assert(off0 == signups) // signup itself is offset-0 activity
+    val steps = run("q115_funnel_steps").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(steps.map(_._1).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val ns = steps.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, ns.toSeq)
+    assert(steps.head._3.isEmpty)
+    steps.tail.zip(ns).foreach { case ((_, n, conv), prev) =>
+      assert(conv.contains(n.toDouble / prev))
+    }
+  }
+
   test("q99: pair counts match a local brute-force recompute") {
     val words = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("text").collect().iterator
