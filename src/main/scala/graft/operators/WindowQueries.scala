@@ -550,6 +550,57 @@ object WindowQueries {
             FROM st ORDER BY step""")
   )
 
+  /** q116 — inter-event gap profile (wave 5): per event type, the
+    * distribution of time gaps between a user's consecutive events of
+    * that type (count, p50/p90 quantiles, max) — the arrival-process
+    * statistic behind session-gap tuning (q29/q50's 30-min threshold is
+    * exactly a p-quantile of this relation), bot screening, and
+    * synthetic-load modeling.
+    *
+    * Scale notes: one (user, type)-keyed lag window (per-partition state
+    * bounded by that user's events of one type), gaps carried as exact
+    * epoch-microsecond longs, then type-grouped quantiles through
+    * Ranks.quantileCont (parallel range slices — never a single-task
+    * percentile; the gap relation is materialized first per the Ranks
+    * input contract). Quantile interpolation runs on identical
+    * integer-valued doubles in both engines; quantiles round to WHOLE
+    * microseconds — at 1e11-microsecond magnitudes the double ulp
+    * (~6e-5) sits ABOVE a 6-decimal grid, so only integer rounding
+    * is stable cross-engine. */
+  private val q116 = GQuery(
+    "q116_gap_profile",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = graft.sources.Io.materialize(
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .select(col("event_type"), col("gap")))
+      val base = gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_us"))
+      base
+        .join(Ranks.quantileCont(gaps, "event_type", col("gap"), 0.5, "p50"), "event_type")
+        .join(Ranks.quantileCont(gaps, "event_type", col("gap"), 0.9, "p90"), "event_type")
+        .select(col("event_type"), col("n_gaps"),
+          round(col("p50"), 0).as("p50_us"), round(col("p90"), 0).as("p90_us"),
+          col("max_us"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH g AS (SELECT event_type,
+                              epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS gap
+                       FROM events),
+                 gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+            SELECT event_type, count(*) AS n_gaps,
+                   round(quantile_cont(gap, 0.5), 0) AS p50_us,
+                   round(quantile_cont(gap, 0.9), 0) AS p90_us,
+                   CAST(max(gap) AS BIGINT) AS max_us
+            FROM gg GROUP BY event_type ORDER BY event_type""")
+  )
+
   val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51, q65, q91, q92,
-    q93, q103, q114, q115)
+    q93, q103, q114, q115, q116)
 }
