@@ -44,24 +44,44 @@ object Ranks {
     * is absent from the result (the built-ins emit a null row) — callers
     * with such groups should left-join this relation. */
   def quantileCont(df: DataFrame, group: String, value: Column, p: Double,
-      as: String): DataFrame = {
+      as: String): DataFrame =
+    quantilesCont(df, group, value, Seq(p -> as))
+
+  /** Several quantiles of the SAME value relation in ONE rank pass: the
+    * expensive part of quantileCont is ranking (a range shuffle + local
+    * sorts); the interpolation is k-row arithmetic. Callers needing
+    * p50+p90 (q116) or three quartiles (q85) pay one rank instead of
+    * one per quantile. Per-p interpolation is the formula of the
+    * single-p form verbatim, so results are value-identical. */
+  def quantilesCont(df: DataFrame, group: String, value: Column,
+      ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty)
     val ranked = rowNumber(
       df.select(col(group), value.as("_v")).filter(col("_v").isNotNull),
       group, Seq(col("_v")), "_rn")
-    val counts = ranked.groupBy(col(group)).agg(count(lit(1)).as("_n"))
-      .withColumn("_pos", (col("_n") - 1) * p)
-      .withColumn("_lo", floor(col("_pos")).cast("int") + 1)
-      .withColumn("_frac", col("_pos") - floor(col("_pos")))
+    val counts0 = ranked.groupBy(col(group)).agg(count(lit(1)).as("_n"))
+    val counts = ps.zipWithIndex.foldLeft(counts0) {
+      case (acc, ((p, _), i)) =>
+        acc.withColumn(s"_pos$i", (col("_n") - 1) * p)
+          .withColumn(s"_lo$i", floor(col(s"_pos$i")).cast("int") + 1)
+          .withColumn(s"_frac$i", col(s"_pos$i") - floor(col(s"_pos$i")))
+    }
+    val needed = ps.indices
+      .map(i => col("_rn") === col(s"_lo$i") || col("_rn") === col(s"_lo$i") + 1)
+      .reduce(_ || _)
+    val aggs = ps.zipWithIndex.flatMap { case (_, i) =>
+      Seq(min(when(col("_rn") === col(s"_lo$i"), col("_v"))).as(s"_lov$i"),
+        min(when(col("_rn") === col(s"_lo$i") + 1, col("_v"))).as(s"_hiv$i"),
+        first(col(s"_frac$i")).as(s"_f$i"))
+    }
     ranked.join(broadcast(counts), group)
-      .filter(col("_rn") === col("_lo") || col("_rn") === col("_lo") + 1)
+      .filter(needed)
       .groupBy(col(group))
-      .agg(
-        min(when(col("_rn") === col("_lo"), col("_v"))).as("_lov"),
-        min(when(col("_rn") === col("_lo") + 1, col("_v"))).as("_hiv"),
-        first(col("_frac")).as("_f"))
-      .select(col(group),
-        (col("_lov") + col("_f") * (coalesce(col("_hiv"), col("_lov")) - col("_lov")))
-          .as(as))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(group) +: ps.zipWithIndex.map { case ((_, as), i) =>
+        (col(s"_lov$i") + col(s"_f$i")
+          * (coalesce(col(s"_hiv$i"), col(s"_lov$i")) - col(s"_lov$i"))).as(as)
+      }: _*)
   }
 
   /** Distributed running (prefix) sum: equivalent to

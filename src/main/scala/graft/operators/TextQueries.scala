@@ -217,8 +217,9 @@ object TextQueries {
     * distribution report a curation pipeline reads before picking
     * truncation/chunking thresholds. Exact interpolated quartiles via
     * the Ranks decomposition (parallel local sorts in range slices +
-    * k-row final interpolation — q63's scale path, one call per
-    * quantile), never a single-task-per-group percentile. The inputs are
+    * k-row final interpolation — q63's scale path; quantilesCont ranks
+    * ONCE for all three quartiles), never a single-task-per-group
+    * percentile. The inputs are
     * deterministic file-scan projections, satisfying the Ranks input
     * contract; values are integer-valued doubles so interpolation is
     * exact in both engines. */
@@ -227,9 +228,8 @@ object TextQueries {
     (s, d) => {
       val lens = Tables.documents(s, d)
         .select(col("lang"), size(tokens(col("text"))).cast("double").as("nt"))
-      Ranks.quantileCont(lens, "lang", col("nt"), 0.25, "p25")
-        .join(Ranks.quantileCont(lens, "lang", col("nt"), 0.5, "p50"), "lang")
-        .join(Ranks.quantileCont(lens, "lang", col("nt"), 0.75, "p75"), "lang")
+      Ranks.quantilesCont(lens, "lang", col("nt"),
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
         .select(col("lang"), round(col("p25"), 6).as("p25"),
           round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"))
         .orderBy(col("lang"))

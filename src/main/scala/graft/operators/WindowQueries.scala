@@ -581,8 +581,8 @@ object WindowQueries {
       val base = gaps.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_us"))
       base
-        .join(Ranks.quantileCont(gaps, "event_type", col("gap"), 0.5, "p50"), "event_type")
-        .join(Ranks.quantileCont(gaps, "event_type", col("gap"), 0.9, "p90"), "event_type")
+        .join(Ranks.quantilesCont(gaps, "event_type", col("gap"),
+          Seq(0.5 -> "p50", 0.9 -> "p90")), "event_type")
         .select(col("event_type"), col("n_gaps"),
           round(col("p50"), 0).as("p50_us"), round(col("p90"), 0).as("p90_us"),
           col("max_us"))
