@@ -43,6 +43,23 @@ object CorpusOps {
       .select(col(idCol), col("n_copies"))
   }
 
+  /** PUBLISH the corpus-level stop-shingle relation: the `sgh` hashes of
+    * buckets whose posting list exceeds `stopCap` (the exact complement
+    * of what shinglePostings keeps). Incremental/streaming consumers
+    * (q100, s15) pass this as `stopShingles` so a per-batch run applies
+    * the CORPUS cap instead of a batch-local one — a batch never sees
+    * corpus frequencies on its own. One shuffle; output is stop-list
+    * sized (the heavy tail), never corpus sized. */
+  def stopShingleSet(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, stopCap: Int): DataFrame = {
+    guard(Seq("toks", "sh", "sgh", "n_postings"), idCol, textCol)
+    shingleHashes(docs, idCol, textCol, n)
+      .groupBy(col("sgh"))
+      .agg(count(lit(1)).as("n_postings"))
+      .filter(col("n_postings") > stopCap)
+      .select(col("sgh"))
+  }
+
   /** (shingle-hash, id) postings surviving the stop-shingle cap — the
     * shared candidate-generation input for the Jaccard and MinHash
     * families. The shuffle key is the md5-60bit of the shingle, NOT the
@@ -50,16 +67,22 @@ object CorpusOps {
     * heaviest bytes in flight, and every downstream use (set equality,
     * set size, min-hashing) only needs a stable identity — 8 bytes do.
     * One explode + one shuffle; buckets above `stopCap` docs are dropped
-    * (they pair near-everything and carry no signal). */
+    * (they pair near-everything and carry no signal).
+    *
+    * `stopShingles` is an optional PUBLISHED stop list (a `sgh` relation
+    * from [[stopShingleSet]]): postings anti-join it before the bucket
+    * groupBy, so a subset batch can apply the corpus-level cap (pass
+    * stopCap = Int.MaxValue to disable the local one). Broadcast: the
+    * stop list is the heavy tail of the shingle distribution — bounded
+    * by construction, tiny relative to the corpus. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, stopCap: Int): DataFrame = {
+      n: Int, stopCap: Int, stopShingles: Option[DataFrame] = None): DataFrame = {
     guard(Seq("toks", "sh", "sgh", "docs"), idCol, textCol)
-    docs
-      // token array must be an attribute before the shingle lambda
-      // (lambda bodies re-evaluate non-attribute expressions per element)
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("sh"))
-      .select(col(idCol), TextOps.shingleHash60(col("sh")).as("sgh"))
+    val hashed = shingleHashes(docs, idCol, textCol, n)
+    val kept = stopShingles.fold(hashed) { stop =>
+      hashed.join(broadcast(stop.select(col("sgh"))), Seq("sgh"), "left_anti")
+    }
+    kept
       .groupBy(col("sgh"))
       .agg(sort_array(collect_list(col(idCol))).as("docs"))
       .filter(size(col("docs")) <= stopCap)
@@ -72,12 +95,12 @@ object CorpusOps {
     * the whole corpus. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
-      bands: Int = 2): DataFrame = {
+      bands: Int = 2, stopShingles: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     guard(Seq("toks", "sh", "sgh", "docs", "band", "bh", "e", "p",
       "doc1", "doc2") ++ (0 until k).map(i => s"h$i"), idCol, textCol)
     val rowsPerBand = k / bands
-    val sigs = shinglePostings(docs, idCol, textCol, shingleN, stopCap)
+    val sigs = shinglePostings(docs, idCol, textCol, shingleN, stopCap, stopShingles)
       .groupBy(col(idCol))
       .agg(TextOps.minhash(col("sgh"), 0).as("h0"),
         (1 until k).map(i => TextOps.minhash(col("sgh"), i).as(s"h$i")): _*)

@@ -398,16 +398,24 @@ object TextQueries {
           round(col("e.entropy"), 4).as("entropy"))
         .orderBy(col("doc_id"))
     },
+    // LEFT JOIN back to documents so an empty text yields (doc_id, 0, 0.0)
+    // exactly like the kernel ("empty -> defined as 0"); a bare unnest over
+    // an empty char list would silently drop the document from the oracle.
     Some("""WITH ch AS (SELECT doc_id, len(text) AS n,
                                unnest(list_transform(range(1, len(text) + 1),
                                  i -> substr(text, i, 1))) AS ch
                         FROM documents),
                  c AS (SELECT doc_id, n, ch, count(*) AS c
-                       FROM ch GROUP BY doc_id, n, ch)
-            SELECT doc_id, count(*) AS n_distinct_chars,
-                   round(-sum((CAST(c AS DOUBLE) / n)
-                     * log2(CAST(c AS DOUBLE) / n)), 4) AS entropy
-            FROM c GROUP BY doc_id ORDER BY doc_id""")
+                       FROM ch GROUP BY doc_id, n, ch),
+                 e AS (SELECT doc_id, count(*) AS n_distinct_chars,
+                              round(-sum((CAST(c AS DOUBLE) / n)
+                                * log2(CAST(c AS DOUBLE) / n)), 4) AS entropy
+                       FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+                   coalesce(e.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+            ORDER BY d.doc_id""")
   )
 
   val all: Seq[GQuery] = Seq(q27, q33, q34, q35, q36, q42, q52, q53, q54,

@@ -483,9 +483,14 @@ object WindowQueries {
       val anchors = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
         .withColumn("cohort", to_date(date_trunc("week", col("signup_ts"))))
+      // Filter on the RAW day difference before bucketing: `div 7`
+      // truncates toward zero, so days -6..-1 would land in off = 0 and
+      // wrongly survive a post-division `off >= 0` filter (the oracle
+      // filters pre-division, and so must we).
       ev.join(anchors, "user_id")
-        .withColumn("off", expr("datediff(to_date(ts), cohort) div 7"))
-        .filter(col("off") >= 0)
+        .withColumn("day_diff", expr("datediff(to_date(ts), cohort)"))
+        .filter(col("day_diff") >= 0)
+        .withColumn("off", expr("day_diff div 7"))
         .groupBy(col("cohort"), col("off"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort"), col("off"))

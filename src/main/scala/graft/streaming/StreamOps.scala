@@ -500,20 +500,25 @@ object StreamOps {
     * endpoint). Zero streaming state: all cross-batch memory lives in
     * the index directory.
     *
-    * Stop-shingle caveat: the cap is a CORPUS-level parameter; per-batch
-    * re-derivation would see only batch-local frequencies. Production
-    * publishes the stop list from the standing corpus (alongside the
-    * index) instead of re-deriving it; at the test fixture's size the
-    * cap never fires, so batch-vs-stream equivalence is exact. */
+    * Stop-shingle contract: the cap is a CORPUS-level parameter; a batch
+    * on its own sees only batch-local frequencies. Production publishes
+    * the stop list from the standing corpus (alongside the index) via
+    * CorpusOps.stopShingleSet and passes it as `stopShingles` — each
+    * batch then anti-joins the broadcast list, applying exactly the cap
+    * the batch path applies (pass stopCap = Int.MaxValue to disable the
+    * batch-local fallback). Without a published list the batch-local cap
+    * is the best available approximation. */
   def incrementalDedupStream(docs: DataFrame, indexDir: String, outDir: String,
-      shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8, bands: Int = 2)
+      shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8, bands: Int = 2,
+      stopShingles: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     docs.writeStream
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val mine = graft.operators.CorpusOps
-          .minhashBands(batch, "doc_id", "text", shingleN, stopCap, k, bands)
+          .minhashBands(batch, "doc_id", "text", shingleN, stopCap, k, bands,
+            stopShingles)
           .withColumn("_batch", lit(batchId))
           .persist()
         try {

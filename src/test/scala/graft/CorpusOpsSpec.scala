@@ -36,6 +36,32 @@ class CorpusOpsSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a < b) } // canonical order
   }
 
+  test("published stopShingleSet reproduces the corpus-level cap on a subset batch") {
+    import spark.implicits._
+    // one 3-token template shared by 5 docs (bucket size 5 > cap 3) plus
+    // per-doc unique tails — the template shingle must be stopped
+    val corpus = (0L until 5L).map(i =>
+      (i, s"alpha beta gamma unique$i tail$i end$i")).toDF("id", "body")
+    val cap = 3
+    val stop = CorpusOps.stopShingleSet(corpus, "id", "body", n = 3, stopCap = cap)
+    assert(stop.count() == 1) // exactly the template shingle
+    val batch = corpus.filter(col("id") >= 3L) // a later ingest slice
+    // batch postings under the PUBLISHED corpus cap (local cap disabled)
+    val got = CorpusOps.shinglePostings(batch, "id", "body", n = 3,
+      stopCap = Int.MaxValue, stopShingles = Some(stop))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: corpus-level postings under the cap, restricted to batch ids
+    val want = CorpusOps.shinglePostings(corpus, "id", "body", n = 3, stopCap = cap)
+      .filter(col("id") >= 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // and the batch-local cap alone would NOT have stopped the template
+    val local = CorpusOps.shinglePostings(batch, "id", "body", n = 3, stopCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local != got)
+  }
+
   test("withSplit is a pure function of content") {
     val out = CorpusOps.withSplit(docs, "body", as = "bucket")
       .select(col("id"), col("bucket")).collect()

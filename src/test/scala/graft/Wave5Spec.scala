@@ -66,8 +66,9 @@ class Wave5Spec extends SparkSpec {
         (c / n) * (math.log(c / n) / math.log(2.0))
       }.sum
       assert(math.abs(h - expected) < 5e-4, s"doc $id entropy $h vs $expected")
-      // 0 <= H <= log2(alphabet)
-      assert(h >= 0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9)
+      // 0 <= H <= log2(alphabet); empty text (k = 0) is defined as H = 0
+      if (k == 0) assert(h == 0.0, s"doc $id empty text must score 0")
+      else assert(h >= 0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9)
     }
   }
 
