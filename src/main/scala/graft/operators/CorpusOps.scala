@@ -96,11 +96,23 @@ object CorpusOps {
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
       bands: Int = 2, stopShingles: Option[DataFrame] = None): DataFrame = {
-    require(k % bands == 0, "k must divide into equal bands")
     guard(Seq("toks", "sh", "sgh", "docs", "band", "bh", "e", "p",
       "doc1", "doc2") ++ (0 until k).map(i => s"h$i"), idCol, textCol)
+    minhashBandsFromPostings(
+      shinglePostings(docs, idCol, textCol, shingleN, stopCap, stopShingles),
+      idCol, k, bands)
+  }
+
+  /** Band derivation from an EXISTING (sgh, idCol) posting relation — the
+    * standing-index path: a pipeline that has already built (or published)
+    * its postings derives signatures and band keys from it without
+    * re-scanning the corpus. [[minhashBands]] is this over a fresh
+    * [[shinglePostings]] build. */
+  def minhashBandsFromPostings(postings: DataFrame, idCol: String,
+      k: Int = 8, bands: Int = 2): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
     val rowsPerBand = k / bands
-    val sigs = shinglePostings(docs, idCol, textCol, shingleN, stopCap, stopShingles)
+    val sigs = postings
       .groupBy(col(idCol))
       .agg(TextOps.minhash(col("sgh"), 0).as("h0"),
         (1 until k).map(i => TextOps.minhash(col("sgh"), i).as(s"h$i")): _*)
@@ -112,20 +124,27 @@ object CorpusOps {
       .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
-  /** MinHash+LSH candidate pairs (unordered, distinct): `k` md5-min
-    * hashes per shingle set, `bands` bands hashed to band keys, pairs
-    * generated inside band buckets without a self-join. */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
-      bands: Int = 2): DataFrame = {
-    minhashBands(docs, idCol, textCol, shingleN, stopCap, k, bands)
+  /** Candidate pairs from an EXISTING (idCol, band, bh) band relation —
+    * the consumer half of [[minhashCandidates]], usable against a
+    * published standing index. Pairs are generated inside band buckets
+    * (no self-join) and distinct-ed across bands. */
+  def candidatePairsFromBands(bandRel: DataFrame, idCol: String): DataFrame =
+    bandRel
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col(idCol))).as("docs"))
       .filter(size(col("docs")) >= 2)
       .select(explode(TextOps.orderedPairs(col("docs"))).as("p"))
       .select(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
       .distinct()
-  }
+
+  /** MinHash+LSH candidate pairs (unordered, distinct): `k` md5-min
+    * hashes per shingle set, `bands` bands hashed to band keys, pairs
+    * generated inside band buckets without a self-join. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
+      bands: Int = 2): DataFrame =
+    candidatePairsFromBands(
+      minhashBands(docs, idCol, textCol, shingleN, stopCap, k, bands), idCol)
 
   /** Deterministic content-hash split column in {train, val, test}:
     * reproducible across runs/engines/repartitioning, and exact

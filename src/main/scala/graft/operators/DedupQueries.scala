@@ -40,6 +40,46 @@ object DedupQueries {
     CorpusOps.shinglePostings(Tables.documents(s, d), "doc_id", "text",
       SHINGLE_N, STOP_SHINGLE_CAP)
 
+  /** THE STANDING CANDIDATE INDEX (r5 verdict item 3): the shingle
+    * postings, LSH band keys, and candidate pairs are ONE corpus-level
+    * relation family that a production pipeline builds once and
+    * publishes — q25/q31/q79/q97/q100/q104/q111 all consume the same
+    * three materialized relations instead of each re-deriving the chain
+    * inside its own job (exactly the q60→q78 labels pattern, one level
+    * down the derivation).
+    *
+    * Producer/consumer contract, mirroring publishedLabels: the natural
+    * producer of each stage always RECOMPUTES and re-publishes (so its
+    * bench time honestly measures that stage's build every rep — q25 owns
+    * postings, q31 owns bands + pairs); every other family member
+    * consumes the latest published relation for its (session, dir) and
+    * only computes its own when run standalone. */
+  private val publishedIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def indexKey(kind: String, s: SparkSession, d: String): String =
+    kind + "|" + s.sparkContext.applicationId + "|" + d
+  private def publishIndex(kind: String, s: SparkSession, d: String)
+      (build: => DataFrame): DataFrame = {
+    val rel = Io.materialize(build)
+    publishedIndex.put(indexKey(kind, s, d), rel)
+    rel
+  }
+  private def indexFor(kind: String, s: SparkSession, d: String)
+      (build: => DataFrame): DataFrame =
+    publishedIndex.computeIfAbsent(indexKey(kind, s, d), _ => Io.materialize(build))
+
+  /** Consumer accessors (compute-if-absent so every query stays correct
+    * standalone; block scans when the family runs as a pipeline). */
+  private def postingsFor(s: SparkSession, d: String): DataFrame =
+    indexFor("postings", s, d)(shingleDf(s, d))
+  private def bandsFor(s: SparkSession, d: String): DataFrame =
+    indexFor("bands", s, d)(
+      CorpusOps.minhashBandsFromPostings(postingsFor(s, d), "doc_id",
+        MINHASH_K, bands = 2))
+  private def pairsFor(s: SparkSession, d: String): DataFrame =
+    indexFor("pairs", s, d)(
+      CorpusOps.candidatePairsFromBands(bandsFor(s, d), "doc_id"))
+
   /** In-bucket candidate pairs — shared helper (TextOps.orderedPairs). */
   private def orderedPairs(docs: Column): Column = TextOps.orderedPairs(docs)
 
@@ -71,12 +111,13 @@ object DedupQueries {
   private val q25 = GQuery(
     "q25_dedup_near",
     (s, d) => {
-      // One linear pipeline, one scan: per-doc shingle counts (post-cap)
-      // are attached via a window and carried through the bucket structs,
-      // so no sizes-relation re-join (which would recompute the whole
-      // shingle subtree — Spark does not reuse those exchanges).
+      // Producer role: q25 rebuilds and RE-PUBLISHES the posting relation
+      // (honest bench cost), then consumes the materialized blocks like
+      // everyone else. Per-doc shingle counts (post-cap) are attached via
+      // a window and carried through the bucket structs, so no
+      // sizes-relation re-join.
       import org.apache.spark.sql.expressions.Window
-      val shN = shingleDf(s, d)
+      val shN = publishIndex("postings", s, d)(shingleDf(s, d))
         .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       shN.groupBy(col("sgh"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("docs"))
@@ -104,19 +145,28 @@ object DedupQueries {
          ORDER BY doc1, doc2""")
   )
 
-  /** MinHash+LSH candidate pairs (unordered) — shared by q31 (which just
-    * presents them) and q60 (which resolves them into clusters); the
-    * generic CorpusOps.minhashCandidates on the fixture table. */
+  /** MinHash+LSH candidate pairs (unordered) — the published standing
+    * index relation; q31 is its producer, q60/q86/q97/q111 consume. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    CorpusOps.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-      SHINGLE_N, STOP_SHINGLE_CAP, MINHASH_K, bands = 2)
+    pairsFor(s, d)
 
   /** q31 — MinHash + LSH banding. Signature = 8 md5-min hashes; 2 bands of
     * 4 rows hashed to a band key; candidate pairs share a band. Fully
-    * deterministic and oracle-checkable (md5 in both engines). */
+    * deterministic and oracle-checkable (md5 in both engines).
+    *
+    * Producer role: q31 rebuilds and re-publishes the band relation (from
+    * the published postings) and the candidate-pair relation — the LSH
+    * stages it owns in the family pipeline. */
   private val q31 = GQuery(
     "q31_dedup_minhash",
-    (s, d) => minhashPairs(s, d).orderBy(col("doc1"), col("doc2")),
+    (s, d) => {
+      val bands = publishIndex("bands", s, d)(
+        CorpusOps.minhashBandsFromPostings(postingsFor(s, d), "doc_id",
+          MINHASH_K, bands = 2))
+      publishIndex("pairs", s, d)(
+        CorpusOps.candidatePairsFromBands(bands, "doc_id"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
     Some(SHINGLE_SQL +
       """, sig AS (SELECT doc_id,
                     min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
@@ -360,10 +410,10 @@ object DedupQueries {
       // ONE evaluation of the shingle pipeline: this audit consumes the
       // posting relation five times (signatures, sizes, both sides of the
       // overlap self-join, candidate generation), and Spark does not
-      // reuse exchanges across repeated subtree references — the eager
-      // materialization pins the narrow (sgh, doc_id) relation once and
-      // every consumer reads the blocks.
-      val sh = graft.sources.Io.materialize(shingleDf(s, d))
+      // reuse exchanges across repeated subtree references — the
+      // PUBLISHED standing index pins the narrow (sgh, doc_id) relation
+      // once for the whole family and every consumer reads the blocks.
+      val sh = postingsFor(s, d)
       val sigs = graft.sources.Io.materialize(sh.groupBy(col("doc_id"))
         .agg(TextOps.minhash(col("sgh"), 0).as("h0"),
           (1 until MINHASH_K).map(i => TextOps.minhash(col("sgh"), i).as(s"h$i")): _*))
@@ -579,9 +629,9 @@ object DedupQueries {
   private val q100 = GQuery(
     "q100_incremental_dedup",
     (s, d) => {
-      val bands = graft.sources.Io.materialize(
-        CorpusOps.minhashBands(Tables.documents(s, d), "doc_id", "text",
-          SHINGLE_N, STOP_SHINGLE_CAP, MINHASH_K, bands = 2))
+      // the standing band index IS the published family relation — q100
+      // probes the same materialized blocks q31 produced
+      val bands = bandsFor(s, d)
       val probe = bands.filter(col("doc_id") % 10 === 7)
         .select(col("band"), col("bh"), col("doc_id").as("new_id"))
       probe.join(bands, Seq("band", "bh"))
@@ -605,15 +655,15 @@ object DedupQueries {
     * up-weighting, and the negative control for dedup-recall audits.
     * Shingle-less documents (< 5 tokens) are trivially orphan.
     *
-    * Scale notes: the shingle relation is materialized once
-    * (Io.materialize) and feeds both the bucket-count aggregate and the
+    * Scale notes: the shingle relation is the PUBLISHED standing index
+    * (postingsFor) and feeds both the bucket-count aggregate and the
     * membership semi-join; the anti join runs against the |docs|-sized
     * id relation. No pair generation anywhere — novelty needs bucket
     * MEMBERSHIP, not pairs. */
   private val q104 = GQuery(
     "q104_shingle_orphans",
     (s, d) => {
-      val sh = Io.materialize(shingleDf(s, d))
+      val sh = postingsFor(s, d)
       val sharedShingles = sh.groupBy(col("sgh"))
         .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
         .select(col("sgh"))
