@@ -71,22 +71,43 @@ object CorpusOps {
     *
     * `stopShingles` is an optional PUBLISHED stop list (a `sgh` relation
     * from [[stopShingleSet]]): postings anti-join it before the bucket
-    * groupBy, so a subset batch can apply the corpus-level cap (pass
-    * stopCap = Int.MaxValue to disable the local one). Broadcast: the
-    * stop list is the heavy tail of the shingle distribution — bounded
-    * by construction, tiny relative to the corpus. */
+    * groupBy, so a subset batch applies the corpus-level cap. When a
+    * list is supplied it IS the cap — the batch-local `stopCap` filter
+    * is disabled, because a batch bucket can only exceed the cap if its
+    * corpus bucket did, and that shingle is already on the list; keeping
+    * the local filter active would silently tighten results whenever the
+    * list was built with a different cap (batch/stream equivalence bug).
+    *
+    * `stopJoin` picks how the stop list joins (the tfidfTopTerm.dfJoin
+    * contract): the list is the heavy tail of the shingle distribution —
+    * bounded by total_postings/cap, which is small at fixture scale but
+    * NOT broadcast-sized by construction at web scale. "auto" (default)
+    * leaves the anti-join unhinted so AQE picks broadcast-vs-shuffle
+    * from the list's MEASURED bytes; "broadcast"/"shuffle" force the
+    * respective side for callers that know their list size. All three
+    * are value-identical (CorpusOpsSpec locks it). */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, stopCap: Int, stopShingles: Option[DataFrame] = None): DataFrame = {
+      n: Int, stopCap: Int, stopShingles: Option[DataFrame] = None,
+      stopJoin: String = "auto"): DataFrame = {
     guard(Seq("toks", "sh", "sgh", "docs"), idCol, textCol)
     val hashed = shingleHashes(docs, idCol, textCol, n)
     val kept = stopShingles.fold(hashed) { stop =>
-      hashed.join(broadcast(stop.select(col("sgh"))), Seq("sgh"), "left_anti")
+      val stopSide = stopJoin match {
+        case "auto"      => stop.select(col("sgh"))
+        case "broadcast" => broadcast(stop.select(col("sgh")))
+        case "shuffle"   => stop.select(col("sgh")).hint("shuffle_hash")
+        case other => throw new IllegalArgumentException(
+          s"stopJoin must be auto|broadcast|shuffle, got '$other'")
+      }
+      hashed.join(stopSide, Seq("sgh"), "left_anti")
     }
-    kept
+    val grouped = kept
       .groupBy(col("sgh"))
       .agg(sort_array(collect_list(col(idCol))).as("docs"))
-      .filter(size(col("docs")) <= stopCap)
-      .select(col("sgh"), explode(col("docs")).as(idCol))
+    val capped =
+      if (stopShingles.isDefined) grouped
+      else grouped.filter(size(col("docs")) <= stopCap)
+    capped.select(col("sgh"), explode(col("docs")).as(idCol))
   }
 
   /** The (idCol, band, bh) LSH band relation behind minhashCandidates —
@@ -95,11 +116,13 @@ object CorpusOps {
     * the whole corpus. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8,
-      bands: Int = 2, stopShingles: Option[DataFrame] = None): DataFrame = {
+      bands: Int = 2, stopShingles: Option[DataFrame] = None,
+      stopJoin: String = "auto"): DataFrame = {
     guard(Seq("toks", "sh", "sgh", "docs", "band", "bh", "e", "p",
       "doc1", "doc2") ++ (0 until k).map(i => s"h$i"), idCol, textCol)
     minhashBandsFromPostings(
-      shinglePostings(docs, idCol, textCol, shingleN, stopCap, stopShingles),
+      shinglePostings(docs, idCol, textCol, shingleN, stopCap, stopShingles,
+        stopJoin),
       idCol, k, bands)
   }
 

@@ -65,8 +65,17 @@ object DedupQueries {
     rel
   }
   private def indexFor(kind: String, s: SparkSession, d: String)
-      (build: => DataFrame): DataFrame =
-    publishedIndex.computeIfAbsent(indexKey(kind, s, d), _ => Io.materialize(build))
+      (build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: bandsFor's build calls postingsFor on the same
+    // map, and a nested computeIfAbsent is a "Recursive update" error.
+    // get-then-putIfAbsent tolerates the nesting; the benign race (two
+    // callers both materialize, first wins) costs one duplicate build.
+    val key = indexKey(kind, s, d)
+    Option(publishedIndex.get(key)).getOrElse {
+      val rel = Io.materialize(build)
+      Option(publishedIndex.putIfAbsent(key, rel)).getOrElse(rel)
+    }
+  }
 
   /** Consumer accessors (compute-if-absent so every query stays correct
     * standalone; block scans when the family runs as a pipeline). */
@@ -691,13 +700,14 @@ object DedupQueries {
     * completes the dedup-graph diagnostics: degree says how connected,
     * rank says how central, triangles say how CLIQUE-LIKE.
     *
-    * Scale notes: the classic two-join kernel — wedges from an id-
-    * oriented edge join (u < v < w), closed against the edge relation on
-    * the (v, w) pair key. Wedge volume is Σ deg², bounded here because
-    * every band bucket is capped (degree ≤ caps × bands by
-    * construction); production graphs without that bound orient edges by
-    * DEGREE instead of id (same plan, skew-proof). The edge relation is
-    * materialized once and feeds all three roles. */
+    * Scale notes: the classic two-join kernel — wedges from an oriented
+    * edge self-join, closed against the edge relation on the (v, w) pair
+    * key — with edges DEGREE-oriented (r6): u→v iff (deg u, u) <
+    * (deg v, v), which caps every out-degree at O(√m) and wedge volume
+    * at O(m^1.5) even if a band-cap change ever admits a hot vertex;
+    * the band caps were the only bound under the old id orientation.
+    * The oriented edge relation is materialized once and feeds all
+    * three roles (Graph.triangleCensus). */
   private val q111 = GQuery(
     "q111_triangle_census",
     (s, d) =>

@@ -504,21 +504,28 @@ object StreamOps {
     * on its own sees only batch-local frequencies. Production publishes
     * the stop list from the standing corpus (alongside the index) via
     * CorpusOps.stopShingleSet and passes it as `stopShingles` — each
-    * batch then anti-joins the broadcast list, applying exactly the cap
-    * the batch path applies (pass stopCap = Int.MaxValue to disable the
-    * batch-local fallback). Without a published list the batch-local cap
-    * is the best available approximation. */
+    * batch then anti-joins the list, applying exactly the corpus cap
+    * (the batch-local `stopCap` filter is disabled whenever a list is
+    * supplied — CorpusOps.shinglePostings' contract — so the published
+    * cap can't silently tighten under a smaller local default). The list
+    * is MATERIALIZED once here, before start(): a foreachBatch closure
+    * re-evaluates every captured DataFrame per micro-batch, which would
+    * re-run the full corpus stop-list aggregation on every batch and
+    * erode the "zero per-batch corpus work" property this op exists
+    * for. Without a published list the batch-local cap is the best
+    * available approximation. */
   def incrementalDedupStream(docs: DataFrame, indexDir: String, outDir: String,
       shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8, bands: Int = 2,
       stopShingles: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val publishedStop = stopShingles.map(graft.sources.Io.materialize)
     docs.writeStream
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val mine = graft.operators.CorpusOps
           .minhashBands(batch, "doc_id", "text", shingleN, stopCap, k, bands,
-            stopShingles)
+            publishedStop)
           .withColumn("_batch", lit(batchId))
           .persist()
         try {

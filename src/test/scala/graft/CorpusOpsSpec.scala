@@ -60,6 +60,27 @@ class CorpusOpsSpec extends SparkSpec {
     val local = CorpusOps.shinglePostings(batch, "id", "body", n = 3, stopCap = cap)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(local != got)
+    // a supplied list IS the cap: a stray batch-local stopCap (e.g. a
+    // caller's untouched default, possibly tighter than the list's build
+    // cap) must not further filter — same result as disabling it
+    val withLocalDefault = CorpusOps.shinglePostings(batch, "id", "body",
+      n = 3, stopCap = 1, stopShingles = Some(stop))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withLocalDefault == got)
+    // stopJoin strategies are value-identical (the tfidfTopTerm.dfJoin
+    // contract): auto (AQE from measured size) / forced broadcast /
+    // forced shuffle
+    Seq("broadcast", "shuffle").foreach { sj =>
+      val alt = CorpusOps.shinglePostings(batch, "id", "body", n = 3,
+        stopCap = Int.MaxValue, stopShingles = Some(stop), stopJoin = sj)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(alt == got, s"stopJoin=$sj diverged")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.shinglePostings(batch, "id", "body", n = 3,
+        stopCap = cap, stopShingles = Some(stop), stopJoin = "bogus")
+        .collect()
+    }
   }
 
   test("withSplit is a pure function of content") {

@@ -32,6 +32,19 @@ class GraphSpec extends SparkSpec {
     assert(gotMessy.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("triangleCensus: hot-vertex star stays correct under degree orientation") {
+    // hub 0 joined to 1..40 plus one rim edge (1,2): the only triangle is
+    // {0,1,2}. Under id orientation hub 0 (lowest id, degree 40) would
+    // source C(40,2)=780 wedges; degree orientation points every spoke
+    // INTO the hub (rank = (degree, id) puts the hub last), so the hub
+    // sources zero wedges and the wedge count is O(m^1.5)-bounded. The
+    // count itself must be orientation-independent.
+    val star = ((1 to 40).map(i => (0L, i.toLong)) :+ (1L, 2L)).toDF("s", "t")
+    val got = Graph.triangleCensus(star, "s", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("chain graph of 201 vertices collapses to one component") {
     val edges = (0 until 200).map(i => (i.toLong, i.toLong + 1)).toDF("s", "t")
     val cc = Graph.connectedComponents(edges, "s", "t").collect()
