@@ -51,7 +51,28 @@ object AggQueries {
 
   /** q06 — TPC-H Q1-shaped multi-aggregate group-by. Money sums accumulate
     * through exact decimal (Cols); l_quantity is integer-valued so its
-    * double sum is exact; averages divide two deterministic values. */
+    * double sum is exact; averages divide two deterministic values.
+    *
+    * The disc_price/charge products multiply DECIMALS, not doubles
+    * (sf1 lesson): each factor is an exact-hundredth double, so its
+    * decimal cast rounds identically on any engine — but the DOUBLE
+    * product of those factors is not, because Spark's double→decimal
+    * cast rounds the shortest decimal representation while DuckDB rounds
+    * the true binary value, and once in ~10^6 rows the two land on
+    * opposite sides of a scale-6 rounding boundary (one such row in the
+    * sf1 fixture's F/N group shifted sum_charge by 1e-5). Decimal-first
+    * products make every per-row value — and therefore the exact sums —
+    * bit-identical cross-engine at any scale.
+    *
+    * And those two sums STAY DECIMAL in the output (second sf1 lesson):
+    * at sf1 sum_charge is ~5.2e10 with scale 6 — 17 significant digits,
+    * past what a double can hold — and the final decimal→double cast
+    * itself diverges (Spark converts the exact decimal in one correctly-
+    * rounded step; DuckDB converts the int128 to double and then divides
+    * by 10^scale, two roundings). A money total a double can't represent
+    * shouldn't be shipped as a double anyway. Both engines cast the sum
+    * to the same explicit DECIMAL(38,s) so the driver's type-sensitive
+    * hash sees identical schemas. */
   private val q06 = GQuery(
     "q06_agg_groupby",
     (s, d) =>
@@ -60,8 +81,13 @@ object AggQueries {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           dsum2(col("l_extendedprice")).as("sum_base_price"),
-          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1.0) - col("l_discount")).cast("decimal(4,2)") *
+            (lit(1.0) + col("l_tax")).cast("decimal(4,2)"))
+            .cast("decimal(38,6)").as("sum_charge"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -69,8 +95,8 @@ object AggQueries {
     Some("""SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1.0-l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1.0-l_discount AS DECIMAL(4,2))*CAST(1.0+l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
                    sum(l_quantity)/count(*) AS avg_qty,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
                    count(*) AS count_order

@@ -65,6 +65,12 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       vertexOut: String = "vertex", componentOut: String = "component",
       maxRounds: Int = 64, checkpointEvery: Int = 2): DataFrame = {
+    // A/B profiling knob (r6 latency-floor experiment): the session conf
+    // overrides the parameter when set, so Bench's SPARK_GRAFT_EXTRA_CONF
+    // can sweep truncation intervals without touching call sites.
+    val ckptEvery = edges.sparkSession.conf
+      .getOption("spark.graft.cc.checkpointEvery")
+      .map(_.toInt).getOrElse(checkpointEvery)
     // ONE evaluation of the caller's edge pipeline (often an expensive
     // LSH candidate generation): the both-directions union references it
     // twice, and Spark re-evaluates repeated subtree references. Eager
@@ -103,7 +109,7 @@ object Graph {
       rounds += 1
       // eager truncation: without it the plan for round N contains every
       // prior round's join tree and planning time grows superlinearly
-      if (rounds % checkpointEvery == 0)
+      if (rounds % ckptEvery == 0)
         updated = graft.sources.Io.materialize(updated)
       val mat = updated.persist()
       changed = mat.filter(col("chg")).count()
@@ -149,6 +155,13 @@ object Graph {
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && scale > 0)
+    // A/B profiling knob (r6 latency-floor experiment): materialize the
+    // rank relation every k-th iteration instead of every iteration. The
+    // plan between truncations grows only linearly here (rank appears
+    // once per step), so small k is safe; conf-driven for Bench sweeps.
+    val matEvery = edges.sparkSession.conf
+      .getOption("spark.graft.pagerank.materializeEvery")
+      .map(_.toInt).getOrElse(1)
     // one evaluation of the caller's (possibly expensive) edge pipeline
     val src = graft.sources.Io.materialize(
       edges.select(col(srcCol).as("gu"), col(dstCol).as("gv")))
@@ -164,16 +177,18 @@ object Graph {
     val r0 = scale / n
     val teleport = 15L * r0 / 100L
     var rank = nodes.select(col("gu"), lit(r0).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = rank.join(deg, "gu")
         .select(col("gu"), expr("rank div deg").as("c"))
       val inSum = e.join(contrib, "gu")
         .groupBy(col("gv")).agg(sum(col("c")).as("s"))
-      rank = graft.sources.Io.materialize(
-        nodes.join(inSum, nodes("gu") === inSum("gv"), "left")
-          .select(nodes("gu"),
-            (lit(teleport) +
-              expr("(85 * coalesce(s, 0L)) div 100")).as("rank")))
+      val next = nodes.join(inSum, nodes("gu") === inSum("gv"), "left")
+        .select(nodes("gu"),
+          (lit(teleport) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      rank =
+        if (i % matEvery == 0 || i == iters) graft.sources.Io.materialize(next)
+        else next
     }
     rank.select(col("gu").as("vertex"), col("rank").as("rank_scaled"))
   }

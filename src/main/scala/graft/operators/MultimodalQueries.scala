@@ -2,17 +2,22 @@ package graft.operators
 
 import graft.GQuery
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column family: media payloads ride through the engine as
   * opaque `binary` columns plus typed metadata, and per-item decode /
   * feature-extraction runs as a distributed partition-local transform.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic stub (see FakeDecoder) — the Spark-side
-  * plumbing (schema, binary handling, partition-local batch transform,
-  * output schema) is real and tested. On a real cluster the stub body is
-  * replaced by the actual codec call; nothing else changes.
+  * The decode kernel (MediaDecoder) sniffs the payload: PNG bytes take a
+  * REAL codec path through the JDK's built-in `javax.imageio` reader
+  * (no extra dependency), everything else takes a clearly-marked
+  * deterministic text stub whose features are SQL-expressible — which is
+  * what keeps q39 oracle-checkable over the text-payload fixture while
+  * the same partition-local seam decodes genuine image bytes
+  * (MediaDecodeSpec). Other media types (JPEG/audio/video) would slot in
+  * as further sniff branches; the Spark-side plumbing (schema, binary
+  * handling, batch shape, output schema) does not change.
   *
   * Scale notes: q38 is a pure projection (no shuffle). q39's decode is
   * mapPartitions — one JVM-local pass per partition, no data movement;
@@ -43,41 +48,81 @@ object MultimodalQueries {
             FROM documents ORDER BY doc_id""")
   )
 
-  /** Deterministic stand-in for a media decoder: derives "features" from
-    * the payload bytes only — first UTF-8 codepoint (imperative byte-level
-    * decode), md5-60bit content hash (the engine's shared cross-engine
-    * scheme, graft.functions.SimHash64.tokenHash60), byte length. Replace
-    * the body with a real codec (e.g. JPEG decode + resize) in production;
-    * signature and batching stay identical. Every feature is reproducible
-    * in portable SQL, so q39's full pipeline is oracle-checkable. */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Int, Long, Int) = {
-      // ??? <- real codec goes here; deterministic fake below
-      val first =
-        if (payload.isEmpty) -1
-        else new String(payload, 0, math.min(4, payload.length),
-          java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
-      (first, graft.functions.SimHash64.tokenHash60(payload), payload.length)
+  /** The per-item decode kernel: partition-local imperative JVM work (how
+    * a real codec runs). Output row shape is (first_cp, content_hash,
+    * byte_len) on both paths:
+    *
+    *  - **PNG payloads** (8-byte magic sniffed) decode through
+    *    `javax.imageio.ImageIO` — a real image codec, JDK-builtin. Features:
+    *    first_cp = (width << 16) | height (both fit 16 bits for any sane
+    *    frame), content_hash = md5-60bit over the decoded ARGB raster in
+    *    row-major big-endian order. Hashing DECODED pixels (via getRGB,
+    *    which normalizes any storage layout to ARGB) makes the hash a
+    *    content identity: two encodings of the same image — different
+    *    color models, filter choices, compression levels — collide, which
+    *    is exactly what image-level dedup wants (MediaDecodeSpec asserts
+    *    this with an RGB vs BGR re-encode).
+    *  - **Everything else** keeps the deterministic text stub: first UTF-8
+    *    codepoint, md5-60bit of the raw bytes
+    *    (graft.functions.SimHash64.tokenHash60), byte length. Every stub
+    *    feature is reproducible in portable SQL, so q39's full
+    *    mapPartitions pipeline stays oracle-checkable over the
+    *    text-payload documents fixture. */
+  object MediaDecoder {
+    private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def isPng(payload: Array[Byte]): Boolean =
+      payload.length >= 8 &&
+        java.util.Arrays.equals(payload, 0, 8, PngMagic, 0, 8)
+
+    /** md5-60bit over the decoded ARGB raster (codec-independent). */
+    def pixelHash(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+      px.foreach(bb.putInt)
+      graft.functions.SimHash64.tokenHash60(bb.array())
     }
+
+    def decode(payload: Array[Byte]): (Int, Long, Int) =
+      if (isPng(payload)) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        ((img.getWidth << 16) | img.getHeight, pixelHash(img), payload.length)
+      } else {
+        val first =
+          if (payload.isEmpty) -1
+          else new String(payload, 0, math.min(4, payload.length),
+            java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+        (first, graft.functions.SimHash64.tokenHash60(payload), payload.length)
+      }
+  }
+
+  /** The q39 seam, shared with MediaDecodeSpec: mapPartitions over
+    * (id, payload) — one JVM-local pass per partition, no data movement. */
+  def decodeFeatures(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (docId, payload) =>
+        val (first, hash, len) = MediaDecoder.decode(payload)
+        (docId, first, hash, len)
+      })
+      .toDF("doc_id", "first_cp", "content_hash", "byte_len")
   }
 
   /** q39 — distributed decode via mapPartitions over the binary column.
-    * The kernel is partition-local imperative JVM work (how a real codec
-    * runs); the stub's features are also SQL-expressible, which is what
-    * lets the driver diff the whole mapPartitions pipeline against DuckDB
-    * value-by-value. */
+    * The kernel is partition-local imperative JVM work (a real codec for
+    * PNG payloads, the SQL-expressible stub for text — see MediaDecoder),
+    * which is what lets the driver diff the whole mapPartitions pipeline
+    * against DuckDB value-by-value on the text-payload fixture. */
   private val q39 = GQuery(
     "q39_multimodal_decode",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (docId, payload) =>
-          val (first, hash, len) = FakeDecoder.decode(payload)
-          (docId, first, hash, len)
-        })
-        .toDF("doc_id", "first_cp", "content_hash", "byte_len")
+      decodeFeatures(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])])
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,

@@ -17,8 +17,18 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else raw(spark, sfDir, name)
 
-  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Fixture timestamps are parquet TIMESTAMP(isAdjustedToUTC=false) —
+    // pyarrow's default — which Spark 4 would surface as TIMESTAMP_NTZ
+    // (spark.sql.parquet.inferTimestampNTZ.enabled defaults true). The
+    // engine standardizes on TimestampType under the pinned UTC session
+    // (same instants as DuckDB's naive timestamps, and what every oracle
+    // has always hashed against), so NTZ inference is off for all loads:
+    // the scan yields TimestampType directly — no post-scan cast, which
+    // would break filter pushdown on the time columns.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every table as a temp view so the engine is usable from
     * plain SQL text (spark.sql) as well as the Column API. */

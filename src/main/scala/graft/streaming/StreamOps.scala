@@ -24,16 +24,19 @@ object StreamOps {
     * become new micro-batches). Same TIMESTAMP(NANOS) handling as the
     * batch loader; driven in tests with Trigger.AvailableNow. */
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Match the batch loader's timestamp normalization (Tables.raw): the
+    // fixture stores ts as TIMESTAMP(isAdjustedToUTC=false, us); with NTZ
+    // inference off the explicit TimestampType schema reads it directly
+    // under the pinned UTC session — identical instants to Tables.events.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
   /** s01 — tumbling 1-hour window counts with a 10-minute watermark

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.MultimodalQueries.FakeDecoder
+import graft.operators.MultimodalQueries.MediaDecoder
 import org.apache.spark.sql.functions._
 
 /** Binary (multimodal payload) columns must survive a parquet round-trip
@@ -18,9 +18,9 @@ class BinaryRoundTripSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType)
     // decode features equal whether computed pre- or post-storage
     val before = src.as[(Long, Array[Byte])].collect()
-      .map { case (id, p) => id -> FakeDecoder.decode(p) }.toMap
+      .map { case (id, p) => id -> MediaDecoder.decode(p) }.toMap
     val after = back.as[(Long, Array[Byte])].collect()
-      .map { case (id, p) => id -> FakeDecoder.decode(p) }.toMap
+      .map { case (id, p) => id -> MediaDecoder.decode(p) }.toMap
     assert(before == after)
     assert(before.nonEmpty)
   }
