@@ -65,9 +65,16 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       vertexOut: String = "vertex", componentOut: String = "component",
       maxRounds: Int = 64, checkpointEvery: Int = 2): DataFrame = {
-    // A/B profiling knob (r6 latency-floor experiment): the session conf
-    // overrides the parameter when set, so Bench's SPARK_GRAFT_EXTRA_CONF
-    // can sweep truncation intervals without touching call sites.
+    // A/B profiling knob: the session conf overrides the parameter when
+    // set, so Bench's SPARK_GRAFT_EXTRA_CONF can sweep truncation
+    // intervals without touching call sites. r6 measured sweep (q60,
+    // sf0.1, min-of-3): checkpointEvery 2/3/4 → 1.273/1.282/1.290 s —
+    // flat, so k=2 STAYS: no latency win to buy, and the ~4^k
+    // inter-truncation plan growth documented above makes larger k pure
+    // risk. The same sweep measured AQE off at 3.30 s vs 1.20 s on
+    // (2.8×) — the per-round re-optimization is what keeps the
+    // near-convergence skew join split — so the engine-wide AQE-on
+    // default is load-bearing for the iterative family, not incidental.
     val ckptEvery = edges.sparkSession.conf
       .getOption("spark.graft.cc.checkpointEvery")
       .map(_.toInt).getOrElse(checkpointEvery)
@@ -155,13 +162,19 @@ object Graph {
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && scale > 0)
-    // A/B profiling knob (r6 latency-floor experiment): materialize the
-    // rank relation every k-th iteration instead of every iteration. The
-    // plan between truncations grows only linearly here (rank appears
-    // once per step), so small k is safe; conf-driven for Bench sweeps.
+    // Truncation interval for the rank lineage, conf-overridable for
+    // Bench sweeps. Unlike CC (whose plan grows ~4× per round between
+    // truncations), PageRank's plan grows LINEARLY per iteration (rank
+    // appears once per step), so materializing every iteration was pure
+    // overhead: the r6 A/B (q86, sf0.1, min-of-3) measured
+    // materializeEvery 1/2/5 → 1.423/1.312/1.255 s, a 12% win at 5 with
+    // identical (exact-integer, order-independent) results. Default 5
+    // truncates once per default fit; a long-horizon run (iters ≫ 5)
+    // still truncates periodically and can lower the conf if its
+    // optimizer walk ever shows in profiles.
     val matEvery = edges.sparkSession.conf
       .getOption("spark.graft.pagerank.materializeEvery")
-      .map(_.toInt).getOrElse(1)
+      .map(_.toInt).getOrElse(5)
     // one evaluation of the caller's (possibly expensive) edge pipeline
     val src = graft.sources.Io.materialize(
       edges.select(col(srcCol).as("gu"), col(dstCol).as("gv")))
