@@ -260,18 +260,23 @@ object TextQueries {
 
   /** q54 — text normalization / redaction (cleaning stage of a training
     * pipeline): whitespace collapse, case fold, alphanumeric-only strip,
-    * digit redaction. Pure per-row projection, regexes chosen for
-    * identical semantics in both engines. */
+    * digit redaction. Pure per-row projection through the fused native
+    * NormalizeText kernel (one byte-level pass instead of four java.regex
+    * passes — the composed form was ~2.5 s of q54's 4.5 s at sf1;
+    * semantics identical to the built-in composition, locked by
+    * NormalizeTextSpec on both the ASCII fast path and the fallback). */
   private val q54 = GQuery(
     "q54_normalize",
-    (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"),
-        regexp_replace(col("text"), "[^a-z0-9 ]", "").as("alnum_only"),
-        regexp_replace(col("text"), "[0-9]", "#").as("redacted"),
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("bigint").as("n_alpha"))
-        .orderBy(col("doc_id")),
+    (s, d) => {
+      graft.functions.NormalizeText.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.NormalizeText(col("text")).as("nt"))
+        .select(col("doc_id"), col("nt.norm_text").as("norm_text"),
+          col("nt.alnum_only").as("alnum_only"),
+          col("nt.redacted").as("redacted"), col("nt.n_alpha").as("n_alpha"))
+        .orderBy(col("doc_id"))
+    },
     Some("""SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
                    regexp_replace(text, '[^a-z0-9 ]', '', 'g') AS alnum_only,
