@@ -3,6 +3,7 @@ package graft.operators
 import graft.GQuery
 import graft.functions.TextOps
 import graft.sources.{Io, Tables}
+import graft.util.Geometry
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,9 +23,10 @@ import org.apache.spark.sql.functions._
   * - MinHash uses an 8-hash signature in 2 bands of 4 — band collision
   *   probability j^4, so candidate volume stays near the true-duplicate
   *   count rather than the pair count.
-  * - SimHash joins on 16-bit bands of the 64-bit signature (4 bands), the
-  *   classic pigeonhole trick: any pair within Hamming distance 3×16 shares
-  *   a band; full Hamming distance is then verified on candidates only.
+  * - SimHash joins on 4 bands of the 120-bit signature whose width adapts
+  *   to corpus size (Geometry.adaptiveBits, 15-30 bits — bucket count ∝ n
+  *   at constant occupancy); full Hamming distance is then verified on
+  *   candidates only.
   */
 object DedupQueries {
   import TextOps._
@@ -198,11 +200,24 @@ object DedupQueries {
          ORDER BY doc1, doc2""")
   )
 
-  /** q32 — SimHash near-dup candidates. Signature: sign of per-bit vote
-    * sums over md5-derived 60-bit distinct-token hashes (the same
-    * cross-engine hash scheme as q31's MinHash, so the whole pipeline is
-    * oracle-checkable in DuckDB); candidates via 15-bit band join with a
-    * bucket cap, then exact Hamming distance filter on candidates only.
+  /** q32 — SimHash near-dup candidates on the 120-bit ADAPTIVE-BAND
+    * geometry (r6 VERDICT #1 — the last fixed bucket space in the
+    * registry, now code). Signature: sign of per-bit vote sums over
+    * md5-derived token hashes, computed as TWO 60-bit halves
+    * (graft.functions.SimHash128 — lo = md5 hex digits 1-15, hi = digits
+    * 17-31, both exactly reconstructable in DuckDB); candidates via a
+    * 4-band join whose band width GROWS with the corpus, then exact
+    * Hamming distance (over all 120 bits) on candidates only.
+    *
+    * Band geometry: width = Geometry.adaptiveBits(n, occ=2^3, 15..30) —
+    * bucket count ∝ n at constant ~8 expected occupancy, the same
+    * statistics-driven knob as q41 (and the same driver-side metadata
+    * count feeding it). The floor keeps every corpus ≤ 2^18 docs —
+    * including the oracle fixtures — on the historical 2^15-bucket
+    * geometry; the 30-bit cap (2^30 buckets/band ≈ 10^9) pushes the
+    * occupancy ceiling to ~10^10 docs, retiring the old 60-bit
+    * signature's documented ~10^7 limit. Bands sit at fixed offsets 0/30
+    * within each half, so widening bands never overlap.
     *
     * The bucket cap is the same quadratic-blowup guard as q25's
     * stop-shingles and q41's LSH cap: a band value shared by k documents
@@ -210,57 +225,81 @@ object DedupQueries {
     * vocabulary) load a few buckets with a large fraction of the corpus —
     * measured 2.24M candidate pairs from 5 000 docs uncapped. Oversized
     * buckets carry no discriminating signal (they pair near-everything)
-    * and are dropped symmetrically in the oracle. */
+    * and are dropped symmetrically in the oracle. With adaptive widths
+    * the cap is a hot-spot guard, not the scaling mechanism. */
   private val SIMHASH_BUCKET_CAP = 200
+  private val SimHashBandFloor = 15
+  private val SimHashBandCap = 30
+  private val SimHashHammingMax = 30 // 120-bit twin of the old 15/60 bound
   private val q32 = GQuery(
     "q32_dedup_simhash",
     (s, d) => {
-      // Per-row signature — no tokenize shuffle at all: the whole 60-bit
-      // SimHash is one native codegen kernel (graft.functions.SimHash64)
+      // Per-row signature — no tokenize shuffle at all: the whole 120-bit
+      // SimHash is one native codegen kernel (graft.functions.SimHash128)
       // over the distinct-token array. At 100 TB this is a map-only pass;
-      // only the tiny (doc_id, simhash) relation ever shuffles (for the
+      // only the small (doc_id, lo, hi) relation ever shuffles (for the
       // band buckets).
-      graft.functions.SimHash64.register(s)
+      graft.functions.SimHash128.register(s)
+      val n = Tables.documents(s, d).count() // parquet metadata scalar
+      val bandBits = Geometry.adaptiveBits(n, 3, SimHashBandFloor, SimHashBandCap)
+      val mask = lit((1L << bandBits) - 1L)
       val sim = Tables.documents(s, d)
         .select(col("doc_id"),
-          graft.functions.SimHash64(array_distinct(tokens(col("text")))).as("simhash"))
-      val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL)).as("bh"))): _*)).as("e"))
-        .select(col("doc_id"), col("simhash"), col("e.band").as("band"), col("e.bh").as("bh"))
+          graft.functions.SimHash128(array_distinct(tokens(col("text")))).as("sig"))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
+      val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
+        struct(lit(0).as("band"), col("lo").bitwiseAND(mask).as("bh")),
+        struct(lit(1).as("band"), shiftright(col("lo"), 30).bitwiseAND(mask).as("bh")),
+        struct(lit(2).as("band"), col("hi").bitwiseAND(mask).as("bh")),
+        struct(lit(3).as("band"), shiftright(col("hi"), 30).bitwiseAND(mask).as("bh"))))
+        .as("e"))
+        .select(col("doc_id"), col("lo"), col("hi"),
+          col("e.band").as("band"), col("e.bh").as("bh"))
       bands.groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("lo"), col("hi")))).as("docs"))
         .filter(size(col("docs")).between(2, SIMHASH_BUCKET_CAP))
         .select(explode(orderedPairs(col("docs"))).as("p"))
         .select(col("p.d1.doc_id").as("doc1"), col("p.d2.doc_id").as("doc2"),
-          bit_count(col("p.d1.simhash").bitwiseXOR(col("p.d2.simhash"))).as("hamming"))
+          (bit_count(col("p.d1.lo").bitwiseXOR(col("p.d2.lo"))) +
+            bit_count(col("p.d1.hi").bitwiseXOR(col("p.d2.hi")))).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 15)
+        .filter(col("hamming") <= SimHashHammingMax)
         .orderBy(col("doc1"), col("doc2"))
     },
-    Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+    Some(s"""WITH nb AS (SELECT ${Geometry.adaptiveBitsSql("count(*)", 3, 15, 30)} AS b
+                         FROM documents),
+                 tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
                          FROM documents),
                  th AS (SELECT doc_id,
-                               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+                               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hlo,
+                               CAST(concat('0x', substr(md5(t), 17, 15)) AS BIGINT) AS hhi
                         FROM tok),
                  v AS (SELECT doc_id, b.b AS b,
-                              sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
-                       FROM th, range(0, 60) b(b) GROUP BY doc_id, b.b),
+                              sum(CASE WHEN ((CASE WHEN b.b < 60 THEN hlo >> b.b
+                                              ELSE hhi >> (b.b - 60) END) & 1) = 1
+                                       THEN 1 ELSE -1 END) AS votes
+                       FROM th, range(0, 120) b(b) GROUP BY doc_id, b.b),
                  sig AS (SELECT doc_id,
-                                CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << b)
-                                              ELSE 0::BIGINT END) AS BIGINT) AS simhash
+                                CAST(sum(CASE WHEN votes > 0 AND b < 60 THEN (1::BIGINT << b)
+                                              ELSE 0::BIGINT END) AS BIGINT) AS lo,
+                                CAST(sum(CASE WHEN votes > 0 AND b >= 60 THEN (1::BIGINT << (b - 60))
+                                              ELSE 0::BIGINT END) AS BIGINT) AS hi
                          FROM v GROUP BY doc_id),
-                 band AS (SELECT doc_id, simhash, b.b AS band,
-                                 (simhash >> (b.b * 15)) & 32767 AS bh
-                          FROM sig, range(0, 4) b(b)),
+                 band AS (SELECT doc_id, lo, hi, b.b AS band,
+                                 CASE b.b WHEN 0 THEN lo & ((1::BIGINT << nb.b) - 1)
+                                          WHEN 1 THEN (lo >> 30) & ((1::BIGINT << nb.b) - 1)
+                                          WHEN 2 THEN hi & ((1::BIGINT << nb.b) - 1)
+                                          ELSE (hi >> 30) & ((1::BIGINT << nb.b) - 1) END AS bh
+                          FROM sig, range(0, 4) b(b), nb),
                  ok AS (SELECT band, bh FROM band GROUP BY band, bh
                         HAVING count(*) BETWEEN 2 AND 200)
             SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+                   CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
             FROM band a JOIN band b
               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
             JOIN ok o ON a.band = o.band AND a.bh = o.bh
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 15
+            WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 30
             ORDER BY doc1, doc2""")
   )
 

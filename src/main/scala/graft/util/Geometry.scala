@@ -1,0 +1,70 @@
+package graft.util
+
+/** Statistics-driven index geometry, shared by every operator whose bucket
+  * or codebook space must GROW with the corpus (q41 hyperplane-LSH band
+  * bits, q32 SimHash band bits, the q37/q76/q94 IVF codebook size).
+  *
+  * Why this exists: a fixed bucket space is quadratic in disguise —
+  * candidate pairs grow as n²/buckets, and the r6 sf1 slope run measured
+  * exactly that on q41 (10× data → 17× time from a fixed 1536-bucket
+  * space). The fix that cleared it (bucket count ∝ n at constant expected
+  * occupancy, driven by one driver-side scalar count from parquet
+  * row-group metadata) is a pattern, not a one-off; this object is that
+  * pattern as ONE tested function with exact SQL mirrors, so the engine
+  * and the DuckDB oracle can never disagree about the geometry.
+  *
+  * Everything here is INTEGER arithmetic on purpose. The r6 formulation
+  * computed `ceil(log(n/8)/log(2))` in Scala against `ceil(log2(n/8.0))`
+  * in SQL; when n/8 lands on an exact power of two, a 1-ulp difference
+  * between the two log implementations can flip the ceil and silently
+  * hand the engines different band geometries (ADVICE r7). Bit-length
+  * arithmetic has no ulps: `ceilLog2(n) = bitLength(n-1)`, mirrored in
+  * DuckDB as `length(bin(n-1))`, is exact for every n.
+  */
+object Geometry {
+
+  /** Integer ceil(log2(n)): the smallest e with 2^e >= n. 0 for n <= 1
+    * (so degenerate corpora fall to the clamp floor, never to an error —
+    * the r6 SQL form crashed DuckDB on n = 0 via CAST(-inf AS INTEGER)). */
+  def ceilLog2(n: Long): Int =
+    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+
+  /** Band width (in bits) for an LSH-style bucket space: the smallest b
+    * with 2^b >= n / 2^occLog2 — i.e. bucket count ∝ n at a constant
+    * expected occupancy of 2^occLog2 — clamped to [floor, cap]. Exactly
+    * ceil(log2(n / 2^occLog2)) since the divisor is a power of two.
+    *
+    * The floor pins every corpus below 2^(floor+occLog2) rows to the
+    * historical fixture geometry (small-scale results unchanged); the cap
+    * bounds the band key's width.
+    */
+  def adaptiveBits(n: Long, occLog2: Int, floor: Int, cap: Int): Int = {
+    require(floor <= cap, s"floor $floor > cap $cap")
+    math.min(cap, math.max(floor, ceilLog2(n) - occLog2))
+  }
+
+  /** IVF codebook size: B = 2^(ceilLog2(n) / 2), clamped — the integer
+    * form of B ≈ √n (B² tracks n within a factor of 2), the standard
+    * production sizing that keeps per-cell scan cost ~n/B ≈ √n. Power of
+    * two so the SQL mirror is a shift, not a sqrt. */
+  def adaptiveCodebook(n: Long, floor: Int, cap: Int): Int = {
+    require(floor <= cap, s"floor $floor > cap $cap")
+    math.min(cap, math.max(floor, 1 << (ceilLog2(n) / 2)))
+  }
+
+  /** DuckDB mirror of [[adaptiveBits]] over an aggregate count expression.
+    * `length(bin(c-1))` IS bitLength(c-1) = ceilLog2(c) for c >= 2; the
+    * CASE guards c <= 1 (bin(-1) / bin(0) never evaluated). */
+  def adaptiveBitsSql(countExpr: String, occLog2: Int, floor: Int, cap: Int): String =
+    s"""GREATEST($floor, LEAST($cap,
+        CASE WHEN $countExpr > 1
+             THEN length(bin(CAST($countExpr AS BIGINT) - 1)) - $occLog2
+             ELSE $floor END))"""
+
+  /** DuckDB mirror of [[adaptiveCodebook]]. */
+  def adaptiveCodebookSql(countExpr: String, floor: Int, cap: Int): String =
+    s"""GREATEST($floor, LEAST($cap,
+        CASE WHEN $countExpr > 1
+             THEN (1::BIGINT << (length(bin(CAST($countExpr AS BIGINT) - 1)) // 2))
+             ELSE $floor END))"""
+}

@@ -47,7 +47,8 @@ class DedupTextSpec extends SparkSpec {
     val rows = SparkEntry.queries("q32_dedup_simhash")(spark, sfSmoke).collect()
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getInt(2) >= 0 && r.getInt(2) <= 15)
+      // 120-bit signature: the candidate bound is 30 (the 15/60 twin)
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 30)
     }
   }
 
@@ -88,6 +89,37 @@ class DedupTextSpec extends SparkSpec {
     val sig3 = Seq((3, toks :+ "extra")).toDF("id", "arr")
       .select(graft.functions.SimHash64(col("arr"))).head().getLong(0)
     assert(sig3 != got)
+  }
+
+  test("SimHash128: halves match independent md5-60bit folds; lo half equals SimHash64") {
+    graft.functions.SimHash128.register(spark)
+    graft.functions.SimHash64.register(spark)
+    val toks = Seq("spark", "data", "join", "window", "scan")
+    // independent fold over the SQL-expressible md5 hex-digit hashes
+    // (digits 1-15 and 17-31 — both halves reconstructable in DuckDB)
+    val hashes = toks.toDF("t")
+      .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+        conv(substring(md5(col("t")), 17, 15), 16, 10).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var expLo = 0L
+    var expHi = 0L
+    for (b <- 0 until 60) {
+      if (hashes.count(h => ((h._1 >>> b) & 1L) != 0L) * 2 > hashes.length)
+        expLo |= (1L << b)
+      if (hashes.count(h => ((h._2 >>> b) & 1L) != 0L) * 2 > hashes.length)
+        expHi |= (1L << b)
+    }
+    val sig = Seq((1, toks)).toDF("id", "arr")
+      .select(graft.functions.SimHash128(col("arr"))).head().getSeq[Long](0)
+    assert(sig == Seq(expLo, expHi))
+    // the lo half IS the historical 60-bit signature (same votes, same bits)
+    val sig64 = Seq((1, toks)).toDF("id", "arr")
+      .select(graft.functions.SimHash64(col("arr"))).head().getLong(0)
+    assert(sig(0) == sig64)
+    // identical inputs collide; a perturbed input differs
+    val sig3 = Seq((3, toks :+ "extra")).toDF("id", "arr")
+      .select(graft.functions.SimHash128(col("arr"))).head().getSeq[Long](0)
+    assert(sig3 != sig)
   }
 
   test("minhash signatures agree for identical shingle sets") {

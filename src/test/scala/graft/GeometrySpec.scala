@@ -1,0 +1,74 @@
+package graft
+
+import graft.util.Geometry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The adaptive-geometry contract (NormalizeTextSpec-style equality): the
+  * integer formulas must agree with their real-valued definitions on every
+  * n — INCLUDING exact power-of-two boundaries, where the r6 float
+  * formulation could diverge between engines by 1 ulp. */
+class GeometrySpec extends AnyFunSuite {
+
+  private val sweep: Seq[Long] =
+    (0L to 1030L) ++
+      (1 to 40).flatMap(e => Seq((1L << e) - 1, 1L << e, (1L << e) + 1)) ++
+      Seq(499L, 500L, 5000L, 50000L, 10000000L)
+
+  test("ceilLog2 is the exact integer ceil(log2(n))") {
+    for (n <- sweep if n >= 1) {
+      val e = Geometry.ceilLog2(n)
+      if (n == 1) assert(e == 0)
+      else {
+        assert(BigInt(1) << e >= BigInt(n), s"2^$e < $n")
+        assert(BigInt(1) << (e - 1) < BigInt(n), s"2^${e - 1} >= $n — not minimal")
+      }
+    }
+    assert(Geometry.ceilLog2(0) == 0)
+    assert(Geometry.ceilLog2(-5) == 0)
+  }
+
+  test("adaptiveBits matches clamp(ceil(log2(n/2^occ))) exactly, boundaries included") {
+    for (n <- sweep; occ <- Seq(0, 3, 4)) {
+      val got = Geometry.adaptiveBits(n, occ, 8, 24)
+      // real-valued reference, computed exactly with BigInt (no float log):
+      // smallest b with 2^(b+occ) >= n
+      val exact =
+        if (n <= 1) 0
+        else (0 to 63).find(b => (BigInt(1) << (b + occ)) >= BigInt(n)).get
+      assert(got == math.min(24, math.max(8, exact)), s"n=$n occ=$occ")
+    }
+  }
+
+  test("adaptiveBits reproduces q41's r6 geometry at the measured scales") {
+    // fixture (sf0.01, 500 vecs) stays on the 8-bit floor; sf0.1 and sf1
+    // land where the r6 float formula put them (log2(5000/8)=9.29 -> 10).
+    assert(Geometry.adaptiveBits(500, 3, 8, 24) == 8)
+    assert(Geometry.adaptiveBits(5000, 3, 8, 24) == 10)
+    assert(Geometry.adaptiveBits(50000, 3, 8, 24) == 13)
+    // the boundary case the float form could flip: n/8 an exact power of 2
+    assert(Geometry.adaptiveBits(8 * 1024, 3, 8, 24) == 10)   // 2^10 == 1024
+    assert(Geometry.adaptiveBits(8 * 1024 + 1, 3, 8, 24) == 11)
+  }
+
+  test("adaptiveCodebook tracks sqrt(n) within a factor of 2, clamped") {
+    for (n <- sweep if n >= 2) {
+      val b = Geometry.adaptiveCodebook(n, 16, 32768).toLong
+      if (b > 16 && b < 32768) {
+        assert(b.toDouble * b >= n.toDouble / 2, s"B=$b too small for n=$n")
+        assert(b.toDouble * b <= 4.0 * n, s"B=$b too large for n=$n")
+      }
+    }
+    // fixture geometry unchanged: 500 vectors keep the 16-centroid codebook
+    assert(Geometry.adaptiveCodebook(500, 16, 32768) == 16)
+    assert(Geometry.adaptiveCodebook(5000, 16, 32768) == 64)
+    assert(Geometry.adaptiveCodebook(1000000, 16, 32768) == 1024)
+    assert(Geometry.adaptiveCodebook(0, 16, 32768) == 16)
+  }
+
+  test("adaptive knobs are monotone in n") {
+    val bits = sweep.filter(_ >= 0).sorted.map(Geometry.adaptiveBits(_, 3, 8, 24))
+    assert(bits == bits.sorted)
+    val cb = sweep.filter(_ >= 0).sorted.map(Geometry.adaptiveCodebook(_, 16, 32768))
+    assert(cb == cb.sorted)
+  }
+}
