@@ -10,8 +10,12 @@ import java.sql.Timestamp
   * every value is a pure function of (table, row id) via splitmix64 — the
   * output is identical under any partitioning or parallelism.
   *
-  * Usage: runMain graft.tools.DataGen <outDir> <sf>
+  * Usage: runMain graft.tools.DataGen <outDir> <sf> [tables,...]
   * e.g.   runMain graft.tools.DataGen /root/repo/testdata-sf1 1.0
+  *        runMain graft.tools.DataGen /root/repo/testdata-docs-sf6 6.0 documents
+  * The optional third arg restricts generation to the named tables —
+  * single-family scale points (e.g. a 6× documents corpus for the q32
+  * adaptive-band check) shouldn't pay for 36M lineitem rows.
   *
   * Scale rules (matching the driver's sf0.001→0.1 progression):
   *   customer 150k·sf? — observed: customer=150000·sf, supplier=10000·sf,
@@ -61,8 +65,9 @@ object DataGen extends Serializable {
   val EventsSpanMs = 30L * DayMs // .. 2024-01-31
 
   def main(args: Array[String]): Unit = {
-    val Array(outDir, sfStr) = args
-    val sf = sfStr.toDouble
+    val outDir = args(0)
+    val sf = args(1).toDouble
+    val tableFilter = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,10 +89,11 @@ object DataGen extends Serializable {
     val nEmb = (20000 * sf).toLong max 20
     val parts = math.max(cpus.toInt, (nLineitem / 500000).toInt)
 
-    def save(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
-      println(s"[datagen] wrote $name")
-    }
+    def save(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      if (tableFilter.forall(_.contains(name))) {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+        println(s"[datagen] wrote $name")
+      }
 
     save("region")(Regions.zipWithIndex
       .map { case (n, i) => (i, n) }.toDF("r_regionkey", "r_name"))
