@@ -795,6 +795,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("s15 evaluates a published stop list ONCE, not per micro-batch") {
+    // the "zero per-batch corpus work" contract: incrementalDedupStream
+    // materializes the captured stop-shingle DataFrame before start();
+    // a foreachBatch closure re-evaluates captured DataFrames per batch,
+    // so a regression here re-runs the corpus stop-list aggregation on
+    // every micro-batch. The accumulator counts source evaluations.
+    val dir = java.nio.file.Files.createTempDirectory("s15_stoplist").toString
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text")
+    graft.operators.CorpusOps
+      .minhashBands(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+      .withColumn("_batch", lit(-1L))
+      .write.partitionBy("_batch").parquet(s"$dir/index")
+    val evals = spark.sparkContext.longAccumulator("stop_list_evals")
+    val stop = spark.range(0, 1, 1, 1)
+      .mapPartitions { it => evals.add(1); it }
+      .toDF("sgh") // sgh=0: matches no real shingle hash, changes nothing
+    val incoming = docs.filter(col("doc_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/out",
+      stopShingles = Some(stop))
+    try {
+      incoming.grouped(incoming.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(evals.value == 1L,
+      s"stop list evaluated ${evals.value} times across 3 micro-batches")
+    // and the no-op stop list left the pair set identical to batch q100
+    val got = spark.read.parquet(s"$dir/out/pairs")
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = SparkEntry.queries("q100_incremental_dedup")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted)
+  }
+
   test("s16 streaming KMV sketch converges to exactly the batch q109 estimate") {
     val input = MemoryStream[(String, Long)](spark)
     val out = StreamOps.kmvStream(input.toDS(), 256)
