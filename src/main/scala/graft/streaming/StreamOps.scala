@@ -178,16 +178,27 @@ object StreamOps {
   /** s07 — streaming near-duplicate filter: map-only SimHash signature
     * per document (the q32 codegen kernel), then watermarked signature
     * dedup — q32's candidate generation collapsed to keep-first streaming
-    * policy (equal 60-bit signatures ⇒ near-identical token sets). State
-    * holds one signature row per unique doc inside the watermark; the
-    * signature computation itself adds no state and no shuffle. */
+    * policy (equal signatures ⇒ near-identical token sets). State holds
+    * one signature row per unique doc inside the watermark; the signature
+    * computation itself adds no state and no shuffle.
+    *
+    * The dedup key is the FULL 120-bit SimHash128 signature (two long
+    * columns), not the 60-bit kernel (r7): a dedup filter's false
+    * collision silently DROPS a distinct document, and a 2^60 key space
+    * has ~40% birthday-collision odds by 10^9 docs — 2^120 keeps the
+    * expected collision count ~0 past 10^12. Two extra state-row bytes
+    * buy data-loss safety; q32's banding is unaffected (bands are its
+    * own geometry, this is exact-signature equality). */
   def nearDedupDocs(docs: DataFrame): DataFrame = {
-    graft.functions.SimHash64.register(docs.sparkSession)
+    graft.functions.SimHash128.register(docs.sparkSession)
     docs
-      .withColumn("simhash",
-        graft.functions.SimHash64(array_distinct(split(col("text"), " "))))
+      .withColumn("_sig",
+        graft.functions.SimHash128(array_distinct(split(col("text"), " "))))
+      .withColumn("sig_lo", element_at(col("_sig"), 1))
+      .withColumn("sig_hi", element_at(col("_sig"), 2))
+      .drop("_sig")
       .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("simhash")
+      .dropDuplicatesWithinWatermark("sig_lo", "sig_hi")
   }
 
   /** Static benchmark shingle-hash relation for s08: the DISTINCT
