@@ -403,6 +403,101 @@ object AggQueries {
             FROM z WHERE abs(z) >= 2.0 ORDER BY user_id""")
   )
 
+  /** Poisson(1) CDF thresholds for the q118 bootstrap weights. The exact
+    * decimal strings matter more than their last-ulp accuracy: the SAME
+    * literals appear in the oracle SQL, both engines parse a literal to
+    * the nearest double identically, and u is bit-identical (md5-60bit /
+    * 2^60 in double arithmetic), so the CASE picks the same weight on
+    * both sides — no epsilon anywhere. */
+  private val PoissonCdf = Seq(
+    0 -> "0.36787944117144233", 1 -> "0.7357588823428847",
+    2 -> "0.9196986029286058", 3 -> "0.9810118431238462",
+    4 -> "0.9963401531726563", 5 -> "0.9994058151824183")
+
+  /** q118 — Poisson-bootstrap confidence intervals (round 7): per
+    * event_type, the mean of `value` with a bootstrap CI from 32
+    * resampled replicates. The Poisson bootstrap is THE distributed
+    * bootstrap (each row draws an independent Poisson(1) replication
+    * weight per replicate — no global resample pass, no sampling without
+    * replacement across partitions), and this one is fully deterministic:
+    * the weight comes from inverse-CDF-transforming the md5-60bit hash
+    * of (event_id, replicate). Training pipelines bootstrap exactly like
+    * this to put error bars on corpus quality metrics before acting on
+    * a filter threshold.
+    *
+    * Determinism: u = hash/2^60 is the same double in both engines (both
+    * round the same int64 to double and divide by an exact power of
+    * two); weights via shared literal thresholds (PoissonCdf); replicate
+    * means accumulate through exact decimal then divide as identical
+    * doubles; the CI is an order statistic (2nd/31st of 32 sorted
+    * replicate means) — exact, no floating aggregate over the replicate
+    * axis.
+    *
+    * Scale notes: the 32× row expansion is the bootstrap's intrinsic
+    * cost and it map-side partial-combines into |event_type|·32 groups —
+    * the shuffle carries groups, not rows; the per-type CI state is a
+    * bounded 32-element array; point estimates join the CI relation
+    * broadcast. */
+  private val q118 = GQuery(
+    "q118_poisson_bootstrap",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val u = graft.functions.TextOps.shingleHash60(
+        concat(col("event_id").cast("string"), lit("|"), col("rep").cast("string")))
+        .cast("double") / lit(1L << 60).cast("double")
+      val wt = PoissonCdf.foldRight(lit(6): org.apache.spark.sql.Column) {
+        case ((k, thr), rest) => when(col("u") < lit(thr.toDouble), lit(k)).otherwise(rest)
+      }
+      val repMeans = ev
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rep", explode(sequence(lit(0), lit(31))))
+        .withColumn("u", u)
+        .withColumn("wt", wt)
+        .groupBy(col("event_type"), col("rep"))
+        .agg(round(sum(col("wt") * Cols.dec2(col("value"))).cast(DoubleType)
+          / sum(col("wt")).cast(DoubleType), 6).as("rep_mean"))
+      val ci = repMeans
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("rep_mean"))).as("ms"))
+        .select(col("event_type"), element_at(col("ms"), 2).as("ci_lo"),
+          element_at(col("ms"), 31).as("ci_hi"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(Cols.dsum2(col("value")) / count(lit(1)), 6).as("mean_value"))
+        .join(broadcast(ci), "event_type")
+        .select(col("event_type"), col("n_events"), col("mean_value"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH reps AS (SELECT unnest(range(0, 32)) AS rep),
+            w AS (SELECT e.event_type, r.rep, e.value,
+                    CAST(CAST(concat('0x', substr(md5(concat(e.event_id, '|', r.rep)),1,15)) AS BIGINT) AS DOUBLE)
+                      / CAST(1152921504606846976 AS DOUBLE) AS u
+                  FROM events e CROSS JOIN reps r),
+            pw AS (SELECT event_type, rep, value,
+                     CASE WHEN u < 0.36787944117144233 THEN 0
+                          WHEN u < 0.7357588823428847 THEN 1
+                          WHEN u < 0.9196986029286058 THEN 2
+                          WHEN u < 0.9810118431238462 THEN 3
+                          WHEN u < 0.9963401531726563 THEN 4
+                          WHEN u < 0.9994058151824183 THEN 5
+                          ELSE 6 END AS wt
+                   FROM w),
+            rm AS (SELECT event_type, rep,
+                     round(CAST(sum(wt * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / CAST(sum(wt) AS DOUBLE), 6) AS rep_mean
+                   FROM pw GROUP BY event_type, rep),
+            ci AS (SELECT event_type, (list_sort(list(rep_mean)))[2] AS ci_lo,
+                          (list_sort(list(rep_mean)))[31] AS ci_hi
+                   FROM rm GROUP BY event_type)
+            SELECT e.event_type, count(*) AS n_events,
+                   round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*), 6) AS mean_value,
+                   min(ci.ci_lo) AS ci_lo, min(ci.ci_hi) AS ci_hi
+            FROM events e JOIN ci USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type""")
+  )
+
   val all: Seq[GQuery] = Seq(q02, q05, q06, q07, q08, q09, q40, q43, q44,
-    q45, q63, q105, q110)
+    q45, q63, q105, q110, q118)
 }

@@ -381,4 +381,67 @@ object CorpusOps {
       .withColumn("seq_id", expr(s"prior div $seqLen"))
       .select(col(idCol), col("nt").as("n_tokens"), col("seq_id"))
   }
+
+  /** Maximal shared token SPANS between document pairs — exact substring
+    * overlap detection (the span-level dedup of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better":
+    * verbatim runs copied between documents, which Jaccard-style whole-
+    * document similarity under-weights and passage hashing (q74) only
+    * sees at fixed chunk boundaries). Output: one row per (doc_id1 <
+    * doc_id2) pair sharing at least one run of >= `minSpanTokens`
+    * consecutive identical tokens, with the longest such run and the
+    * count of maximal runs.
+    *
+    * Mechanics: POSITIONAL n-token shingles (repeats kept, 1-based
+    * position — unlike [[shingleHashes]], whose distinct sets feed set
+    * similarity) carry only the md5-60bit hash into a bucket groupBy;
+    * in-bucket ordered pairs (no self-join — the q25/q31 pattern) yield
+    * matched position pairs; a run of shingle matches at constant
+    * position offset is a gaps-and-islands group (pos1 − row_number is
+    * constant exactly on consecutive pos1), and a run of k consecutive
+    * shingle matches is k + n − 1 shared tokens.
+    *
+    * Scale notes: one explode (positional shingles, 8-byte keys), one
+    * bucket shuffle with `bucketCap` bounding in-bucket pair fan-out
+    * (common-phrase buckets pair everything and carry no span signal —
+    * the stop-shingle argument), windows partitioned by (pair, offset)
+    * — cardinality scales with the data, group size bounded by doc
+    * length. Never all-pairs, never a corpus-sized window partition. */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bucketCap: Int, minSpanTokens: Int): DataFrame = {
+    require(n > 0 && minSpanTokens >= n,
+      s"need n > 0 and minSpanTokens >= n, got n=$n minSpanTokens=$minSpanTokens")
+    guard(Seq("toks", "pos", "sgh", "posts", "doc_id1", "doc_id2", "p1",
+      "p2", "off", "grp", "span_tokens", "longest_span", "n_spans"),
+      idCol, textCol)
+    val postings = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => TextOps.shingleHash60(concat_ws(" ", slice(col("toks"), i, lit(n))))))
+          .as(Seq("pos", "sgh")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("sgh"))
+    val matches = postings
+      .groupBy(col("sgh"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("pos")))).as("posts"))
+      .filter(size(col("posts")).between(2, bucketCap))
+      .select(explode(TextOps.orderedPairs(col("posts"))).as("p"))
+      .filter(col("p.d1").getField(idCol) < col("p.d2").getField(idCol))
+      .select(col("p.d1").getField(idCol).as("doc_id1"),
+        col("p.d2").getField(idCol).as("doc_id2"),
+        col("p.d1").getField("pos").as("p1"),
+        col("p.d2").getField("pos").as("p2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id1"), col("doc_id2"), col("off")).orderBy(col("p1"))
+    matches
+      .withColumn("off", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(w))
+      .groupBy(col("doc_id1"), col("doc_id2"), col("off"), col("grp"))
+      .agg((count(lit(1)) + (n - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col("doc_id1"), col("doc_id2"))
+      .agg(max(col("span_tokens")).as("longest_span"),
+        count(lit(1)).as("n_spans"))
+  }
 }

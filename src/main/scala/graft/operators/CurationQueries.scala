@@ -623,6 +623,45 @@ object CurationQueries {
            ORDER BY doc_id""")
   )
 
+  /** q121 — temporal leave-last-k holdout split (round 7): per user, the
+    * 2 most recent events become the holdout set, everything earlier is
+    * train — the time-respecting evaluation split for behavioral /
+    * sequential data, where q58's content-hash split would leak the
+    * future into training (a model must never train on events later
+    * than its test point). Output is the split audit: per (split,
+    * event_type) event counts, distinct users, and exact value mass.
+    *
+    * Scale notes: one user-partitioned row_number window (per-partition
+    * state = one user's events), then a ~10-group aggregate with
+    * map-side partial combine; distinct-user counts expand per group
+    * before partial aggregation (Spark's two-phase count-distinct).
+    * Descending (ts, event_id) order fully tie-breaks, so the split is
+    * deterministic and reproducible across runs and engines. */
+  private val q121 = GQuery(
+    "q121_user_holdout",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("split", when(col("rn") <= 2, "holdout").otherwise("train"))
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.Cols.dsum2(col("value")).as("sum_value"))
+        .orderBy(col("split"), col("event_type"))
+    },
+    Some("""WITH rk AS (SELECT user_id, event_type, value,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                        FROM events)
+            SELECT CASE WHEN rn <= 2 THEN 'holdout' ELSE 'train' END AS split,
+                   event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM rk GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80,
-    q83, q95, q108, q113)
+    q83, q95, q108, q113, q121)
 }

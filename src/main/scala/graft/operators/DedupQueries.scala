@@ -763,6 +763,45 @@ object DedupQueries {
          GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** q117 — exact shared-SPAN near-duplication (round 7): longest run of
+    * consecutive identical tokens per document pair, via
+    * CorpusOps.sharedSpans (positional 8-shingles → capped bucket pairs →
+    * gaps-and-islands at constant offset). The span-level complement of
+    * the family: q25/q31 score whole-document set similarity, q74 counts
+    * fixed 20-token passages corpus-wide; this reports the maximal
+    * verbatim run BETWEEN a specific pair — the operator behind
+    * substring-level dedup (Lee et al. 2022), quote/boilerplate
+    * detection, and provenance tracing. Thresholds: 8-token shingles,
+    * spans >= 12 tokens, bucket cap 64 (scale notes on the operator). */
+  private val q117 = GQuery(
+    "q117_span_dedup",
+    (s, d) =>
+      CorpusOps.sharedSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 8, bucketCap = 64, minSpanTokens = 12)
+        .orderBy(col("doc_id1"), col("doc_id2")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+            p AS (SELECT doc_id,
+                    unnest(range(1, len(toks)-6)) AS pos,
+                    unnest(list_transform(range(1, len(toks)-6),
+                      i -> CAST(concat('0x', substr(md5(array_to_string(toks[i:i+7],' ')),1,15)) AS BIGINT))) AS sgh
+                  FROM t WHERE len(toks) >= 8),
+            q AS (SELECT p.* FROM p JOIN (SELECT sgh FROM p GROUP BY sgh
+                                          HAVING count(*) <= 64) k USING (sgh)),
+            m AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                         a.pos AS p1, b.pos AS p2
+                  FROM q a JOIN q b ON a.sgh = b.sgh AND a.doc_id < b.doc_id),
+            i AS (SELECT doc_id1, doc_id2, p1, p1-p2 AS off,
+                         p1 - row_number() OVER (PARTITION BY doc_id1, doc_id2, p1-p2
+                                                 ORDER BY p1) AS grp
+                  FROM m),
+            s AS (SELECT doc_id1, doc_id2, off, grp, count(*) + 7 AS span_tokens
+                  FROM i GROUP BY doc_id1, doc_id2, off, grp)
+            SELECT doc_id1, doc_id2, max(span_tokens) AS longest_span,
+                   count(*) AS n_spans
+            FROM s WHERE span_tokens >= 12
+            GROUP BY doc_id1, doc_id2 ORDER BY doc_id1, doc_id2""")
+  )
+
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
-    q100, q104, q111)
+    q100, q104, q111, q117)
 }

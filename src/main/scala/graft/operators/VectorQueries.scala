@@ -614,5 +614,57 @@ object VectorQueries {
             FROM m GROUP BY label ORDER BY label""")
   )
 
-  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94, q102, q107)
+  /** q120 — per-DIMENSION embedding variance profile (round 7): mean and
+    * population variance of every coordinate across the corpus. The
+    * anisotropy/collapse audit q107 cannot see: q107 reports per-LABEL
+    * norm and centroid-cosine health; this reports which DIMENSIONS
+    * carry signal — dead dimensions (variance ≈ 0) mean a collapsed or
+    * truncated encoder, dominant dimensions mean the cosine is secretly
+    * a 1-D comparison and whitening is needed before q41/q76 trust it.
+    * Also the exact statistics a whitening / PCA-preprocessing stage
+    * consumes (the diagonal of the covariance matrix).
+    *
+    * Determinism: coordinates quantize to the shared q102/q107 integer
+    * grid; per-dim sum and sum-of-squares accumulate in exact decimal;
+    * variance = (n·Σv² − (Σv)²) / n² computed exactly in decimal before
+    * ONE decimal→double cast (correctly rounded, identical cross-engine)
+    * and the double divisions by n² and the grid scale.
+    *
+    * Scale notes: posexplode is a map-only ×dim expansion that partial-
+    * combines into exactly `dim` groups — the shuffle carries dim rows
+    * per map partition; output is dim-sized. No window, no join. */
+  private val q120 = GQuery(
+    "q120_dim_variance",
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      emb(s, d)
+        .select(posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long"))).as(Seq("pos", "v")))
+        .groupBy((col("pos") + 1).as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(dec38)).as("s"),
+          sum((col("v") * col("v")).cast(dec38)).as("ss"))
+        .select(col("dim").cast("int").as("dim"), col("n"),
+          round(col("s").cast("double") / col("n") / 1000.0, 6).as("mean_value"),
+          round((col("ss") * col("n") - col("s") * col("s")).cast("double")
+            / (col("n").cast("double") * col("n")) / 1000000.0, 6).as("variance"))
+        .orderBy(col("dim"))
+    },
+    Some("""WITH e AS (SELECT list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE)*1000, 0) AS BIGINT)) AS qv
+                       FROM embeddings),
+            u AS (SELECT unnest(range(1, 65)) AS dim, unnest(qv) AS v FROM e),
+            st AS (SELECT dim, count(*) AS n,
+                          CAST(sum(v) AS DECIMAL(38,0)) AS s,
+                          CAST(sum(v*v) AS DECIMAL(38,0)) AS ss
+                   FROM u GROUP BY dim)
+            SELECT CAST(dim AS INTEGER) AS dim, n,
+                   round(CAST(s AS DOUBLE) / n / 1000.0, 6) AS mean_value,
+                   round(CAST(ss * n - s * s AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n) / 1000000.0, 6) AS variance
+            FROM st ORDER BY dim""")
+  )
+
+  val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94, q102, q107,
+    q120)
 }

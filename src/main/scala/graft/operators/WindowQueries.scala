@@ -614,6 +614,69 @@ object WindowQueries {
             FROM gg GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** q119 — SCD2 (slowly-changing-dimension type 2) history build
+    * (round 7): collapse each user's event stream into validity
+    * intervals, one row per maximal run of a constant event_type, with
+    * [valid_from, valid_to) effective bounds, is_current on the open
+    * run, and the run's event count and value sum. The warehouse
+    * history-table op a curation pipeline uses to track attribute
+    * drift (source label, license tag, quality tier) over re-crawls —
+    * state-change islands, where q29's sessionization is time-GAP
+    * islands (different predicate, same decomposition).
+    *
+    * Mechanics: change flag on lag(event_type) ≠ event_type (null-safe:
+    * the first event opens segment 1), running sum of flags = segment
+    * number, aggregate per (user, segment), then lead(valid_from) over
+    * the per-user SEGMENT relation closes each interval.
+    *
+    * Scale notes: both windows partition by user_id (cardinality scales
+    * with data; per-partition state is one user's rows, the second
+    * window runs over the already-aggregated segment relation); one
+    * shuffle on user_id reused by both windows and the segment
+    * aggregate; value sums accumulate exact decimal. */
+  private val q119 = GQuery(
+    "q119_scd2",
+    (s, d) => {
+      val we = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ws = Window.partitionBy(col("user_id")).orderBy(col("seg_no"))
+      Tables.events(s, d)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(we) === col("event_type"), 0L)
+            .otherwise(1L))
+        .withColumn("seg_no",
+          sum(col("chg")).over(we.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("seg_no"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"),
+          dsum2(col("value")).as("sum_value"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(ws))
+        .select(col("user_id"), col("seg_no"), col("event_type"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_events"),
+          col("sum_value"))
+        .orderBy(col("user_id"), col("seg_no"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_type, ts, event_id, value,
+                         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                              THEN 1 ELSE 0 END AS chg
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS seg_no FROM o),
+            seg AS (SELECT user_id, seg_no, event_type, min(ts) AS valid_from,
+                           count(*) AS n_events,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                    FROM r GROUP BY user_id, seg_no, event_type)
+            SELECT user_id, seg_no, event_type, valid_from,
+                   lead(valid_from) OVER ws AS valid_to,
+                   (lead(valid_from) OVER ws IS NULL) AS is_current,
+                   n_events, sum_value
+            FROM seg
+            WINDOW ws AS (PARTITION BY user_id ORDER BY seg_no)
+            ORDER BY user_id, seg_no""")
+  )
+
   val all: Seq[GQuery] = Seq(q16, q17, q29, q30, q50, q51, q65, q91, q92,
-    q93, q103, q114, q115, q116)
+    q93, q103, q114, q115, q116, q119)
 }
