@@ -116,6 +116,37 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** s17 — stream-stream LEFT OUTER interval join (round 7): every click
+    * emits exactly once — matched rows as soon as the purchase arrives,
+    * UNMATCHED clicks with null purchase columns once the watermark
+    * proves no in-band purchase can still come. The attribution /
+    * conversion-funnel shape s05 cannot express: an inner join never
+    * reports the clicks that did NOT convert, which is usually the
+    * population being measured.
+    *
+    * The null-emission is the stateful subtlety: a left row must be held
+    * in the state store past its own join window and released only when
+    * the RIGHT side's watermark passes click_ts + 5 min (until then a
+    * matching purchase may still arrive); Spark's symmetric hash join
+    * does exactly this because the join carries both watermarks and an
+    * event-time band. Same state-eviction bound as s05 — rows leave
+    * state when the opposing watermark passes their band, so state size
+    * tracks the in-flight window, not history. */
+  def streamStreamLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val a = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val b = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    a.join(b,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL '5' MINUTE"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessState(startMs: Long, endMs: Long, n: Long, sum: Double)

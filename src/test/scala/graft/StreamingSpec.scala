@@ -146,6 +146,94 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s17 left-outer stream-stream join emits unmatched clicks on watermark") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = StreamOps.streamStreamLeftOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("s17_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 10, user = 1L), ev(2, 40, user = 2L),
+        ev(3, 11, user = 3L),     // user 3 never purchases (band end 16)
+        ev(6, 38, user = 4L))     // user 4 never purchases (band end 43)
+      purchases.addData(
+        ev(101, 12, user = 1L),   // in band for click 1 -> match
+        ev(102, 30, user = 1L),   // 20 min after click 1 -> out of band
+        ev(103, 41, user = 2L))   // in band for click 2 -> match
+      q.processAllAvailable()
+      val matched = spark.table("s17_out").collect()
+        .filter(r => !r.isNullAt(3)).map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(matched == Set((1L, 101L), (2L, 103L)))
+      // watermark after batch 1 = min(40, 41) - 10min = minute 30 (the
+      // no-data batch applies it): click 3's band [11,16] is fully past
+      // -> its null row emits NOW; click 6's band runs to 43 > 30, a
+      // purchase could still arrive -> it must still be held in state
+      val nulls1 = spark.table("s17_out").collect()
+        .filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+      assert(nulls1 == Set(3L), s"expected only click 3 released, got $nulls1")
+      // advance BOTH watermarks far past click 6's band; it releases
+      clicks.addData(ev(4, 300, user = 9L))
+      purchases.addData(ev(104, 300, user = 9L))
+      q.processAllAvailable()
+      val nulls = spark.table("s17_out").collect()
+        .filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+      assert(nulls == Set(3L, 6L), s"expected clicks 3 and 6 unmatched, got $nulls")
+    } finally q.stop()
+  }
+
+  test("s17 over the real fixture converges to the batch left-join twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.sources.Tables.events(spark, sfSmoke)
+    val clicksB = events.filter(col("event_type") === "click")
+    val purchB = events.filter(col("event_type") === "purchase")
+    // batch twin restricted to rows the final watermark can release:
+    // stream append emits (a) matches once both sides arrive, (b) null
+    // rows once the purchase watermark passes the band; with
+    // AvailableNow the final watermark is max(ts)-10min, so clicks with
+    // band end beyond it stay in state and never emit. Mirror that cut.
+    // the global watermark is the MIN over both sides' per-source
+    // watermarks (each side only sees its own filtered max ts), and the
+    // engine tracks event time in whole MILLIseconds (EventTimeStats) —
+    // mirror both before the cut
+    val maxTs = math.min(
+      clicksB.agg(max(unix_micros(col("ts")))).head().getLong(0),
+      purchB.agg(max(unix_micros(col("ts")))).head().getLong(0))
+    val wmUs = (maxTs / 1000 - 10L * 60 * 1000) * 1000
+    val expected = clicksB.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .join(purchB.select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts")),
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL '5' MINUTE"),
+        "left_outer")
+      .filter(
+        // matched rows: both endpoints below the final watermark emit;
+        // null rows: only when the watermark passed the whole band
+        when(col("purchase_id").isNotNull, lit(true))
+          .otherwise(unix_micros(col("click_ts")) + 5L * 60 * 1000000 < wmUs))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_s17")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfSmoke/events.parquet"),
+      dir.resolve("part-00000.parquet"))
+    def side(t: String) = StreamOps.eventsFileStream(spark, dir.toString)
+      .filter(col("event_type") === t)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s17_ckpt").toString
+    val q = StreamOps.streamStreamLeftOuter(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("s17_file")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.table("s17_file").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == expected,
+      s"diff: stream-only=${(got -- expected).take(5)} batch-only=${(expected -- got).take(5)}")
+  }
+
   test("s03 stateful sessionization closes sessions on >30min gaps") {
     val input = MemoryStream[Ev](spark)
     val q = StreamOps.sessionize(input.toDS())
