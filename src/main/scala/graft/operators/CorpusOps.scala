@@ -414,7 +414,10 @@ object CorpusOps {
     guard(Seq("toks", "pos", "sgh", "posts", "doc_id1", "doc_id2", "p1",
       "p2", "off", "grp", "span_tokens", "longest_span", "n_spans"),
       idCol, textCol)
-    val postings = docs
+    // fanOut before the positional-shingle expansion — the heaviest
+    // map stage in the family (every token position hashes), serial on
+    // a one-file fixture scan without it
+    val postings = graft.sources.Io.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(idCol),

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  /** documents rebalanced for tokenize/explode kernels (Io.fanOut —
+    * identity when the scan is already wide; at fixture scale the
+    * one-file scan would run every per-token kernel on one core). */
+  private def fdocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.sources.Io.fanOut(Tables.documents(s, d))
+
+
   /** q56 — inverted-index build: token → document frequency + the first
     * 20 postings (sorted doc ids). The classic search/index workload.
     *
@@ -30,7 +38,7 @@ object CorpusQueries {
   private val q56 = GQuery(
     "q56_inverted_index",
     (s, d) =>
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("df"),
@@ -59,7 +67,7 @@ object CorpusQueries {
   private val q57 = GQuery(
     "q57_ngram_counts",
     (s, d) =>
-      Tables.documents(s, d)
+      fdocs(s, d)
         // toks must be an attribute before the lambda references it —
         // lambda bodies re-evaluate non-attribute expressions per element
         .select(tokens(col("text")).as("toks"))
@@ -89,7 +97,7 @@ object CorpusQueries {
   private val q58 = GQuery(
     "q58_corpus_split",
     (s, d) => {
-      CorpusOps.withSplit(Tables.documents(s, d), "text")
+      CorpusOps.withSplit(fdocs(s, d), "text")
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
@@ -114,7 +122,7 @@ object CorpusQueries {
     * split back out of the bigram string map-side. */
   private def bigramOccurrences(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    Tables.documents(s, d)
+    fdocs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(graft.functions.TextOps.bigrams(col("toks"))).as("bg"))
@@ -173,7 +181,7 @@ object CorpusQueries {
   private val q77 = GQuery(
     "q77_token_zipf",
     (s, d) =>
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .groupBy(length(col("cnt").cast("string")).as("magnitude"))
@@ -209,7 +217,7 @@ object CorpusQueries {
   private val q81 = GQuery(
     "q81_index_probe",
     (s, d) =>
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
         .filter(col("token").isin(PhraseTokens: _*))
         .groupBy(col("doc_id"))
@@ -238,7 +246,7 @@ object CorpusQueries {
   private val q82 = GQuery(
     "q82_bigram_novelty",
     (s, d) => {
-      val db = Tables.documents(s, d)
+      val db = fdocs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.TextOps.bigrams(col("toks")))).as("bg"))
@@ -280,7 +288,7 @@ object CorpusQueries {
   private val q84 = GQuery(
     "q84_cooccurrence_lift",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = fdocs(s, d)
       val dt = docs.select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("token"))
       val dfRel = dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -338,7 +346,7 @@ object CorpusQueries {
   private val q87 = GQuery(
     "q87_bm25",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = fdocs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), size(col("toks")).cast("long").as("len"), col("toks"))
       val stats = docs.agg(count(lit(1)).as("n"), sum(col("len")).as("sumlen"))
@@ -399,7 +407,7 @@ object CorpusQueries {
   private val q99 = GQuery(
     "q99_bpe_pair_stats",
     (s, d) =>
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) >= 2)
         .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
@@ -437,7 +445,7 @@ object CorpusQueries {
     "q101_perplexity_bucket",
     (s, d) => {
       val occ = graft.sources.Io.materialize(
-        Tables.documents(s, d)
+        fdocs(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             explode(graft.functions.TextOps.bigrams(col("toks"))).as("bg")))
@@ -445,7 +453,7 @@ object CorpusQueries {
       val wc = bc
         .withColumn("w1", element_at(split(col("bg"), " "), 1))
         .groupBy(col("w1")).agg(sum(col("cbg")).as("cw1"))
-      val vocab = Tables.documents(s, d)
+      val vocab = fdocs(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
         .agg(countDistinct(col("tok")).as("vv"))
       // materialized: three consumers (two quantile boundaries + the
@@ -518,7 +526,7 @@ object CorpusQueries {
     "q109_kmv_distinct",
     (s, d) => {
       val H = 1.152921504606846976e18 // 2^60 — the hash space size
-      val hashes = Tables.documents(s, d)
+      val hashes = fdocs(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .select(col("source"),
           graft.functions.TextOps.shingleHash60(col("tok")).as("h"))

@@ -24,7 +24,10 @@ object CurationQueries {
     * non-attribute expressions per element — the split must be
     * materialized before any transform references it). */
   private def withToks(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    // fanOut before tokenize: every consumer runs a per-token kernel next
+    graft.sources.Io.fanOut(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
 
   /** Non-distinct token trigrams (repetition counting needs occurrences,
     * unlike TextOps.shingles which dedups for set semantics). */
@@ -61,7 +64,7 @@ object CurationQueries {
   private val q66 = GQuery(
     "q66_doc_chunking",
     (s, d) =>
-      CorpusOps.chunk(Tables.documents(s, d), "doc_id", "text", ChunkLen, Stride)
+      CorpusOps.chunk(Io.fanOut(Tables.documents(s, d)), "doc_id", "text", ChunkLen, Stride)
         .select(col("doc_id"), col("chunk_id"),
           size(col("chunk")).as("n_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
@@ -121,7 +124,7 @@ object CurationQueries {
   private val q68 = GQuery(
     "q68_decontaminate",
     (s, d) => {
-      val docs = CorpusOps.withSplit(Tables.documents(s, d), "text")
+      val docs = CorpusOps.withSplit(Io.fanOut(Tables.documents(s, d)), "text")
       CorpusOps.decontaminate(
         docs.filter(col("split") === "train"),
         docs.filter(col("split") === "test"),
@@ -158,7 +161,7 @@ object CurationQueries {
   private val q69 = GQuery(
     "q69_sequence_pack",
     (s, d) =>
-      CorpusOps.pack(Tables.documents(s, d), "doc_id", "text", SeqLen)
+      CorpusOps.pack(Io.fanOut(Tables.documents(s, d)), "doc_id", "text", SeqLen)
         .groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -245,7 +248,7 @@ object CurationQueries {
     "q72_batch_inference",
     (s, d) => {
       import s.implicits._
-      CorpusOps.scoreDocs(Tables.documents(s, d)
+      CorpusOps.scoreDocs(Io.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("text"))
         .as[(Long, String)])
         .orderBy(col("doc_id"))
@@ -352,7 +355,7 @@ object CurationQueries {
   private val q74 = GQuery(
     "q74_passage_dedup",
     (s, d) =>
-      CorpusOps.repeatedPassages(Tables.documents(s, d), "doc_id", "text",
+      CorpusOps.repeatedPassages(Io.fanOut(Tables.documents(s, d)), "doc_id", "text",
         n = 20, minDocs = 2, sampleCap = 10)
         .withColumn("sample_docs",
           concat_ws(",", transform(col("sample_docs"), x => x.cast("string"))))
@@ -386,9 +389,9 @@ object CurationQueries {
   private val q80 = GQuery(
     "q80_split_leakage",
     (s, d) => {
-      val splits = CorpusOps.withSplit(Tables.documents(s, d), "text")
+      val splits = CorpusOps.withSplit(Io.fanOut(Tables.documents(s, d)), "text")
         .select(col("doc_id"), col("split"))
-      CorpusOps.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+      CorpusOps.minhashCandidates(Io.fanOut(Tables.documents(s, d)), "doc_id", "text",
           shingleN = 5, stopCap = 1000, k = 8, bands = 2)
         .join(splits.toDF("doc1", "split1"), "doc1")
         .join(splits.toDF("doc2", "split2"), "doc2")
@@ -543,7 +546,7 @@ object CurationQueries {
     "q108_curriculum_pack",
     (s, d) => {
       val t = tokens(col("text"))
-      val feats = Io.materialize(Tables.documents(s, d).select(
+      val feats = Io.materialize(Io.fanOut(Tables.documents(s, d)).select(
         col("doc_id"),
         size(t).cast("bigint").as("n_tokens"),
         round(lit(0.5) * (size(array_distinct(t)).cast("double") / size(t)) +
@@ -598,7 +601,7 @@ object CurationQueries {
   private val q113 = GQuery(
     "q113_weighted_sample",
     (s, d) => {
-      val feats = Io.materialize(Tables.documents(s, d)
+      val feats = Io.materialize(Io.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("n_chars").cast("long").as("w"))
         .withColumn("mkey", md5(col("doc_id").cast("string")))
         .withColumn("g", lit("all")))

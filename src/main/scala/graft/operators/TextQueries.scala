@@ -19,13 +19,21 @@ import org.apache.spark.sql.functions._
   * beyond the final presentation sort.
   */
 object TextQueries {
+
+  /** documents rebalanced for per-doc text kernels (Io.fanOut — identity
+    * when the scan is already wide; one-file fixture scans would run the
+    * tokenize/regex/entropy kernels on one core without it). */
+  private def fdocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.sources.Io.fanOut(Tables.documents(s, d))
+
   import TextOps._
 
   /** q27 — tokenize → explode → term frequency, top-20. */
   private val q27 = GQuery(
     "q27_text_analysis",
     (s, d) =>
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
@@ -57,7 +65,7 @@ object TextQueries {
     "q33_lang_id",
     (s, d) => {
       val toks = tokens(col("text"))
-      val scored = Tables.documents(s, d).select(
+      val scored = fdocs(s, d).select(
         (col("doc_id") +: col("lang").as("labeled_lang") +:
           MARKERS.map { case (l, ms) => markerHits(toks, ms).as(s"s_$l") }): _*)
       val pred = MARKERS.map(_._1).foldRight(lit("und"): Column) { (l, rest) =>
@@ -98,7 +106,7 @@ object TextQueries {
     "q34_quality_score",
     (s, d) => {
       val t = tokens(col("text"))
-      Tables.documents(s, d).select(
+      fdocs(s, d).select(
         col("doc_id"),
         size(t).cast("bigint").as("n_tokens"),
         length(col("text")).cast("bigint").as("n_chars"),
@@ -130,7 +138,7 @@ object TextQueries {
   private val q35 = GQuery(
     "q35_token_count",
     (s, d) =>
-      Tables.documents(s, d).select(
+      fdocs(s, d).select(
         col("doc_id"),
         size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("bigint").as("re_tokens"),
@@ -148,7 +156,7 @@ object TextQueries {
   private val q36 = GQuery(
     "q36_fingerprint",
     (s, d) =>
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fingerprint"))
         .withColumn("shard",
           pmod(conv(substring(col("fingerprint"), 1, 4), 16, 10).cast("long"), lit(64)))
@@ -176,7 +184,7 @@ object TextQueries {
   private val q42 = GQuery(
     "q42_tfidf",
     (s, d) =>
-      CorpusOps.tfidfTopTerm(Tables.documents(s, d), "doc_id", "text")
+      CorpusOps.tfidfTopTerm(fdocs(s, d), "doc_id", "text")
         .orderBy(col("doc_id")),
     Some("""WITH tf AS (SELECT doc_id, token, count(*) AS tf
                         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -226,7 +234,7 @@ object TextQueries {
   private val q85 = GQuery(
     "q85_length_quartiles",
     (s, d) => {
-      val lens = Tables.documents(s, d)
+      val lens = fdocs(s, d)
         .select(col("lang"), size(tokens(col("text"))).cast("double").as("nt"))
       Ranks.quantilesCont(lens, "lang", col("nt"),
           Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
@@ -248,7 +256,7 @@ object TextQueries {
   private val q53 = GQuery(
     "q53_posexplode",
     (s, d) =>
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(col("doc_id"), posexplode(tokens(col("text"))))
         .filter(col("pos") < 3)
         .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("col").as("token"))
@@ -269,7 +277,7 @@ object TextQueries {
     "q54_normalize",
     (s, d) => {
       graft.functions.NormalizeText.register(s)
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(col("doc_id"),
           graft.functions.NormalizeText(col("text")).as("nt"))
         .select(col("doc_id"), col("nt.norm_text").as("norm_text"),
@@ -291,7 +299,7 @@ object TextQueries {
   private val q55 = GQuery(
     "q55_profile",
     (s, d) =>
-      Tables.documents(s, d).agg(
+      fdocs(s, d).agg(
         count(lit(1)).as("n_rows"),
         count(col("text")).as("n_text"),
         countDistinct(col("lang")).as("n_langs"),
@@ -352,7 +360,7 @@ object TextQueries {
     GQuery(
       "q89_pii_redact",
       (s, d) =>
-        Tables.documents(s, d)
+        fdocs(s, d)
           .select(col("doc_id"),
             concat(col("text"), lit(" contact user"), col("doc_id"),
               lit("@mail.example.com from 10."), pmod(col("doc_id"), lit(200)),
@@ -397,7 +405,7 @@ object TextQueries {
     "q98_char_entropy",
     (s, d) => {
       graft.functions.CharEntropy.register(s)
-      Tables.documents(s, d)
+      fdocs(s, d)
         .select(col("doc_id"), graft.functions.CharEntropy(col("text")).as("e"))
         .select(col("doc_id"), col("e.n_distinct_chars").as("n_distinct_chars"),
           round(col("e.entropy"), 4).as("entropy"))

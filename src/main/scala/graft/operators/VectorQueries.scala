@@ -32,6 +32,13 @@ object VectorQueries {
 
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** emb() rebalanced for per-vector kernels (Io.fanOut — identity when
+    * the scan is already wide; at fixture scale the one-file embeddings
+    * scan would otherwise run every O(dim)-per-row kernel on one core).
+    * Metadata-only consumers (count()) stay on the raw scan. */
+  private def femb(s: SparkSession, d: String): DataFrame =
+    graft.sources.Io.fanOut(emb(s, d))
+
   /** The fixed query vector (vec_id = 0), broadcast. */
   private def queryVec(s: SparkSession, d: String): DataFrame =
     emb(s, d).filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -51,7 +58,7 @@ object VectorQueries {
     "q26_similarity_topk",
     (s, d) => {
       CosineSim.register(s)
-      emb(s, d).crossJoin(broadcast(queryVec(s, d)))
+      femb(s, d).crossJoin(broadcast(queryVec(s, d)))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), round(CosineSim(col("embedding"), col("qv")), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -121,7 +128,7 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val centsArr = cents
         .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      val assigned = emb(s, d).crossJoin(broadcast(centsArr))
+      val assigned = femb(s, d).crossJoin(broadcast(centsArr))
         .withColumn("best", array_max(transform(col("cents"), c =>
           struct(round(CosineSim(col("embedding"), c.getField("cvec")), 6).as("csim"),
             (-c.getField("cid")).as("ncid")))))
@@ -215,7 +222,7 @@ object VectorQueries {
       // different band widths at a power-of-two boundary (ADVICE r7).
       val bits = Geometry.adaptiveBits(n, 3, LshBits, 24)
       graft.functions.LshBands.register(s, LshBandCount, bits, LshDim)
-      val pairs = emb(s, d)
+      val pairs = femb(s, d)
         .select(col("vec_id"),
           posexplode(graft.functions.LshBands(col("embedding"))).as(Seq("band", "bh")))
         .groupBy(col("band"), col("bh"))
@@ -284,7 +291,7 @@ object VectorQueries {
     "q59_embedding_quantize",
     (s, d) => {
       val m = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      emb(s, d)
+      femb(s, d)
         .withColumn("m", m)
         .select(col("vec_id"),
           when(col("m") > 0, round(col("m"), 6)).as("scale"),
@@ -327,7 +334,7 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val centsArr = cents
         .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      emb(s, d).filter(col("vec_id") >= b)
+      femb(s, d).filter(col("vec_id") >= b)
         .crossJoin(broadcast(centsArr))
         .withColumn("best", array_max(transform(col("cents"), c =>
           struct(round(CosineSim(col("embedding"), c.getField("cvec")), 6).as("csim"),
@@ -399,7 +406,7 @@ object VectorQueries {
               (-c.getField("cid")).as("ncid")))))
           .select(col("vec_id"), col("embedding"),
             (-col("best").getField("ncid")).as("cid"))
-      val corpus = assign(emb(s, d))
+      val corpus = assign(femb(s, d))
       val queries = assign(emb(s, d).filter(col("vec_id") % 50 === 0))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cid"))
       val w = org.apache.spark.sql.expressions.Window
@@ -462,7 +469,7 @@ object VectorQueries {
     "q102_kmeans",
     (s, d) => {
       val dim = 64
-      val qvecs = emb(s, d).select(col("vec_id"),
+      val qvecs = femb(s, d).select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
       var cents: Seq[(Long, IndexedSeq[Long])] =
@@ -569,7 +576,7 @@ object VectorQueries {
   private val q107 = GQuery(
     "q107_embedding_audit",
     (s, d) => {
-      val qvecs = emb(s, d).select(col("vec_id"), col("label"),
+      val qvecs = femb(s, d).select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
       val cent = qvecs
@@ -637,7 +644,7 @@ object VectorQueries {
     "q120_dim_variance",
     (s, d) => {
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      emb(s, d)
+      graft.sources.Io.fanOut(emb(s, d).select(col("embedding")))
         .select(posexplode(transform(col("embedding"),
           x => round(x.cast("double") * 1000, 0).cast("long"))).as(Seq("pos", "v")))
         .groupBy((col("pos") + 1).as("dim"))

@@ -51,6 +51,27 @@ object Io {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** Rebalance a slim projection ahead of a CPU-heavy map-side kernel
+    * (explode chains, per-row text/vector hashing). A small-file scan
+    * plans one task per file — at fixture scale that runs a 32× explode+
+    * hash chain on ONE core while the rest idle (q118 measured 5.0 s
+    * serial vs ~0.8 s fanned at sf0.1). CONDITIONAL: when the planned
+    * scan already meets the session's shuffle width (every production
+    * many-file scan), this is the identity — no shuffle, no plan change;
+    * only a parallelism-starved scan pays one round-robin shuffle of the
+    * slim projection handed in (keep it to the columns the kernel
+    * needs). The partition probe reads the PLANNED file-scan partition
+    * count — pass a scan-level projection (scan/project/filter only):
+    * planning a subtree with upstream exchanges would materialize query
+    * stages under AQE just to count partitions. Determinism: Spark sorts
+    * partitions before round-robin redistribution
+    * (sortBeforeRepartition), and every query in the registry is
+    * partitioning-independent by contract anyway. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Read CSV with an enforced schema + quarantine column. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
