@@ -466,12 +466,10 @@ object CorpusQueries {
         .groupBy(col("doc_id"))
         .agg(round(-avg(log2((col("cbg") + lit(1.0)) / (col("cw1") + col("vv")))), 6)
           .as("nll")))
-      // two 1-row relations; the constant "g" key would fold a key-join
-      // into an unbroadcast CartesianProduct, so cross them broadcast
-      val b = Ranks.quantileCont(scores.withColumn("g", lit(1)), "g",
-          col("nll"), 1.0 / 3, "b1").drop("g")
-        .crossJoin(broadcast(Ranks.quantileCont(scores.withColumn("g", lit(1)),
-          "g", col("nll"), 2.0 / 3, "b2").drop("g")))
+      // both tercile boundaries from ONE rank pass (quantilesCont —
+      // value-identical to two single-p calls, half the Ranks stages)
+      val b = Ranks.quantilesCont(scores.withColumn("g", lit(1)), "g",
+        col("nll"), Seq(1.0 / 3 -> "b1", 2.0 / 3 -> "b2")).drop("g")
       scores.crossJoin(broadcast(b))
         .select(col("doc_id"), col("nll"),
           when(col("nll") <= col("b1"), lit("head"))
@@ -560,6 +558,55 @@ object CorpusQueries {
            FROM e ORDER BY source""")
   )
 
+  /** q123 — EXACT heavy hitters over the token stream via the classic
+    * two-pass sketch-then-recount algorithm (round 7): tokens whose
+    * frequency exceeds n/50 of the corpus, with exact counts and
+    * basis-point share. The vocabulary-scale question q77 answers in
+    * aggregate (Zipf magnitudes) answered at the KEY level — and the
+    * shape every "top terms / stopword list / hot key" audit takes when
+    * the key space is too large to groupBy outright.
+    *
+    * Pass 1 is graft.functions.MisraGries (capacity 64): one bounded
+    * O(m)-state summary per partition, merged under the Agarwal
+    * mergeable-summaries rule inside a single aggregate — guarantees
+    * every key with true share > 1/65 survives as a candidate, for ANY
+    * input order or partitioning. Pass 2 recounts ONLY the <= 64
+    * candidates exactly (broadcast semi-join probe + partial-combine
+    * count) and applies the n/50 threshold in exact integer arithmetic —
+    * so the output is the exact heavy-hitter set even though the sketch
+    * pass is order-sensitive; the oracle brute-forces GROUP BY + HAVING.
+    *
+    * Scale notes: pass 1 shuffles m-entry summaries (one per partition),
+    * pass 2 shuffles <= 64 candidate groups after map-side combine —
+    * neither is vocabulary-sized. The full groupBy the oracle runs would
+    * shuffle |vocab| groups; the two-pass plan replaces that with O(m)
+    * state, the point of the algorithm at 10^9-key spaces. */
+  private val q123 = GQuery(
+    "q123_heavy_hitters",
+    (s, d) => {
+      val toks = fdocs(s, d).select(explode(tokens(col("text"))).as("token"))
+      val cand = toks
+        .agg(graft.functions.MisraGries(64)(col("token")).as("mg"))
+        .select(explode(map_keys(col("mg"))).as("token"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cand), "token")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 50 > col("n_total"))
+        .select(col("token"), col("cnt"),
+          expr("(cnt * 10000) div n_total").as("share_bp"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            n AS (SELECT count(*) AS n_total FROM t),
+            c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
+            SELECT token, cnt,
+                   CAST((cnt * 10000) // n_total AS BIGINT) AS share_bp
+            FROM c, n WHERE cnt * 50 > n_total
+            ORDER BY cnt DESC, token""")
+  )
+
   val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84, q87,
-    q99, q101, q109)
+    q99, q101, q109, q123)
 }

@@ -665,6 +665,69 @@ object CurationQueries {
             FROM rk GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** q124 — FRACTIONAL benchmark contamination (round 7): per training
+    * document, what fraction of its distinct 5-token shingles appears in
+    * the held-out test split, with a severity bucket. q68 answers the
+    * binary question (>= 1 shared shingle — the removal list); real
+    * decontamination policies (n-gram-overlap thresholds à la GPT-3
+    * appendix / Dolma) act on the OVERLAP FRACTION: a 1-shingle graze on
+    * a 500-shingle document is noise, a 30% containment is a leak. This
+    * is the relation such a thresholded policy consumes.
+    *
+    * Determinism: frac = n_shared/n_shingles as one int64/int64 double
+    * division (identical cross-engine) rounded to 6; severity thresholds
+    * compare in exact integer arithmetic (n_shared*10 < n_shingles), so
+    * no float ever gates a row.
+    *
+    * Scale notes: rides exactly q68's plan shape — distinct test-side
+    * shingle set broadcast, train side one map-side 8-byte-key probe —
+    * plus one per-doc total (partial-combine count) and a doc-keyed left
+    * join; nothing new shuffles at corpus scale. */
+  private val q124 = GQuery(
+    "q124_contamination_frac",
+    (s, d) => {
+      val docs = CorpusOps.withSplit(Io.fanOut(Tables.documents(s, d)), "text")
+      val sh = CorpusOps.shingleHashes(
+        docs.filter(col("split") === "train"), "doc_id", "text", n = 5)
+      val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val bench = CorpusOps.benchmarkShingleSet(
+        docs.filter(col("split") === "test"), "doc_id", "text", n = 5)
+      val shared = sh.join(broadcast(bench), "sgh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      totals.join(shared, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          round(col("n_shared") / col("n_shingles"), 6).as("frac"),
+          when(col("n_shared") === 0, "clean")
+            .when(col("n_shared") * 10 < col("n_shingles"), "minor")
+            .otherwise("major").as("severity"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                              CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS h
+                       FROM documents),
+            sh AS (SELECT doc_id, h,
+                          CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS sgh
+                   FROM (SELECT doc_id, h,
+                                unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                                       i -> array_to_string(toks[i : i + 4], ' ')))) AS sg
+                         FROM d WHERE len(toks) >= 5)),
+            test AS (SELECT DISTINCT sgh FROM sh WHERE h >= 90),
+            tot AS (SELECT doc_id, count(*) AS n_shingles
+                    FROM sh WHERE h < 80 GROUP BY 1),
+            shr AS (SELECT s.doc_id, count(*) AS n_shared
+                    FROM sh s JOIN test t USING (sgh)
+                    WHERE s.h < 80 GROUP BY 1)
+            SELECT tot.doc_id, n_shingles,
+                   coalesce(n_shared, 0) AS n_shared,
+                   round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) AS frac,
+                   CASE WHEN coalesce(n_shared, 0) = 0 THEN 'clean'
+                        WHEN coalesce(n_shared, 0) * 10 < n_shingles THEN 'minor'
+                        ELSE 'major' END AS severity
+            FROM tot LEFT JOIN shr USING (doc_id)
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[GQuery] = Seq(q66, q67, q68, q69, q70, q72, q73, q74, q80,
-    q83, q95, q108, q113, q121)
+    q83, q95, q108, q113, q121, q124)
 }

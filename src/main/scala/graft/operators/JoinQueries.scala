@@ -324,6 +324,70 @@ object JoinQueries {
             FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 20""")
   )
 
+  /** q122 — approximate STRING self-join (round 7): pairs of distinct
+    * part names within Levenshtein distance 2, with each name's row
+    * count — record-linkage/entity-resolution over dirty catalogs, the
+    * string-similarity join the shingle family (set semantics) cannot
+    * express because edit distance sees character ORDER.
+    *
+    * Mechanics: symmetric-delete blocking (the FastSS/SymSpell scheme —
+    * EXACT for Levenshtein: if lev(a,b) <= d, deleting <= d chars from
+    * each reaches a common string, since each substitution deletes one
+    * char from both sides and each insert/delete deletes from one).
+    * Every distinct name emits its <= 2-deletion neighborhood
+    * (~1 + L + L² keys, L = name length); candidate pairs form INSIDE
+    * variant buckets (orderedPairs — never a name×name self-join); exact
+    * `levenshtein` then verifies <= 2. The oracle brute-forces the
+    * distinct-name relation — tractable because |distinct names| ≪ rows.
+    *
+    * Scale notes: works over the DISTINCT-name relation (the groupBy
+    * collapses row volume first; name volume, not row volume, drives
+    * cost). The variant explode is ~L² 8-char keys per name; bucket
+    * sizes are the count of names within edit distance <= 4 of the key —
+    * real near-duplicate clusters, not corpus-sized (mass-identical
+    * names collapse in the distinct step / q24's exact-dedup class). The
+    * 256 bucket cap is a hot-spot alarm far above the fixture's maximum
+    * occupancy, not a scaling mechanism. */
+  private val q122 = GQuery(
+    "q122_fuzzy_join",
+    (s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("nm")).agg(count(lit(1)).as("n_parts"))
+      val vars = names
+        .withColumn("v1", expr(
+          "transform(sequence(1, length(nm)), i -> concat(substring(nm, 1, i-1), substring(nm, i+1)))"))
+        .withColumn("vk", array_distinct(concat(
+          array(col("nm")), col("v1"),
+          flatten(expr("transform(v1, v -> transform(sequence(1, length(v)), " +
+            "i -> concat(substring(v, 1, i-1), substring(v, i+1))))")))))
+        .select(col("nm"), explode(col("vk")).as("key"))
+      val pairs = vars
+        .groupBy(col("key"))
+        .agg(sort_array(collect_set(col("nm"))).as("nms"))
+        .filter(size(col("nms")).between(2, 256))
+        .select(explode(graft.functions.TextOps.orderedPairs(col("nms"))).as("p"))
+        .select(col("p.d1").as("name1"), col("p.d2").as("name2"))
+        .distinct()
+        .withColumn("dist", levenshtein(col("name1"), col("name2")))
+        .filter(col("dist") <= 2)
+      pairs
+        .join(names.select(col("nm").as("name1"), col("n_parts").as("n_parts1")), "name1")
+        .join(names.select(col("nm").as("name2"), col("n_parts").as("n_parts2")), "name2")
+        .select(col("name1"), col("name2"), col("dist"),
+          col("n_parts1"), col("n_parts2"))
+        .orderBy(col("name1"), col("name2"))
+    },
+    Some("""WITH names AS (SELECT p_name, count(*) AS n_parts
+                           FROM part GROUP BY 1)
+            SELECT a.p_name AS name1, b.p_name AS name2,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+                   a.n_parts AS n_parts1, b.n_parts AS n_parts2
+            FROM names a JOIN names b
+              ON a.p_name < b.p_name
+             AND levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY name1, name2""")
+  )
+
   val all: Seq[GQuery] = Seq(q10, q11, q12, q13, q14, q15, q48, q49, q64,
-    q90, q96)
+    q90, q96, q122)
 }

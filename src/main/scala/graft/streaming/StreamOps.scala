@@ -717,4 +717,20 @@ object StreamOps {
           }
       }
   }
+
+  /** s18 — streaming hot-key monitor (round 7): a running Misra–Gries
+    * frequent-items summary over a token stream, the streaming twin of
+    * q123's candidate pass. State is ONE m-entry aggregation buffer
+    * (graft.functions.MisraGries — the same mergeable summary, so the
+    * per-batch partial merges under the Agarwal rule), BOUNDED AT m BY
+    * CONSTRUCTION no matter how much history streams through — this is
+    * the aggregate for "which keys are hot right now" when the key space
+    * is unbounded and a per-key count would grow state forever.
+    * Complete-mode snapshot carries the q123 guarantee at every cut: any
+    * key whose share of the stream-so-far exceeds 1/(m+1) is in the map
+    * (ScalaTest asserts the superset against batch exact counts). */
+  def heavyHittersStream(docs: DataFrame, textCol: String, m: Int): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .agg(graft.functions.MisraGries(m)(col("token")).as("mg"))
 }

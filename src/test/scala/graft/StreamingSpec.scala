@@ -304,6 +304,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s18 streaming hot-key monitor keeps every guaranteed-heavy token at each cut") {
+    val m = 15
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.heavyHittersStream(
+      input.toDF().toDF("doc_id", "text"), "text", m)
+      .writeStream.format("memory").queryName("s18_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val docs = graft.sources.Tables.documents(spark, sfSmoke)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      def check(prefix: Array[(Long, String)]): Unit = {
+        val snap = spark.table("s18_out")
+          .select(explode(col("mg")).as(Seq("k", "cnt")))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(snap.size <= m, "state exceeded capacity")
+        val toks = prefix.flatMap(_._2.split(" "))
+        val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        val n = toks.length
+        exact.foreach { case (k, c) =>
+          if (c > n / (m + 1))
+            assert(snap.contains(k), s"guaranteed-heavy '$k' ($c of $n) missing")
+        }
+      }
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      check(b1)
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      check(docs)
+    } finally q.stop()
+  }
+
   test("s08 streaming decontamination routes exactly the batch q68 doc set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
     // static side: benchmark shingles of the sf0.001 test split

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Value invariants for the round-7 wave-7 operators (q122-q124) and the
+  * MisraGries aggregate: adversarial hand-built streams with analytically
+  * known answers, plus registry-level cross-checks on the smoke fixture.
+  */
+class Wave7Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, sfSmoke)
+
+  // --- MisraGries: the mergeable-summary guarantees -------------------
+
+  test("MisraGries: every key above n/(m+1) survives, under any partitioning") {
+    // skewed stream: 'hot' 400, 'warm' 80, 60 cold keys x 5 = 300; n=780.
+    // m=7 => bound n/8 = 97.5: 'hot' MUST survive; cold keys (5) must
+    // never out-survive it. Repartition shuffles arbitrarily: the
+    // candidate SET may vary, the guarantee may not.
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(80)("warm") ++
+      (0 until 60).flatMap(i => Seq.fill(5)(s"cold$i"))
+    for (parts <- Seq(1, 3, 16)) {
+      val df = rows.toDF("k").repartition(parts)
+      val mg = df.agg(graft.functions.MisraGries(7)(col("k")).as("mg"))
+        .select(explode(map_keys(col("mg"))).as("k")).as[String].collect().toSet
+      assert(mg.contains("hot"), s"parts=$parts lost a guaranteed heavy key")
+      assert(mg.size <= 7, s"parts=$parts summary exceeded capacity")
+    }
+  }
+
+  test("MisraGries: counts are lower bounds with undercount <= n/(m+1)") {
+    val rows = Seq.fill(300)("a") ++ Seq.fill(150)("b") ++
+      (0 until 50).flatMap(i => Seq.fill(3)(s"z$i"))
+    val n = rows.length
+    val m = 9
+    val mg = rows.toDF("k").repartition(4)
+      .agg(graft.functions.MisraGries(m)(col("k")).as("mg"))
+      .select(explode(col("mg")).as(Seq("k", "cnt")))
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    mg.foreach { case (k, c) =>
+      assert(c <= exact(k), s"$k over-counted: $c > ${exact(k)}")
+      assert(exact(k) - c <= n / (m + 1),
+        s"$k undercount ${exact(k) - c} breaks the n/(m+1)=${n / (m + 1)} bound")
+    }
+  }
+
+  test("q123: output is EXACTLY the brute-force heavy-hitter set") {
+    val got = run("q123_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val want = toks.groupBy("token").count()
+      .filter(col("count") * 50 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (-t._2, t._1)).toSeq
+    assert(got == want)
+  }
+
+  // --- q122: symmetric-delete blocking is exact for lev <= 2 ----------
+
+  test("q122: pairs equal the brute-force edit-distance join") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = spark.read.parquet(s"$sfSmoke/part.parquet")
+      .select("p_name").distinct().as[String].collect().sorted
+    val want = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      d = lev(names(i), names(j)) if d <= 2
+    } yield (names(i), names(j), d)).toSet
+    val got = run("q122_fuzzy_join").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("q122: planted typo cluster is fully recovered") {
+    // kitten/sitten (1 sub), kitten/kitte (1 del), kitten/skitten (1 ins),
+    // kitten/sittin (2) — banana is beyond distance 2 from all of them
+    val parts = Seq("kitten", "sitten", "kitte", "skitten", "sittin",
+      "banana").zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+      .toDF("p_partkey", "p_name")
+    val dir = java.nio.file.Files.createTempDirectory("w7fuzzy").toString
+    parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q122_fuzzy_join")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.forall { case (a, b) => a != "banana" && b != "banana" })
+    assert(got.contains(("kitten", "sitten")))
+    assert(got.contains(("kitte", "kitten")))
+    assert(got.contains(("kitten", "skitten")))
+    assert(got.contains(("kitten", "sittin")))
+  }
+
+  // --- q124: fractional contamination consistency ---------------------
+
+  test("q124: agrees with q68's binary flag and its own arithmetic") {
+    val rows = run("q124_contamination_frac").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, shared, frac, sev) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))
+      assert(shared <= ns)
+      assert(math.abs(frac - shared.toDouble / ns) < 1e-6)
+      val wantSev = if (shared == 0) "clean"
+        else if (shared * 10 < ns) "minor" else "major"
+      assert(sev == wantSev)
+    }
+    // cross-query: q68's flagged set == q124's nonzero-overlap set
+    val flagged = run("q68_decontaminate").collect().map(_.getLong(0)).toSet
+    val nonzero = rows.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    assert(flagged == nonzero)
+  }
+}
