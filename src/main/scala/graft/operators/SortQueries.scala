@@ -224,5 +224,71 @@ object SortQueries {
             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""")
   )
 
-  val all: Seq[GQuery] = Seq(q01, q03, q04, q18, q61, q71)
+  /** q125 — Z-ORDER layout audit (round 7 wave 7): bucket lineitem by
+    * the Morton (bit-interleaved) code of (l_partkey, l_suppkey) and
+    * report each bucket's min/max span in BOTH dimensions, side by side
+    * with a plain partkey-linear layout. This is the write-time
+    * clustering decision at 100 TB: parquet/lakehouse scan pruning works
+    * off per-file min/max stats, and a Z-ordered layout bounds every
+    * file's span in EVERY interleaved dimension (with 64 buckets, ~3
+    * high bits of each dim → ~1/8 of each range per bucket), so
+    * predicates on either column skip ~7/8 of the files — where the
+    * linear layout prunes only its own sort key and leaves the other
+    * dimension's span at full width (the audit's two halves show exactly
+    * that). Pair with Io.writePartitioned/compact to realize the layout;
+    * this query is the measurable before/after evidence.
+    *
+    * Mechanics (all map-only + one 1-row broadcast): keys normalize to a
+    * 10-bit grid via exact integer division by the broadcast max, the
+    * 20-bit Morton code is a STATICALLY UNROLLED bit-interleave (10
+    * shift/mask terms, codegen-friendly — no lambda, no window; bucket =
+    * top 6 Morton bits), and the audit is a 128-group aggregate. No
+    * global sort, no data-sized window — the layout assignment is
+    * embarrassingly parallel, which is what makes it writable at 100 TB. */
+  private val q125 = GQuery(
+    "q125_zorder_layout",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val m = li.agg(max(col("l_partkey")).as("pm"), max(col("l_suppkey")).as("sm"))
+      val q = li.select(col("l_partkey"), col("l_suppkey"))
+        .crossJoin(broadcast(m))
+        .withColumn("pq", expr("l_partkey * 1024 div (pm + 1)"))
+        .withColumn("sq", expr("l_suppkey * 1024 div (sm + 1)"))
+      val zv = (0 until 10).map(i =>
+        shiftleft(shiftright(col("pq"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("sq"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .reduce(_ + _)
+      val zorder = q.withColumn("layout", lit("zorder"))
+        .withColumn("bucket", shiftright(zv, 14))
+      val linear = q.withColumn("layout", lit("linear"))
+        .withColumn("bucket", shiftright(col("pq"), 4))
+      zorder.unionByName(linear)
+        .groupBy(col("layout"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+        .orderBy(col("layout"), col("bucket"))
+    },
+    Some("""WITH m AS (SELECT max(l_partkey) AS pm, max(l_suppkey) AS sm
+                       FROM lineitem),
+            q AS (SELECT l_partkey, l_suppkey,
+                         l_partkey * 1024 // (pm + 1) AS pq,
+                         l_suppkey * 1024 // (sm + 1) AS sq
+                  FROM lineitem, m),
+            z AS (SELECT l_partkey, l_suppkey, pq, sq,
+                    CAST((SELECT sum((((pq >> i.i) & 1) << (2*i.i))
+                                   + (((sq >> i.i) & 1) << (2*i.i + 1)))
+                          FROM range(0, 10) i(i)) AS BIGINT) AS zv
+                  FROM q),
+            b AS (SELECT 'zorder' AS layout, zv >> 14 AS bucket,
+                         l_partkey, l_suppkey FROM z
+                  UNION ALL
+                  SELECT 'linear', pq >> 4, l_partkey, l_suppkey FROM q)
+            SELECT layout, bucket, count(*) AS n,
+                   min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+                   min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  val all: Seq[GQuery] = Seq(q01, q03, q04, q18, q61, q71, q125)
 }

@@ -168,6 +168,26 @@ class ExtensionsIoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/pcompacted").count() == docs.count())
   }
 
+  test("Io.fanOut: rebalances a starved scan, identity on a wide input") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    spark.range(10000).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val want = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scan = spark.read.parquet(dir).select(col("id"))
+    assert(scan.rdd.getNumPartitions < want, "fixture scan should be starved")
+    // starved scan -> one round-robin exchange to the session width
+    val fanned = graft.sources.Io.fanOut(scan)
+    assert(fanned.rdd.getNumPartitions == want)
+    assert(fanned.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
+    // already-wide input -> IDENTITY: same object, no exchange added
+    val wide = scan.repartition(want)
+    assert(graft.sources.Io.fanOut(wide) eq wide)
+    // values untouched either way
+    assert(fanned.agg(org.apache.spark.sql.functions.sum(col("id"))).head.getLong(0)
+      == 10000L * 9999 / 2)
+  }
+
   test("Io.materialize reliable mode: one config flips CC and Ranks to checkpoint()") {
     import spark.implicits._
     // The r3 verdict's one-switch ask: every lineage-truncation site goes

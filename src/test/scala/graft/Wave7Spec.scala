@@ -98,6 +98,34 @@ class Wave7Spec extends SparkSpec {
     assert(got.contains(("kitten", "sittin")))
   }
 
+  // --- q125: the z-order layout bounds BOTH dimension spans -----------
+
+  test("q125: zorder buckets bound both dims; linear leaves suppkey at full width") {
+    val li = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+    val (pm, sm) = (li.agg(max("l_partkey")).head.getLong(0),
+      li.agg(max("l_suppkey")).head.getLong(0))
+    val rows = run("q125_zorder_layout").collect()
+    // with 64 buckets = 3 high Morton bits per dim, a bucket spans < 1/8
+    // of each normalized range (+1 normalization-grid cell of slack)
+    def cap(mx: Long) = (mx + 1) / 8 + (mx + 1) / 1024 + 1
+    val z = rows.filter(_.getString(0) == "zorder")
+    assert(z.nonEmpty)
+    z.foreach { r =>
+      assert(r.getLong(4) - r.getLong(3) <= cap(pm),
+        s"zorder bucket ${r.getLong(1)} p-span too wide")
+      assert(r.getLong(6) - r.getLong(5) <= cap(sm),
+        s"zorder bucket ${r.getLong(1)} s-span too wide")
+    }
+    // the partkey-linear layout bounds partkey the same way...
+    val lin = rows.filter(_.getString(0) == "linear")
+    lin.foreach(r => assert(r.getLong(4) - r.getLong(3) <= cap(pm) * 2))
+    // ...but cannot bound suppkey: some bucket spans >half the range
+    assert(lin.exists(r => r.getLong(6) - r.getLong(5) > (sm + 1) / 2))
+    // both layouts partition the table
+    val n = li.count()
+    assert(z.map(_.getLong(2)).sum == n && lin.map(_.getLong(2)).sum == n)
+  }
+
   // --- q124: fractional contamination consistency ---------------------
 
   test("q124: agrees with q68's binary flag and its own arithmetic") {
