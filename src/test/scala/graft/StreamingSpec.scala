@@ -917,6 +917,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("s18 Misra-Gries state survives checkpoint restart; replay is a no-op") {
+    // the real target: MgBuf (two parallel arrays) round-tripping through
+    // the state store across a crash — a broken buffer encoder would
+    // corrupt counts on restore, and a replayed batch against restored
+    // state must reproduce the pre-crash snapshot bit-for-bit
+    val m = 15
+    val dir = java.nio.file.Files.createTempDirectory("s18_crash").toString
+    val in = s"$dir/in"
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val slices = docs.grouped(docs.length / 3 + 1).toSeq
+    def feed(i: Int): Unit =
+      feedFile(slices(i).toSeq.toDF("doc_id", "text"), in, s"f$i")
+    def start(out: String) = updateSink(StreamOps.heavyHittersStream(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(in), "text", m), out)
+    def snap(out: String, batch: Long): Map[String, Long] =
+      spark.read.parquet(s"$out/rows").filter(col("_batch") === batch)
+        .select(explode(col("mg")).as(Seq("k", "cnt")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    feed(0)
+    val q1 = start(s"$dir/out")
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    val preCrash = snap(s"$dir/out", 1)
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start(s"$dir/out")
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(snap(s"$dir/out", 1) == preCrash, "replayed batch diverged")
+    // final snapshot: capacity bound + the heavy-hitter guarantee over
+    // EVERYTHING fed, crash notwithstanding
+    val fin = snap(s"$dir/out", 2)
+    assert(fin.size <= m)
+    val toks = docs.flatMap(_._2.split(" "))
+    toks.groupBy(identity).view.mapValues(_.size.toLong).foreach {
+      case (k, c) => if (c > toks.length / (m + 1))
+        assert(fin.contains(k), s"guaranteed-heavy '$k' lost across restart")
+    }
+    // and a no-crash control over the same three files lands on the
+    // exact same summary
+    val q3 = start(s"$dir/ctrl")
+    try q3.processAllAvailable() finally q3.stop()
+    assert(snap(s"$dir/ctrl", 2) == fin, "crash run diverged from control")
+  }
+
   test("s15 evaluates a published stop list ONCE, not per micro-batch") {
     // the "zero per-batch corpus work" contract: incrementalDedupStream
     // materializes the captured stop-shingle DataFrame before start();
