@@ -607,6 +607,109 @@ object CorpusQueries {
             ORDER BY cnt DESC, token""")
   )
 
+  /** The BPE merge-application rewrite, applied `n` times — shared
+    * verbatim between the engine and the oracle so both sides run the
+    * SAME algorithm: `replace` merges non-overlapping occurrences
+    * left-to-right, and because a replaced occurrence consumes its
+    * trailing boundary space, immediately-adjacent repeats of the pair
+    * need another pass; three passes merge every run up to length 2^3,
+    * far beyond any natural word. %s is the column expression. */
+  private def bpeRewriteSql(pair: String, n: Int): String = {
+    val merged = pair.replace(" ", "")
+    (1 to n).foldLeft("%s")((acc, _) => s"replace($acc, ' $pair ', ' $merged ')")
+  }
+
+  /** q126 — BPE tokenizer TRAINING, three merge rounds end to end
+    * (round 7 wave 7): the Sennrich et al. 2016 loop that q99 showed one
+    * static round of — weighted adjacent-pair counts over the
+    * word-frequency relation, argmax becomes the next merge rule, the
+    * rule rewrites every word's symbol sequence, and the merged symbol
+    * re-enters the pair alphabet for the next round. Output: the three
+    * learned merges with their winning weighted counts — the artifact a
+    * tokenizer ships.
+    *
+    * Scale notes: the corpus collapses to the DISTINCT-word frequency
+    * relation up front (pair counting is freq-weighted — all downstream
+    * cost tracks vocabulary, not corpus size); each round is one
+    * map-side pair explode + partial-combine sum + a 1-ROW argmax
+    * collect (driver state = k merge-rule strings, the q102 bounded-
+    * scalar pattern), and merge application is a map-only string
+    * rewrite. Rounds materialize (Io.materialize) so round r+1 scans
+    * round r's relation instead of re-deriving the chain.
+    *
+    * Determinism: counts are exact integers; the argmax tie-breaks
+    * (cnt DESC, pair ASC); both engines apply the IDENTICAL
+    * triple-replace rewrite (bpeRewriteSql), so symbol sequences stay
+    * bit-equal round for round. */
+  private val q126 = GQuery(
+    "q126_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      val words = fdocs(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+          .as("sym"), col("freq"))
+      var cur = graft.sources.Io.materialize(words)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      var r = 0
+      var exhausted = false
+      while (r < 3 && !exhausted) {
+        r += 1
+        val top = cur
+          .select(col("freq"), split(expr("trim(sym)"), " ").as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // fully merged corpus: the
+        // oracle's mN CTE is likewise empty, so both sides stop short
+        else {
+          val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+          // fixture alphabet is alphanumeric; the rewrite interpolates the
+          // pair into SQL text, so fail fast on anything exotic
+          require(pair.matches("[A-Za-z0-9 ]+"), s"unexpected pair alphabet: '$pair'")
+          merges += ((r, pair, cnt))
+          cur = graft.sources.Io.materialize(
+            cur.withColumn("sym", expr(bpeRewriteSql(pair, 3).format("sym"))))
+        }
+      }
+      merges.toSeq.toDF("merge_no", "pair", "cnt").orderBy(col("merge_no"))
+    },
+    {
+      // unrolled 3-round oracle: sN applies mN's merge to sN-1 with the
+      // SAME triple-replace; DuckDB's 1-based list slicing splits chars
+      def round(i: Int): String = {
+        val prev = s"s${i - 1}"
+        s"""p$i AS (SELECT unnest([a[i] || ' ' || a[i + 1] FOR i IN range(1, len(a))]) AS pair,
+                           freq
+                    FROM (SELECT string_split(trim(sym), ' ') AS a, freq FROM $prev)),
+            m$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
+                    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+            s$i AS (SELECT ${"replace(" * 3}sym,
+                             ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+                             ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+                             ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS sym,
+                           freq
+                    FROM $prev, m$i)"""
+      }
+      Some(s"""WITH wf AS (SELECT w, count(*) AS freq
+                           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                                 FROM documents) GROUP BY w),
+               s0 AS (SELECT ' ' || array_to_string([w[i:i] FOR i IN range(1, len(w) + 1)], ' ')
+                               || ' ' AS sym, freq
+                      FROM wf),
+               ${round(1)}, ${round(2)}, ${round(3)}
+               SELECT CAST(1 AS INTEGER) AS merge_no, pair, cnt FROM m1
+               UNION ALL SELECT CAST(2 AS INTEGER), pair, cnt FROM m2
+               UNION ALL SELECT CAST(3 AS INTEGER), pair, cnt FROM m3
+               ORDER BY merge_no""")
+    }
+  )
+
   val all: Seq[GQuery] = Seq(q56, q57, q58, q75, q77, q81, q82, q84, q87,
-    q99, q101, q109, q123)
+    q99, q101, q109, q123, q126)
 }

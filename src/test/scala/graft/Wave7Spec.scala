@@ -126,6 +126,32 @@ class Wave7Spec extends SparkSpec {
     assert(z.map(_.getLong(2)).sum == n && lin.map(_.getLong(2)).sum == n)
   }
 
+  // --- q126: BPE training learns the analytically-known merges --------
+
+  private def bpeOn(text: String): Seq[(Int, String, Long)] = {
+    val dir = java.nio.file.Files.createTempDirectory("w7bpe").toString
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("q126_bpe_train")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+  }
+
+  test("q126: merge order and weighted counts match hand-derived BPE") {
+    // 'xyz' x3 + 'xyq': pairs x-y:4 y-z:3 y-q:1 -> merge1 (x y, 4);
+    // then xy-z:3 beats xy-q:1 -> merge2 (xy z, 3); 'xyz' is now one
+    // symbol, leaving xy-q -> merge3 (xy q, 1)
+    assert(bpeOn("xyz xyz xyz xyq") ==
+      Seq((1, "x y", 4L), (2, "xy z", 3L), (3, "xy q", 1L)))
+  }
+
+  test("q126: adjacent-repeat runs merge like textbook BPE, and a fully merged corpus stops early") {
+    // 'aaaa' x5: a-a appears 3x per word -> merge1 (a a, 15); the
+    // left-to-right rewrite gives 'aa aa' (NOT 'aa a a') -> merge2
+    // (aa aa, 5); then every word is a single symbol -> no round 3
+    assert(bpeOn("aaaa aaaa aaaa aaaa aaaa") ==
+      Seq((1, "a a", 15L), (2, "aa aa", 5L)))
+  }
+
   // --- q124: fractional contamination consistency ---------------------
 
   test("q124: agrees with q68's binary flag and its own arithmetic") {
