@@ -585,13 +585,16 @@ object CorpusQueries {
     "q123_heavy_hitters",
     (s, d) => {
       val toks = fdocs(s, d).select(explode(tokens(col("text"))).as("token"))
-      val cand = toks
-        .agg(graft.functions.MisraGries(64)(col("token")).as("mg"))
-        .select(explode(map_keys(col("mg"))).as("token"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
+      // ONE sketch pass yields both the candidates and the stream length
+      // (n_total rides the same aggregate) — a literal two-pass plan:
+      // sketch+count, then candidate recount
+      val sketch = graft.sources.Io.materialize(toks
+        .agg(graft.functions.MisraGries(64)(col("token")).as("mg"),
+          count(lit(1)).as("n_total")))
+      val cand = sketch.select(explode(map_keys(col("mg"))).as("token"))
       toks.join(broadcast(cand), "token")
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
+        .crossJoin(broadcast(sketch.select(col("n_total"))))
         .filter(col("cnt") * 50 > col("n_total"))
         .select(col("token"), col("cnt"),
           expr("(cnt * 10000) div n_total").as("share_bp"))
