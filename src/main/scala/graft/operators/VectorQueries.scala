@@ -496,7 +496,7 @@ object VectorQueries {
               array_position(col("dists"), array_min(col("dists"))).cast("int")))
           .drop("dists")
       }
-      for (_ <- 1 to KmIters) {
+      for (_ <- 1 to KmIters if cents.nonEmpty) {
         val updated = assign(qvecs)
           .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
           .groupBy(col("cluster"), col("pos"))
@@ -507,13 +507,22 @@ object VectorQueries {
         }.sortBy(_._1)
         require(cents.forall(_._2.length == dim))
       }
-      val sums = typedLit(cents.map { case (c, cv) => c -> cv.sum }.toMap)
-      assign(qvecs)
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_vecs"),
-          min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
-        .withColumn("centroid_sum", element_at(sums, col("cluster")))
-        .orderBy(col("cluster"))
+      // empty corpus -> no seeds -> no model: emit the typed empty
+      // result (an empty `cents` literal would be a NullType array and
+      // fail analysis; the oracle's CTEs are likewise empty)
+      if (cents.isEmpty)
+        qvecs.select(col("vec_id").as("cluster"), lit(0L).as("n_vecs"),
+          col("vec_id").as("min_vec"), col("vec_id").as("max_vec"),
+          lit(0L).as("centroid_sum")).limit(0)
+      else {
+        val sums = typedLit(cents.map { case (c, cv) => c -> cv.sum }.toMap)
+        assign(qvecs)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+          .withColumn("centroid_sum", element_at(sums, col("cluster")))
+          .orderBy(col("cluster"))
+      }
     },
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding,
                           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
