@@ -361,10 +361,20 @@ object JoinQueries {
           flatten(expr("transform(v1, v -> transform(sequence(1, length(v)), " +
             "i -> concat(substring(v, 1, i-1), substring(v, i+1))))")))))
         .select(col("nm"), explode(col("vk")).as("key"))
-      val pairs = vars
+      // bucket sizes are near-duplicate-cluster-sized by construction
+      // (names within edit distance 4 of the key); 256 is an ALARM, not
+      // a silent drop — the oracle has no cap, so capping here would
+      // quietly diverge from it on pathological name sets. One tiny agg
+      // probes for overflow and fails loudly instead.
+      val buckets = vars
         .groupBy(col("key"))
         .agg(sort_array(collect_set(col("nm"))).as("nms"))
-        .filter(size(col("nms")).between(2, 256))
+        .filter(size(col("nms")) >= 2)
+      val overflow = buckets.filter(size(col("nms")) > 256).limit(1).count()
+      require(overflow == 0,
+        "q122: deletion-variant bucket overflow (>256 near-identical names); " +
+          "exact-dedup the name set first or raise the alarm threshold")
+      val pairs = buckets
         .select(explode(graft.functions.TextOps.orderedPairs(col("nms"))).as("p"))
         .select(col("p.d1").as("name1"), col("p.d2").as("name2"))
         .distinct()
