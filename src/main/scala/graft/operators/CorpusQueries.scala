@@ -616,10 +616,55 @@ object CorpusQueries {
     * left-to-right, and because a replaced occurrence consumes its
     * trailing boundary space, immediately-adjacent repeats of the pair
     * need another pass; three passes merge every run up to length 2^3,
-    * far beyond any natural word. %s is the column expression. */
-  private def bpeRewriteSql(pair: String, n: Int): String = {
+    * far beyond any natural word. %s is the column expression. Shared
+    * with q127's encode pass (Wave8Queries), which applies the SAME
+    * rewrite to per-document symbol streams. */
+  private[graft] def bpeRewriteSql(pair: String, n: Int): String = {
     val merged = pair.replace(" ", "")
     (1 to n).foldLeft("%s")((acc, _) => s"replace($acc, ' $pair ', ' $merged ')")
+  }
+
+  /** The q126 training loop, extracted so q127 (tokenizer APPLY) learns
+    * the identical merge table: `rounds` argmax rounds over the
+    * DISTINCT-word frequency relation, each a 1-row collect (driver
+    * state = `rounds` merge strings — the q102 bounded-scalar pattern).
+    * Returns (merge_no, pair, weighted count) in learned order; shorter
+    * than `rounds` iff the corpus merges to single symbols first. */
+  private[graft] def trainBpeMerges(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): Seq[(Int, String, Long)] = {
+    val words = fdocs(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+        .as("sym"), col("freq"))
+    var cur = graft.sources.Io.materialize(words)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      val top = cur
+        .select(col("freq"), split(expr("trim(sym)"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // fully merged corpus: the
+      // oracle's mN CTE is likewise empty, so both sides stop short
+      else {
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        // fixture alphabet is alphanumeric; the rewrite interpolates the
+        // pair into SQL text, so fail fast on anything exotic
+        require(pair.matches("[A-Za-z0-9 ]+"), s"unexpected pair alphabet: '$pair'")
+        merges += ((r, pair, cnt))
+        cur = graft.sources.Io.materialize(
+          cur.withColumn("sym", expr(bpeRewriteSql(pair, 3).format("sym"))))
+      }
+    }
+    merges.toSeq
   }
 
   /** q126 — BPE tokenizer TRAINING, three merge rounds end to end
@@ -648,39 +693,8 @@ object CorpusQueries {
     "q126_bpe_train",
     (s, d) => {
       import s.implicits._
-      val words = fdocs(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
-          .as("sym"), col("freq"))
-      var cur = graft.sources.Io.materialize(words)
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-      var r = 0
-      var exhausted = false
-      while (r < 3 && !exhausted) {
-        r += 1
-        val top = cur
-          .select(col("freq"), split(expr("trim(sym)"), " ").as("a"))
-          .filter(size(col("a")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))"))
-            .as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true // fully merged corpus: the
-        // oracle's mN CTE is likewise empty, so both sides stop short
-        else {
-          val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
-          // fixture alphabet is alphanumeric; the rewrite interpolates the
-          // pair into SQL text, so fail fast on anything exotic
-          require(pair.matches("[A-Za-z0-9 ]+"), s"unexpected pair alphabet: '$pair'")
-          merges += ((r, pair, cnt))
-          cur = graft.sources.Io.materialize(
-            cur.withColumn("sym", expr(bpeRewriteSql(pair, 3).format("sym"))))
-        }
-      }
-      merges.toSeq.toDF("merge_no", "pair", "cnt").orderBy(col("merge_no"))
+      trainBpeMerges(s, d, 3).toDF("merge_no", "pair", "cnt")
+        .orderBy(col("merge_no"))
     },
     {
       // unrolled 3-round oracle: sN applies mN's merge to sN-1 with the
