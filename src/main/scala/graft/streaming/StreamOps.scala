@@ -733,4 +733,49 @@ object StreamOps {
     docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .agg(graft.functions.MisraGries(m)(col("token")).as("mg"))
+
+  /** s19 — streaming distribution-drift monitor (round 7 wave 8): per
+    * closed tumbling window, the event-value distribution is histogrammed
+    * onto [[DriftBuckets]] fixed buckets and scored against a REFERENCE
+    * distribution with PSI (population stability index,
+    * Σ (p−r)·ln(p/r) — the standard model-monitoring drift score; > 0.2
+    * is the conventional "significant shift" alarm). This is the input-
+    * drift gate a deployed scoring/curation pipeline runs next to s09:
+    * when the live feature distribution walks away from the training
+    * reference, downstream model scores stop being trustworthy BEFORE
+    * accuracy metrics can catch it.
+    *
+    * `ref` is the training-time bucket distribution (DriftBuckets
+    * proportions, a driver-side constant — the deployment artifact a
+    * monitor ships with, a few doubles, not a stream-side relation).
+    *
+    * Scale/state: ONE stateful windowed aggregate whose per-window state
+    * is DriftBuckets+1 longs (conditional counts partial-combine
+    * map-side); the PSI arithmetic is a stateless projection on the
+    * window-sized output. Laplace-style smoothing ((c+0.5)/(n+B/2),
+    * ref clamped to 1e-4) keeps empty buckets finite on both sides.
+    * Watermark closes windows and bounds state to the open-window set. */
+  val DriftBuckets = 8
+  val DriftBucketWidth = 64.0
+  def driftMonitor(events: DataFrame, ref: Seq[Double]): DataFrame = {
+    require(ref.length == DriftBuckets,
+      s"reference must have $DriftBuckets buckets, got ${ref.length}")
+    val bucket = least(lit(DriftBuckets - 1),
+      greatest(lit(0), floor(col("value") / DriftBucketWidth))).cast("int")
+    val counts = (0 until DriftBuckets).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val aggs = count(lit(1)).as("n") +: counts
+    val windowed = events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("bucket", bucket)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+    val psi = (0 until DriftBuckets).map { i =>
+      val p = (col(s"c$i") + 0.5) / (col("n") + DriftBuckets * 0.5)
+      val r = math.max(ref(i), 1e-4)
+      (p - r) * log(p / r)
+    }.reduce(_ + _)
+    windowed.select(col("window.start").as("win_start"), col("n"),
+      round(psi, 6).as("psi"), (psi > 0.2).as("drifted"))
+  }
 }

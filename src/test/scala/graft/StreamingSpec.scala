@@ -1131,4 +1131,44 @@ class StreamingSpec extends SparkSpec {
         ids.foreach(id => assert(expected(id) == sp, s"doc $id routed to $sp")) }
     } finally q.stop()
   }
+
+  test("s19 drift monitor: zero PSI on reference-shaped windows, alarm on shift") {
+    val ref = Seq.fill(8)(0.125)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.driftMonitor(input.toDF(), ref)
+      .writeStream.format("memory").queryName("s19_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: 80 events spread 10-per-bucket (exactly the reference);
+      // hour 1: 80 events all in bucket 0 (a hard shift)
+      val flat = (0 until 80).map(i =>
+        ev(i, i % 60, value = i % 8 * 64.0 + 1.0))
+      val spiked = (0 until 80).map(i => ev(100 + i, 60 + i % 60, value = 10.0))
+      input.addData(flat ++ spiked: _*)
+      q.processAllAvailable()
+      input.addData(ev(999, 400))   // advance watermark, close both windows
+      q.processAllAvailable()
+      val rows = spark.table("s19_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .sortBy(_._1.getTime)
+      assert(rows.length == 2, rows.mkString(", "))
+      // driver-side PSI with the identical smoothing
+      def psi(counts: Seq[Long]): Double = {
+        val n = counts.sum
+        counts.zip(ref).map { case (c, r) =>
+          val p = (c + 0.5) / (n + 4.0)
+          (p - math.max(r, 1e-4)) * math.log(p / math.max(r, 1e-4))
+        }.sum
+      }
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (w0, w1) = (rows(0), rows(1))
+      assert(w0._2 == 80 && w1._2 == 80)
+      assert(w0._3 == r6(psi(Seq.fill(8)(10L))), s"flat window psi ${w0._3}")
+      assert(!w0._4, "reference-shaped window must not alarm")
+      assert(w1._3 == r6(psi(80L +: Seq.fill(7)(0L))), s"spiked psi ${w1._3}")
+      assert(w1._4, "shifted window must alarm")
+      assert(w1._3 > 1.0 && w0._3 < 0.01)
+    } finally q.stop()
+  }
 }
