@@ -287,4 +287,36 @@ class PlanShapeSpec extends SparkSpec {
       assert(w.child.collectFirst { case a: logical.Aggregate => a }.isDefined, p)
     }
   }
+
+  test("q127 encode is join-free: merges are driver literals, not a relation") {
+    // the merge table must reach the encode pass as interpolated string
+    // literals (3 collected rows), never as a joined relation — a join
+    // would re-derive the training chain inside the encode job
+    val df = SparkEntry.queries("q127_bpe_encode")(spark, sfSmoke)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: logical.Join => j }
+    assert(joins.isEmpty, df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("q133 is two 9-long aggregate states and one 1-row join") {
+    // the drift audit must never shuffle keyed data: every aggregate is
+    // global (grouping-free), so state is the fixed histogram width
+    val qe = SparkEntry.queries("q133_drift_psi")(spark, sfSmoke).queryExecution
+    val aggs = qe.optimizedPlan.collect { case a: logical.Aggregate => a }
+    assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.isEmpty),
+      qe.optimizedPlan.toString)
+  }
+
+  test("q134 sketch pairs ride a broadcast; exact side is an equi-join on the hash") {
+    val p = plan("q134_source_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the vocabulary-sized relation must never cartesian with itself
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q136 is one partial+final aggregate over one scan") {
+    val p = plan("q136_feature_corr")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
