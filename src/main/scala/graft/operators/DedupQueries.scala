@@ -805,6 +805,78 @@ object DedupQueries {
             GROUP BY doc_id1, doc_id2 ORDER BY doc_id1, doc_id2""")
   )
 
+  /** q138 — k-core decomposition of the duplicate graph (3 synchronous
+    * peel rounds, k = 2): iteratively remove vertices of degree < k and
+    * the edges they carry, reporting survivors per round. The dense-core
+    * extractor run after q97's degree histogram flags a template family:
+    * tendrils and chains (pairwise near-dups) peel away, what remains is
+    * the mutually-interconnected boilerplate core — the cluster a
+    * curation pass reviews as a unit rather than pair by pair. Peeling is
+    * idempotent at the fixpoint, so a converged graph just repeats its
+    * numbers — no driver-side convergence branching.
+    *
+    * Scale notes: each round is one vertex-keyed degree aggregate
+    * (map-side combine) and two vertex-keyed semi-joins of the edge
+    * relation against the surviving-vertex set — the q60/q86 iteration
+    * shape; rounds materialize so round r+1 scans round r, and state
+    * never exceeds the (already band-capped) candidate-edge relation.
+    * The round count is a constant (3), matching the oracle's unrolled
+    * CTE chain. */
+  private val KCoreK = 2
+  private val q138 = GQuery(
+    "q138_kcore",
+    (s, d) => {
+      import s.implicits._
+      var edges = graft.sources.Io.materialize(minhashPairs(s, d))
+      val stats = (1 to 3).map { r =>
+        val deg = edges
+          .select(explode(array(col("doc1"), col("doc2"))).as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        val keep = graft.sources.Io.materialize(
+          deg.filter(col("deg") >= KCoreK).select(col("x")))
+        edges = graft.sources.Io.materialize(edges
+          .join(keep.withColumnRenamed("x", "doc1"), "doc1")
+          .join(keep.withColumnRenamed("x", "doc2"), "doc2")
+          .select(col("doc1"), col("doc2")))
+        (r, keep.count(), edges.count())
+      }
+      stats.toDF("round", "vertices_remaining", "edges_remaining")
+        .orderBy(col("round"))
+    },
+    {
+      // every CTE is MATERIALIZED: the peel chain references each round's
+      // relation several times (degree union, two keep joins, the count),
+      // and DuckDB 1.0 inlines CTEs by default — without materialization
+      // the md5 candidate chain re-evaluates per reference and the plan
+      // explodes (measured: temp-spill failure at sf1; with
+      // materialization the whole oracle is seconds)
+      def round(r: Int): String = {
+        val prev = if (r == 1) "e0" else s"e${r - 1}"
+        s"""deg$r AS MATERIALIZED (SELECT x, count(*) AS deg
+                      FROM (SELECT doc1 AS x FROM $prev
+                            UNION ALL SELECT doc2 FROM $prev) GROUP BY x),
+            keep$r AS MATERIALIZED (SELECT x FROM deg$r WHERE deg >= $KCoreK),
+            e$r AS MATERIALIZED (SELECT doc1, doc2 FROM $prev
+                    JOIN keep$r a ON $prev.doc1 = a.x
+                    JOIN keep$r b ON $prev.doc2 = b.x)"""
+      }
+      Some(CAND_SQL +
+        s""", e0 AS MATERIALIZED (SELECT u AS doc1, v AS doc2 FROM cand),
+           ${round(1)}, ${round(2)}, ${round(3)}
+           SELECT * FROM (
+             SELECT CAST(1 AS INTEGER) AS round,
+                    (SELECT count(*) FROM keep1) AS vertices_remaining,
+                    (SELECT count(*) FROM e1) AS edges_remaining
+             UNION ALL
+             SELECT CAST(2 AS INTEGER),
+                    (SELECT count(*) FROM keep2), (SELECT count(*) FROM e2)
+             UNION ALL
+             SELECT CAST(3 AS INTEGER),
+                    (SELECT count(*) FROM keep3), (SELECT count(*) FROM e3))
+           ORDER BY round""")
+    }
+  )
+
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
-    q100, q104, q111, q117)
+    q100, q104, q111, q117, q138)
 }
