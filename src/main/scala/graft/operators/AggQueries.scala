@@ -382,7 +382,18 @@ object AggQueries {
         .withColumn("mu", col("s1").cast("double") / col("nu"))
         .withColumn("sigma",
           sqrt(col("s2").cast("double") / col("nu") - col("mu") * col("mu")))
-        .withColumn("z", (col("n_events") - col("mu")) / col("sigma"))
+        // σ = 0 (all users at the same count — any 1-user batch) must
+        // yield "no outliers", not an ANSI divide-by-zero: z is null
+        // there and the filter drops it. The zero test is INTEGER
+        // (n·Σn² > (Σn)², exact decimal — identical to the oracle's
+        // CASE), because the double-computed sigma can land at ±ε of
+        // zero and disagree with the oracle about which side it is on
+        .withColumn("z", when(
+          col("s2").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("nu") >
+            col("s1").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * col("s1"),
+          (col("n_events") - col("mu")) / col("sigma")))
         .filter(abs(col("z")) >= 2.0)
         .select(col("user_id"), col("n_events"), round(col("z"), 4).as("z"))
         .orderBy(col("user_id"))
@@ -394,10 +405,11 @@ object AggQueries {
                               count(*) AS nu
                        FROM p),
                  z AS (SELECT user_id, n_events,
-                              (n_events - (CAST(s1 AS DOUBLE) / nu))
-                                / sqrt(CAST(s2 AS DOUBLE) / nu
-                                       - (CAST(s1 AS DOUBLE) / nu)
-                                       * (CAST(s1 AS DOUBLE) / nu)) AS z
+                              CASE WHEN s2 * nu > s1 * s1 THEN
+                                (n_events - (CAST(s1 AS DOUBLE) / nu))
+                                  / sqrt(CAST(s2 AS DOUBLE) / nu
+                                         - (CAST(s1 AS DOUBLE) / nu)
+                                         * (CAST(s1 AS DOUBLE) / nu)) END AS z
                        FROM p, m)
             SELECT user_id, n_events, round(z, 4) AS z
             FROM z WHERE abs(z) >= 2.0 ORDER BY user_id""")

@@ -778,4 +778,48 @@ object StreamOps {
     windowed.select(col("window.start").as("win_start"), col("n"),
       round(psi, 6).as("psi"), (psi > 0.2).as("drifted"))
   }
+
+  /** s20 — streaming windowed-percentile monitor (round 7 wave 10): per
+    * closed tumbling window, p50/p90/p99 of the event value estimated
+    * from the q137 histogram sketch — the latency/value-percentile
+    * panel every deployed pipeline watches, computed the only way a
+    * stream can afford: per-window state is [[PctBuckets]]+1 longs of
+    * bucket counts (vector-addition mergeable, partial-combines
+    * map-side), never a value buffer; the interpolation is a stateless
+    * projection on the closed window. Exact per-window percentiles
+    * would buffer every value in state — the sketch is the operator.
+    *
+    * The estimate formula is LITERALLY q137's (crossing bucket from the
+    * running count, linear interpolation from the exclusive prefix), so
+    * the batch query proves the estimator's error bound and the stream
+    * inherits it; StreamingSpec additionally matches a closed window's
+    * output against a driver-side recomputation value-for-value. */
+  val PctBuckets = 64
+  val PctWidth = 8.0
+  def percentilesStream(events: DataFrame): DataFrame = {
+    val bucket = least(lit(PctBuckets - 1),
+      greatest(lit(0), floor(col("value") / PctWidth))).cast("int")
+    val aggs = count(lit(1)).as("n") +: (0 until PctBuckets).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val windowed = events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("bucket", bucket)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+    // q137's estimator, unrolled per bucket as a coalesce chain over
+    // PRE-COMPUTED running counts (one prefix-sum column set shared by
+    // all three percentiles): the first bucket whose running count
+    // crosses p·n interpolates from its exclusive prefix
+    val withCum = windowed.select(col("*") +: (0 until PctBuckets).map(b =>
+      (0 to b).map(i => col(s"c$i")).reduce(_ + _).as(s"cum$b")): _*)
+    def estimate(p: Double) = coalesce((0 until PctBuckets).map { b =>
+      when(col(s"cum$b") >= col("n") * p && col(s"c$b") > 0,
+        round(lit(b * PctWidth)
+          + lit(PctWidth) * (col("n") * p - (col(s"cum$b") - col(s"c$b")))
+            / col(s"c$b"), 6))
+    }: _*)
+    withCum.select(col("window.start").as("win_start"), col("n"),
+      estimate(0.50).as("p50"), estimate(0.90).as("p90"),
+      estimate(0.99).as("p99"))
+  }
 }

@@ -1171,4 +1171,40 @@ class StreamingSpec extends SparkSpec {
       assert(w1._3 > 1.0 && w0._3 < 0.01)
     } finally q.stop()
   }
+
+  test("s20 windowed percentile monitor matches a driver-side histogram estimate") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.percentilesStream(input.toDF())
+      .writeStream.format("memory").queryName("s20_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: values 1..200 (deterministic spread over 25 buckets)
+      val evs = (1 to 200).map(i => ev(i, i % 60, value = i.toDouble))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(ev(999, 400))   // close the window
+      q.processAllAvailable()
+      val rows = spark.table("s20_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      assert(rows.length == 1, rows.mkString(", "))
+      val (n, p50, p90, p99) = rows.head
+      assert(n == 200)
+      // driver-side: same 64x8 histogram, same crossing-bucket formula
+      def est(p: Double): Double = {
+        val c = Array.fill(64)(0L)
+        (1 to 200).foreach(v => c(math.min(63, v / 8)) += 1)
+        var cum = 0L
+        val t = 200 * p
+        val b = (0 until 64).indexWhere { i => cum += c(i); cum >= t && c(i) > 0 }
+        val prefix = (0 until b).map(c).sum
+        BigDecimal(b * 8.0 + 8.0 * (t - prefix) / c(b))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(p50 == est(0.50), s"p50 $p50 != ${est(0.50)}")
+      assert(p90 == est(0.90), s"p90 $p90 != ${est(0.90)}")
+      assert(p99 == est(0.99), s"p99 $p99 != ${est(0.99)}")
+      // estimates bracket the true percentiles within one bucket width
+      assert(math.abs(p50 - 100.0) <= 8.0 && math.abs(p99 - 198.0) <= 8.0)
+    } finally q.stop()
+  }
 }
