@@ -1207,4 +1207,74 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(p50 - 100.0) <= 8.0 && math.abs(p99 - 198.0) <= 8.0)
     } finally q.stop()
   }
+
+  /** Crash-replay for the round-7 windowed monitors (s19/s20): both are
+    * append-mode windowed aggregates whose sink is the built-in parquet
+    * FileStreamSink — exactly-once by its _spark_metadata batch log. The
+    * classic crash window (sink batch committed, checkpoint commit LOST)
+    * must therefore replay as a metadata no-op: the re-run batch carries
+    * the same batchId, the sink skips it, and readers see each closed
+    * window exactly once. */
+  private def windowedCrashReplay(tag: String,
+      mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Array[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory(s"${tag}_crash").toString
+    val in = s"$dir/in"
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    def start() = mk(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append).start()
+    // hour 0 under test; a far event closes it; another closes the far one
+    feedFile((1 to 200).map(i => ev(i, i % 60, value = i.toDouble)).toDF(), in, "f0")
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      feedFile(Seq(ev(900, 400, value = 1.0)).toDF(), in, "f1")
+      q1.processAllAvailable()   // hour 0 closes and lands in the sink
+    } finally q1.stop()
+    dropLastCommit(s"$dir/ckpt")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()   // replays f1's batch: sink must skip it
+      feedFile(Seq(ev(901, 800, value = 1.0)).toDF(), in, "f2")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    spark.read.parquet(s"$dir/out").collect()
+  }
+
+  test("s19 drift monitor crash-replay emits each closed window exactly once") {
+    val rows = windowedCrashReplay("s19",
+      df => StreamOps.driftMonitor(df, Seq.fill(8)(0.125)))
+    val h0 = rows.filter(_.getTimestamp(0) == ts(0))
+    assert(h0.length == 1, s"hour-0 window emitted ${h0.length} times")
+    assert(h0.head.getLong(1) == 200)
+    assert(rows.map(_.getTimestamp(0)).distinct.length == rows.length)
+  }
+
+  test("s20 percentile monitor crash-replay emits each closed window exactly once") {
+    val rows = windowedCrashReplay("s20", StreamOps.percentilesStream)
+    val h0 = rows.filter(_.getTimestamp(0) == ts(0))
+    assert(h0.length == 1, s"hour-0 window emitted ${h0.length} times")
+    val r = h0.head
+    assert(r.getLong(1) == 200)
+    // the replayed run must still carry the exact estimator values
+    def est(p: Double): Double = {
+      val c = Array.fill(64)(0L)
+      (1 to 200).foreach(v => c(math.min(63, v / 8)) += 1)
+      var cum = 0L
+      val t = 200 * p
+      val b = (0 until 64).indexWhere { i => cum += c(i); cum >= t && c(i) > 0 }
+      val prefix = (0 until b).map(c).sum
+      BigDecimal(b * 8.0 + 8.0 * (t - prefix) / c(b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(r.getDouble(2) == est(0.50) && r.getDouble(3) == est(0.90)
+      && r.getDouble(4) == est(0.99))
+    assert(rows.map(_.getTimestamp(0)).distinct.length == rows.length)
+  }
 }
