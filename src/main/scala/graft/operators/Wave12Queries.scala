@@ -224,5 +224,58 @@ object Wave12Queries {
             GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""")
   )
 
-  val all: Seq[GQuery] = Seq(q142, q143, q144)
+  /** q145 — order-free table content checksum: row count plus TWO
+    * independent mergeable fingerprints (bit-XOR and exact-decimal sum
+    * of per-row md5-60 hashes over a canonical row encoding) of the
+    * lineitem table — the cross-system migration/replication validation
+    * primitive (validate a 100 TB copy without moving or sorting it;
+    * this engine's own DuckDB gate is an instance of the pattern). XOR
+    * and sum are both commutative/associative, so partials combine
+    * map-side, per-partition states are 16 bytes, and shard checksums
+    * roll up by the same operation — the mergeable-integrity property
+    * that makes per-file checksums composable into a table checksum.
+    *
+    * Canonical encoding pins every cross-engine formatting hazard:
+    * integers and enum strings as-is, money on the cent grid (exact
+    * long), the timestamp as epoch-micros — never a float or timestamp
+    * rendered to text, where engines disagree on trailing digits.
+    *
+    * Scale notes: ONE map pass + one grouping-free aggregate; no
+    * shuffle wider than one 3-field state per partition. */
+  private val q145 = GQuery(
+    "q145_table_checksum",
+    (s, d) => {
+      val canon = concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        round(col("l_quantity") * 100, 0).cast("long"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        round(col("l_discount") * 100, 0).cast("long"),
+        round(col("l_tax") * 100, 0).cast("long"),
+        col("l_returnflag"), col("l_linestatus"),
+        unix_micros(col("l_shipdate")))
+      Tables.lineitem(s, d)
+        .select(graft.functions.TextOps.shingleHash60(canon).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_fp"),
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sum_fp"))
+    },
+    Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(
+                         l_orderkey || '|' || l_partkey || '|' || l_suppkey
+                         || '|' || l_linenumber
+                         || '|' || CAST(round(l_quantity * 100, 0) AS BIGINT)
+                         || '|' || CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         || '|' || CAST(round(l_discount * 100, 0) AS BIGINT)
+                         || '|' || CAST(round(l_tax * 100, 0) AS BIGINT)
+                         || '|' || l_returnflag || '|' || l_linestatus
+                         || '|' || epoch_us(l_shipdate)), 1, 15)) AS BIGINT) AS h
+                       FROM lineitem)
+            SELECT count(*) AS n_rows,
+                   bit_xor(h) AS xor_fp,
+                   CAST(sum(h) AS DECIMAL(38, 0)) AS sum_fp
+            FROM h""")
+  )
+
+  val all: Seq[GQuery] = Seq(q142, q143, q144, q145)
 }

@@ -83,4 +83,40 @@ class Wave12Spec extends SparkSpec {
     val wantTop = want.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
     assert(got.toSeq == wantTop)
   }
+
+  test("q145: checksum is partition-invariant and flips on any row change") {
+    val canon = concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"),
+      round(col("l_quantity") * 100, 0).cast("long"),
+      round(col("l_extendedprice") * 100, 0).cast("long"),
+      round(col("l_discount") * 100, 0).cast("long"),
+      round(col("l_tax") * 100, 0).cast("long"),
+      col("l_returnflag"), col("l_linestatus"),
+      unix_micros(col("l_shipdate")))
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.functions.TextOps.shingleHash60(canon).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)"),
+        sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .collect().head
+    val base = graft.sources.Tables.lineitem(spark, sfSmoke)
+    val r = SparkEntry.queries("q145_table_checksum")(spark, sfSmoke)
+      .collect().head
+    // partitioning must not matter (the mergeable-combiner property)
+    for (parts <- Seq(1, 7)) {
+      val f = fp(base.repartition(parts))
+      assert((f.getLong(0), f.getLong(1), f.getDecimal(2))
+        == ((r.getLong(0), r.getLong(1), r.getDecimal(2))), s"parts=$parts")
+    }
+    // a one-cent perturbation of one row must flip both fingerprints
+    val target = base.orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber").head()
+    val tampered = fp(base.withColumn("l_tax",
+      when(col("l_orderkey") === target.getLong(0)
+        && col("l_linenumber") === target.getInt(1), col("l_tax") + 0.01)
+        .otherwise(col("l_tax"))))
+    assert(tampered.getLong(0) == r.getLong(0), "row count unchanged")
+    assert(tampered.getLong(1) != r.getLong(1), "xor fingerprint must flip")
+    assert(tampered.getDecimal(2) != r.getDecimal(2), "sum fingerprint must flip")
+  }
 }
