@@ -877,6 +877,100 @@ object DedupQueries {
     }
   )
 
+  /** q146 — LSH recall/precision curve: at Jaccard thresholds
+    * 0.2/0.4/0.6/0.8, how many truly-similar pairs does the q31
+    * candidate generation CATCH (recall), and how much of the candidate
+    * set is truly similar at that bar (precision)? q79 audits the
+    * sketch's per-pair ESTIMATE error; this audits the BLOCKING — the
+    * table one actually reads to choose (k, bands) before a 100 TB run,
+    * where a recall miss is silent corpus duplication and a precision
+    * miss is wasted verification compute.
+    *
+    * Ground truth is the all-pairs shingle-Jaccard relation (the q25
+    * machinery without its 0.2 emission filter — bounded by the same
+    * stop-shingle cap, so "truth" here means truth over surviving
+    * shingles, stated honestly); candidates are the published q31
+    * relation. Jaccards are rounded to 6 before thresholding on both
+    * sides, so the boundary test is identical cross-engine.
+    *
+    * Scale notes: both inputs are the family's existing bounded
+    * relations (truth = in-bucket pairs under the cap, candidates =
+    * band pairs under the cap); the curve is 4 × conditional-count
+    * aggregates over those pair relations after one marker left-join —
+    * nothing new moves. */
+  private val RecallThresholds = Seq(0.2, 0.4, 0.6, 0.8)
+  private val q146 = GQuery(
+    "q146_lsh_recall_curve",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val shN = postingsFor(s, d)
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val truth = Io.materialize(shN.groupBy(col("sgh"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("docs"))
+        .select(explode(orderedPairs(col("docs"))).as("p"))
+        .groupBy(col("p.d1.doc_id").as("doc1"), col("p.d1.nsh").as("nsh1"),
+          col("p.d2.doc_id").as("doc2"), col("p.d2.nsh").as("nsh2"))
+        .agg(count(lit(1)).as("common"))
+        .select(col("doc1"), col("doc2"),
+          round(col("common") / (col("nsh1") + col("nsh2") - col("common")), 6)
+            .as("j")))
+      val cand = minhashPairs(s, d).withColumn("isc", lit(1))
+      val truthC = Io.materialize(
+        truth.join(cand, Seq("doc1", "doc2"), "left"))
+      val candJ = Io.materialize(
+        cand.join(truth, Seq("doc1", "doc2"), "left")
+          .withColumn("j", coalesce(col("j"), lit(0.0))))
+      val th = RecallThresholds.toDF("threshold")
+      val rec = th.crossJoin(truthC).groupBy(col("threshold"))
+        .agg(sum(when(col("j") >= col("threshold"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("j") >= col("threshold") && col("isc").isNotNull, 1L)
+            .otherwise(0L)).as("n_caught"))
+      val prec = th.crossJoin(candJ).groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("j") >= col("threshold"), 1L).otherwise(0L)).as("n_prec"))
+      rec.join(prec, "threshold")
+        .select(col("threshold"), col("n_true"), col("n_caught"),
+          when(col("n_true") > 0,
+            round(col("n_caught").cast("double") / col("n_true"), 6)).as("recall"),
+          col("n_cand"),
+          when(col("n_cand") > 0,
+            round(col("n_prec").cast("double") / col("n_cand"), 6)).as("precision"))
+        .orderBy(col("threshold"))
+    },
+    Some(CAND_SQL +
+      """, sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         tp AS MATERIALIZED (
+               SELECT doc1, doc2,
+                      round(common * 1.0 / (s1.nsh + s2.nsh - common), 6) AS j
+               FROM (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+                     FROM sh a JOIN sh b ON a.sgh = b.sgh AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2) p
+               JOIN sizes s1 ON doc1 = s1.doc_id
+               JOIN sizes s2 ON doc2 = s2.doc_id),
+         cd AS MATERIALIZED (SELECT u AS doc1, v AS doc2 FROM cand),
+         tc AS (SELECT tp.j, (cd.doc1 IS NOT NULL) AS isc
+                FROM tp LEFT JOIN cd USING (doc1, doc2)),
+         cj AS (SELECT coalesce(tp.j, 0.0) AS j
+                FROM cd LEFT JOIN tp USING (doc1, doc2)),
+         th AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE) AS threshold),
+         r AS (SELECT threshold,
+                      count(*) FILTER (WHERE j >= threshold) AS n_true,
+                      count(*) FILTER (WHERE j >= threshold AND isc) AS n_caught
+               FROM th, tc GROUP BY threshold),
+         p AS (SELECT threshold, count(*) AS n_cand,
+                      count(*) FILTER (WHERE j >= threshold) AS n_prec
+               FROM th, cj GROUP BY threshold)
+         SELECT r.threshold, n_true, n_caught,
+                CASE WHEN n_true > 0
+                     THEN round(n_caught * 1.0 / n_true, 6) END AS recall,
+                n_cand,
+                CASE WHEN n_cand > 0
+                     THEN round(n_prec * 1.0 / n_cand, 6) END AS precision
+         FROM r JOIN p USING (threshold)
+         ORDER BY r.threshold""")
+  )
+
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
-    q100, q104, q111, q117, q138)
+    q100, q104, q111, q117, q138, q146)
 }

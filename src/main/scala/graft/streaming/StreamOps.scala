@@ -822,4 +822,22 @@ object StreamOps {
       estimate(0.50).as("p50"), estimate(0.90).as("p90"),
       estimate(0.99).as("p99"))
   }
+
+  /** s21 — streaming table-checksum maintenance (round 7 wave 12): the
+    * q145 fingerprints (row count, bit-XOR and exact-decimal sum of
+    * per-row hashes) maintained continuously over an append stream —
+    * the replication/CDC validation monitor that can certify a mirror
+    * WITHOUT ever re-scanning it: both combiners are commutative/
+    * associative, so the state is 3 numbers regardless of history and
+    * every complete-mode snapshot equals the batch checksum of
+    * everything ingested so far (StreamingSpec asserts equality against
+    * q145's aggregate on the same prefix, under arbitrary slicing).
+    * Expects the caller to derive the canonical per-row hash `h` the
+    * same way as q145 (Wave12Queries), which keeps the batch/stream
+    * encodings identical by construction. */
+  def checksumStream(hashed: DataFrame): DataFrame =
+    hashed.agg(count(lit(1)).as("n_rows"),
+      expr("bit_xor(h)").as("xor_fp"),
+      sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("sum_fp"))
 }

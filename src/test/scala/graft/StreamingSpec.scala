@@ -1277,4 +1277,36 @@ class StreamingSpec extends SparkSpec {
       && r.getDouble(4) == est(0.99))
     assert(rows.map(_.getTimestamp(0)).distinct.length == rows.length)
   }
+
+  test("s21 streaming checksum snapshot equals the batch q145 fingerprints") {
+    val canon = concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"),
+      round(col("l_quantity") * 100, 0).cast("long"),
+      round(col("l_extendedprice") * 100, 0).cast("long"),
+      round(col("l_discount") * 100, 0).cast("long"),
+      round(col("l_tax") * 100, 0).cast("long"),
+      col("l_returnflag"), col("l_linestatus"),
+      unix_micros(col("l_shipdate")))
+    val hashes = graft.sources.Tables.lineitem(spark, sfSmoke)
+      .select(graft.functions.TextOps.shingleHash60(canon).as("h"))
+      .as[Long].collect()
+    val input = MemoryStream[Long](spark)
+    val q = StreamOps.checksumStream(input.toDF().toDF("h"))
+      .writeStream.format("memory").queryName("s21_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // arbitrary slicing must not matter (mergeable combiners)
+      hashes.grouped(hashes.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val snap = spark.table("s21_out").collect().head
+      val want = SparkEntry.queries("q145_table_checksum")(spark, sfSmoke)
+        .collect().head
+      assert(snap.getLong(0) == want.getLong(0))
+      assert(snap.getLong(1) == want.getLong(1))
+      assert(snap.getDecimal(2) == want.getDecimal(2))
+    } finally q.stop()
+  }
 }

@@ -52,4 +52,25 @@ class Wave10Spec extends SparkSpec {
     // peeling is monotone: survivors never increase
     assert(got.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("q146: curve is reconstructible from the q25/q31 relations") {
+    val truth = run("q25_dedup_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cand = run("q31_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run("q146_lsh_recall_curve").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    got.foreach { case (t, nTrue, nCaught, nCand) =>
+      // thresholds all sit at/above q25's 0.2 emission bar, so the
+      // truth counts are exactly q25's rows at that bar
+      val want = truth.filter(_._2 >= t)
+      assert(nTrue == want.size, s"t=$t n_true")
+      assert(nCaught == want.keySet.intersect(cand).size, s"t=$t n_caught")
+      assert(nCand == cand.size, s"t=$t n_cand")
+      assert(nCaught <= nTrue && nCaught <= nCand)
+    }
+    // thresholds ascend, true-pair counts can only shrink
+    assert(got.map(_._1).toSeq == Seq(0.2, 0.4, 0.6, 0.8))
+    assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }
