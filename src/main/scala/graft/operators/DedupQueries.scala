@@ -971,6 +971,64 @@ object DedupQueries {
          ORDER BY r.threshold""")
   )
 
+  /** q147 — exact modularity of the duplicate-cluster partition: the
+    * clustering-quality score of q60's connected components over the
+    * candidate graph. For a CC partition every edge is intra-cluster, so
+    * Q = 1 − Σ_c d_c²/(2m)² — and multiplying through by 4m² keeps the
+    * whole statistic INTEGER (Q·4m² = 4m² − Σd_c², exact in any order)
+    * until one display division. Near-zero modularity means the "dup
+    * graph" is one blob (banding too loose / boilerplate hub — act
+    * before q78 keeps one doc per mega-cluster); high modularity means
+    * well-separated duplicate families.
+    *
+    * Scale notes: consumes the PUBLISHED label relation (one CC run per
+    * pipeline, the q60 contract) and the band-capped edge relation; one
+    * vertex-keyed degree aggregate, one label join (vertex-sized), one
+    * |components|-group aggregate, exact-decimal 1-row reduction. */
+  private val q147 = GQuery(
+    "q147_modularity",
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val edges = minhashPairs(s, d)
+      val deg = edges
+        .select(explode(array(col("doc1"), col("doc2"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val dc = labelsFor(s, d)
+        .join(deg, col("doc_id") === col("v"))
+        .groupBy(col("cluster_id"))
+        .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_v"))
+      val m = edges.agg(count(lit(1)).as("m"))
+      dc.agg(count(lit(1)).as("n_components"),
+          sum(col("n_v")).as("n_vertices"),
+          sum((col("d_c") * col("d_c")).cast(dec38)).as("sum_dc2"))
+        .crossJoin(broadcast(m))
+        .select(col("m").as("n_edges"), col("n_vertices"),
+          col("n_components"),
+          when(col("m") > 0, round(
+            (lit(4) * col("m") * col("m") - col("sum_dc2")).cast("double")
+              / (lit(4.0) * col("m") * col("m")), 6)).as("modularity"))
+    },
+    Some(CLUSTER_SQL +
+      """, deg AS (SELECT x AS v, count(*) AS deg
+                   FROM (SELECT u AS x FROM cand
+                         UNION ALL SELECT v FROM cand) GROUP BY x),
+         dc AS (SELECT cluster_id, CAST(sum(deg) AS BIGINT) AS d_c,
+                       count(*) AS n_v
+                FROM labels JOIN deg ON labels.doc_id = deg.v
+                GROUP BY cluster_id),
+         mm AS (SELECT count(*) AS m FROM cand),
+         agg AS (SELECT count(*) AS n_components,
+                        CAST(sum(n_v) AS BIGINT) AS n_vertices,
+                        CAST(sum(CAST(d_c AS HUGEINT) * d_c) AS HUGEINT)
+                          AS sum_dc2
+                 FROM dc)
+         SELECT m AS n_edges, n_vertices, n_components,
+                CASE WHEN m > 0 THEN
+                  round(CAST(4 * CAST(m AS HUGEINT) * m - sum_dc2 AS DOUBLE)
+                        / (4.0 * m * m), 6) END AS modularity
+         FROM agg, mm""")
+  )
+
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
-    q100, q104, q111, q117, q138, q146)
+    q100, q104, q111, q117, q138, q146, q147)
 }

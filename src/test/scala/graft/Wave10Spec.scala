@@ -73,4 +73,39 @@ class Wave10Spec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(0.2, 0.4, 0.6, 0.8))
     assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("q147: modularity matches a driver-side union-find computation") {
+    val edges = run("q31_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.getOrElseUpdate(x, x)
+      while (parent(x) != x) {
+        parent(x) = parent.getOrElse(parent(x), parent(x))
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // note .toSeq: deg.keys is a Set, and Set.map would collapse equal
+    // degree values before the sum
+    val dc = deg.keys.toSeq.groupBy(find).view
+      .mapValues(_.map(deg).sum).toMap
+    val m = edges.length.toLong
+    val q = (BigInt(4) * m * m - dc.values.map(d => BigInt(d) * d).sum)
+      .toDouble / (4.0 * m * m)
+    val r = run("q147_modularity").collect().head
+    assert(r.getLong(0) == m)
+    assert(r.getLong(1) == deg.size)
+    assert(r.getLong(2) == dc.size)
+    val want = BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(3) - want) < 1e-9, s"${r.getDouble(3)} vs $want")
+    assert(r.getDouble(3) >= -0.5 && r.getDouble(3) <= 1.0)
+  }
 }
