@@ -277,5 +277,80 @@ object Wave12Queries {
             FROM h""")
   )
 
-  val all: Seq[GQuery] = Seq(q142, q143, q144, q145)
+  /** q148 — snapshot DIFF: classify every key across two versions of the
+    * orders table as added / deleted / changed / unchanged by comparing
+    * canonical row hashes — the data-regression check run between any
+    * two pipeline outputs (yesterday's table vs today's, pre- vs
+    * post-migration), and the row-level drill-down q145's one-line
+    * checksum triggers when it mismatches. Versions are synthesized
+    * deterministically from the fixture: snapshot A drops keys ≡ 0
+    * (mod 13) (later "added"), perturbs the price by one cent on keys
+    * ≡ 0 (mod 11) ("changed"); snapshot B drops keys ≡ 0 (mod 17)
+    * ("deleted"). Classification is by OUTCOME of the hash compare, so
+    * overlapping constructions resolve unambiguously.
+    *
+    * Scale notes: ONE key-partitioned full-outer join (the q73 MERGE
+    * shape — both sides shuffle once on the key) carrying an 8-byte
+    * hash per row, then a 4-group aggregate with map-side combine.
+    * Diffing by hash means the join payload is constant-width no matter
+    * how wide the table is. */
+  private val q148 = GQuery(
+    "q148_snapshot_diff",
+    (s, d) => {
+      def canon(price: org.apache.spark.sql.Column) = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(price * 100, 0).cast("long"),
+        unix_micros(col("o_orderdate")), col("o_orderpriority"))
+      val base = Tables.orders(s, d)
+      val snapA = base
+        .filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        .select(col("o_orderkey").as("k"),
+          graft.functions.TextOps.shingleHash60(canon(
+            when(pmod(col("o_orderkey"), lit(11)) === 0,
+              col("o_totalprice") + 0.01).otherwise(col("o_totalprice"))))
+            .as("ha"))
+      val snapB = base
+        .filter(pmod(col("o_orderkey"), lit(17)) =!= 0)
+        .select(col("o_orderkey").as("k"),
+          graft.functions.TextOps.shingleHash60(canon(col("o_totalprice")))
+            .as("hb"))
+      snapA.join(snapB, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "deleted")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy(col("change_type"))
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS k,
+                    CAST(concat('0x', substr(md5(
+                      o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+                      || '|' || CAST(round((CASE WHEN o_orderkey % 11 = 0
+                                            THEN o_totalprice + 0.01
+                                            ELSE o_totalprice END) * 100, 0) AS BIGINT)
+                      || '|' || epoch_us(o_orderdate) || '|' || o_orderpriority),
+                      1, 15)) AS BIGINT) AS ha
+                 FROM orders WHERE o_orderkey % 13 <> 0),
+           b AS (SELECT o_orderkey AS k,
+                    CAST(concat('0x', substr(md5(
+                      o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+                      || '|' || CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      || '|' || epoch_us(o_orderdate) || '|' || o_orderpriority),
+                      1, 15)) AS BIGINT) AS hb
+                 FROM orders WHERE o_orderkey % 17 <> 0),
+           j AS (SELECT coalesce(a.k, b.k) AS k, ha, hb
+                 FROM a FULL OUTER JOIN b ON a.k = b.k)
+           SELECT CASE WHEN ha IS NULL THEN 'added'
+                       WHEN hb IS NULL THEN 'deleted'
+                       WHEN ha <> hb THEN 'changed'
+                       ELSE 'unchanged' END AS change_type,
+                  count(*) AS n_rows,
+                  min(k) AS min_key, max(k) AS max_key
+           FROM j GROUP BY 1 ORDER BY change_type""")
+  )
+
+  val all: Seq[GQuery] = Seq(q142, q143, q144, q145, q148)
 }

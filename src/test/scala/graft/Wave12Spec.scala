@@ -119,4 +119,21 @@ class Wave12Spec extends SparkSpec {
     assert(tampered.getLong(1) != r.getLong(1), "xor fingerprint must flip")
     assert(tampered.getDecimal(2) != r.getDecimal(2), "sum fingerprint must flip")
   }
+
+  test("q148: diff categories match direct set arithmetic on the key space") {
+    val keys = spark.read.parquet(s"$sfSmoke/orders.parquet")
+      .select("o_orderkey").as[Long].collect().toSet
+    val inA = keys.filter(_ % 13 != 0)
+    val inB = keys.filter(_ % 17 != 0)
+    val want = Map(
+      "added" -> (inB -- inA).size.toLong,
+      "deleted" -> (inA -- inB).size.toLong,
+      // a key present in both changes iff its price was perturbed in A
+      "changed" -> (inA & inB).count(_ % 11 == 0).toLong,
+      "unchanged" -> (inA & inB).count(_ % 11 != 0).toLong)
+    val got = run("q148_snapshot_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.values.sum == (inA ++ inB).size)
+  }
 }
