@@ -319,4 +319,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q145 checksum partial-combines map-side (16-byte partial states)") {
+    val p = plan("q145_table_checksum")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q148 diff is one key-shuffled full-outer join, hash-width payload") {
+    val qe = SparkEntry.queries("q148_snapshot_diff")(spark, sfSmoke).queryExecution
+    val joins = qe.optimizedPlan.collect { case j: logical.Join => j }
+    assert(joins.length == 1, qe.optimizedPlan.toString)
+    assert(joins.head.joinType.sql == "FULL OUTER", joins.head.joinType.sql)
+    // the join must move hashes, never the wide rows: each side's output
+    // is exactly (key, hash)
+    joins.head.children.foreach { side =>
+      assert(side.output.length == 2, side.output.mkString(", "))
+    }
+  }
 }
