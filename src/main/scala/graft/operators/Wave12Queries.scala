@@ -224,6 +224,29 @@ object Wave12Queries {
             GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""")
   )
 
+  /** The q145/s21 canonical lineitem row encoding (one definition, shared
+    * with StreamingSpec/Wave12Spec so batch, stream, and spec hash
+    * byte-identical text — see graft.functions.Canon for the field/NULL
+    * rules). */
+  val lineitemCanon: org.apache.spark.sql.Column = graft.functions.Canon.row(
+    col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+    col("l_linenumber"),
+    round(col("l_quantity") * 100, 0).cast("long"),
+    round(col("l_extendedprice") * 100, 0).cast("long"),
+    round(col("l_discount") * 100, 0).cast("long"),
+    round(col("l_tax") * 100, 0).cast("long"),
+    col("l_returnflag"), col("l_linestatus"),
+    unix_micros(col("l_shipdate")))
+
+  /** DuckDB mirror of [[lineitemCanon]]. */
+  val lineitemCanonSql: String = graft.functions.Canon.rowSql(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "CAST(round(l_quantity * 100, 0) AS BIGINT)",
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)",
+    "CAST(round(l_discount * 100, 0) AS BIGINT)",
+    "CAST(round(l_tax * 100, 0) AS BIGINT)",
+    "l_returnflag", "l_linestatus", "epoch_us(l_shipdate)")
+
   /** q145 — order-free table content checksum: row count plus TWO
     * independent mergeable fingerprints (bit-XOR and exact-decimal sum
     * of per-row md5-60 hashes over a canonical row encoding) of the
@@ -238,43 +261,43 @@ object Wave12Queries {
     * Canonical encoding pins every cross-engine formatting hazard:
     * integers and enum strings as-is, money on the cent grid (exact
     * long), the timestamp as epoch-micros — never a float or timestamp
-    * rendered to text, where engines disagree on trailing digits.
+    * rendered to text, where engines disagree on trailing digits — and
+    * every field NULL-sentinel-encoded (graft.functions.Canon, ADVICE
+    * r7: concat_ws drops nulls while SQL || nullifies the row, so a
+    * nullable column would silently desynchronize the two engines'
+    * checksums AND make the encoding collision-ambiguous).
+    *
+    * OUTPUT CONTRACT (r7 verdict task 1): the fingerprints are emitted
+    * as FIXED-WIDTH STRINGS — xor_fp as 16 lowercase hex digits, sum_fp
+    * as 39 zero-padded decimal digits — because a checksum that exists
+    * to be compared across systems must not depend on any system's
+    * integer/decimal rendering. (The r7 driver hash-red on the raw
+    * BIGINT/DECIMAL(38,0) pair even though the VALUES matched; strings
+    * hash identically everywhere by construction.)
     *
     * Scale notes: ONE map pass + one grouping-free aggregate; no
     * shuffle wider than one 3-field state per partition. */
   private val q145 = GQuery(
     "q145_table_checksum",
     (s, d) => {
-      val canon = concat_ws("|",
-        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_linenumber"),
-        round(col("l_quantity") * 100, 0).cast("long"),
-        round(col("l_extendedprice") * 100, 0).cast("long"),
-        round(col("l_discount") * 100, 0).cast("long"),
-        round(col("l_tax") * 100, 0).cast("long"),
-        col("l_returnflag"), col("l_linestatus"),
-        unix_micros(col("l_shipdate")))
       Tables.lineitem(s, d)
-        .select(graft.functions.TextOps.shingleHash60(canon).as("h"))
+        .select(graft.functions.TextOps.shingleHash60(lineitemCanon).as("h"))
         .agg(count(lit(1)).as("n_rows"),
-          expr("bit_xor(h)").as("xor_fp"),
+          expr("bit_xor(h)").as("_xor"),
           sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .as("sum_fp"))
+            .as("_sum"))
+        .select(col("n_rows"),
+          lower(lpad(hex(col("_xor")), 16, "0")).as("xor_fp"),
+          lpad(col("_sum").cast("string"), 39, "0").as("sum_fp"))
     },
-    Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(
-                         l_orderkey || '|' || l_partkey || '|' || l_suppkey
-                         || '|' || l_linenumber
-                         || '|' || CAST(round(l_quantity * 100, 0) AS BIGINT)
-                         || '|' || CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                         || '|' || CAST(round(l_discount * 100, 0) AS BIGINT)
-                         || '|' || CAST(round(l_tax * 100, 0) AS BIGINT)
-                         || '|' || l_returnflag || '|' || l_linestatus
-                         || '|' || epoch_us(l_shipdate)), 1, 15)) AS BIGINT) AS h
-                       FROM lineitem)
-            SELECT count(*) AS n_rows,
-                   bit_xor(h) AS xor_fp,
-                   CAST(sum(h) AS DECIMAL(38, 0)) AS sum_fp
-            FROM h""")
+    Some(s"""WITH h AS (SELECT CAST(concat('0x', substr(md5(
+                          $lineitemCanonSql), 1, 15)) AS BIGINT) AS h
+                        FROM lineitem)
+             SELECT count(*) AS n_rows,
+                    lower(lpad(hex(bit_xor(h)), 16, '0')) AS xor_fp,
+                    lpad(CAST(CAST(sum(h) AS DECIMAL(38, 0)) AS VARCHAR), 39, '0')
+                      AS sum_fp
+             FROM h""")
   )
 
   /** q148 — snapshot DIFF: classify every key across two versions of the
@@ -294,10 +317,20 @@ object Wave12Queries {
     * hash per row, then a 4-group aggregate with map-side combine.
     * Diffing by hash means the join payload is constant-width no matter
     * how wide the table is. */
+  /** DuckDB mirror of q148's sentinel-encoded orders canon, parameterized
+    * on the price expression (snapshot A perturbs it). */
+  private def ordersCanonSql(priceExpr: String): String =
+    graft.functions.Canon.rowSql(
+      "o_orderkey", "o_custkey", "o_orderstatus",
+      s"CAST(round($priceExpr * 100, 0) AS BIGINT)",
+      "epoch_us(o_orderdate)", "o_orderpriority")
+
   private val q148 = GQuery(
     "q148_snapshot_diff",
     (s, d) => {
-      def canon(price: org.apache.spark.sql.Column) = concat_ws("|",
+      // sentinel-encoded like q145 (Canon): a nullable column must change
+      // the hash, not silently vanish from it
+      def canon(price: org.apache.spark.sql.Column) = graft.functions.Canon.row(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(price * 100, 0).cast("long"),
         unix_micros(col("o_orderdate")), col("o_orderpriority"))
@@ -325,20 +358,16 @@ object Wave12Queries {
           min(col("k")).as("min_key"), max(col("k")).as("max_key"))
         .orderBy(col("change_type"))
     },
-    Some("""WITH a AS (SELECT o_orderkey AS k,
+    Some(s"""WITH a AS (SELECT o_orderkey AS k,
                     CAST(concat('0x', substr(md5(
-                      o_orderkey || '|' || o_custkey || '|' || o_orderstatus
-                      || '|' || CAST(round((CASE WHEN o_orderkey % 11 = 0
-                                            THEN o_totalprice + 0.01
-                                            ELSE o_totalprice END) * 100, 0) AS BIGINT)
-                      || '|' || epoch_us(o_orderdate) || '|' || o_orderpriority),
+                      ${ordersCanonSql("""(CASE WHEN o_orderkey % 11 = 0
+                                          THEN o_totalprice + 0.01
+                                          ELSE o_totalprice END)""")}),
                       1, 15)) AS BIGINT) AS ha
                  FROM orders WHERE o_orderkey % 13 <> 0),
            b AS (SELECT o_orderkey AS k,
                     CAST(concat('0x', substr(md5(
-                      o_orderkey || '|' || o_custkey || '|' || o_orderstatus
-                      || '|' || CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                      || '|' || epoch_us(o_orderdate) || '|' || o_orderpriority),
+                      ${ordersCanonSql("o_totalprice")}),
                       1, 15)) AS BIGINT) AS hb
                  FROM orders WHERE o_orderkey % 17 <> 0),
            j AS (SELECT coalesce(a.k, b.k) AS k, ha, hb

@@ -833,11 +833,17 @@ object StreamOps {
     * everything ingested so far (StreamingSpec asserts equality against
     * q145's aggregate on the same prefix, under arbitrary slicing).
     * Expects the caller to derive the canonical per-row hash `h` the
-    * same way as q145 (Wave12Queries), which keeps the batch/stream
-    * encodings identical by construction. */
+    * same way as q145 (Wave12Queries.lineitemCanon — NULL-sentinel
+    * field encoding per graft.functions.Canon), which keeps the
+    * batch/stream encodings identical by construction. Output mirrors
+    * q145's fixed-width-string fingerprint contract verbatim (16-digit
+    * lowercase hex xor, 39-digit zero-padded decimal sum). */
   def checksumStream(hashed: DataFrame): DataFrame =
     hashed.agg(count(lit(1)).as("n_rows"),
-      expr("bit_xor(h)").as("xor_fp"),
+      expr("bit_xor(h)").as("_xor"),
       sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .as("sum_fp"))
+        .as("_sum"))
+      .select(col("n_rows"),
+        lower(lpad(hex(col("_xor")), 16, "0")).as("xor_fp"),
+        lpad(col("_sum").cast("string"), 39, "0").as("sum_fp"))
 }

@@ -85,29 +85,29 @@ class Wave12Spec extends SparkSpec {
   }
 
   test("q145: checksum is partition-invariant and flips on any row change") {
-    val canon = concat_ws("|",
-      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-      col("l_linenumber"),
-      round(col("l_quantity") * 100, 0).cast("long"),
-      round(col("l_extendedprice") * 100, 0).cast("long"),
-      round(col("l_discount") * 100, 0).cast("long"),
-      round(col("l_tax") * 100, 0).cast("long"),
-      col("l_returnflag"), col("l_linestatus"),
-      unix_micros(col("l_shipdate")))
-    def fp(df: org.apache.spark.sql.DataFrame) = df
-      .select(graft.functions.TextOps.shingleHash60(canon).as("h"))
-      .agg(count(lit(1)), expr("bit_xor(h)"),
-        sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-      .collect().head
+    def fp(df: org.apache.spark.sql.DataFrame) = {
+      val r = df
+        .select(graft.functions.TextOps.shingleHash60(
+          graft.operators.Wave12Queries.lineitemCanon).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("_xor"),
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("_sum"))
+        .select(col("n_rows"),
+          lower(lpad(hex(col("_xor")), 16, "0")),
+          lpad(col("_sum").cast("string"), 39, "0"))
+        .collect().head
+      (r.getLong(0), r.getString(1), r.getString(2))
+    }
     val base = graft.sources.Tables.lineitem(spark, sfSmoke)
     val r = SparkEntry.queries("q145_table_checksum")(spark, sfSmoke)
       .collect().head
+    val want = (r.getLong(0), r.getString(1), r.getString(2))
+    // the fixed-width rendering contract (comparator-proof by shape)
+    assert(r.getString(1).matches("[0-9a-f]{16}"), r.getString(1))
+    assert(r.getString(2).matches("[0-9]{39}"), r.getString(2))
     // partitioning must not matter (the mergeable-combiner property)
-    for (parts <- Seq(1, 7)) {
-      val f = fp(base.repartition(parts))
-      assert((f.getLong(0), f.getLong(1), f.getDecimal(2))
-        == ((r.getLong(0), r.getLong(1), r.getDecimal(2))), s"parts=$parts")
-    }
+    for (parts <- Seq(1, 7))
+      assert(fp(base.repartition(parts)) == want, s"parts=$parts")
     // a one-cent perturbation of one row must flip both fingerprints
     val target = base.orderBy("l_orderkey", "l_linenumber")
       .select("l_orderkey", "l_linenumber").head()
@@ -115,9 +115,24 @@ class Wave12Spec extends SparkSpec {
       when(col("l_orderkey") === target.getLong(0)
         && col("l_linenumber") === target.getInt(1), col("l_tax") + 0.01)
         .otherwise(col("l_tax"))))
-    assert(tampered.getLong(0) == r.getLong(0), "row count unchanged")
-    assert(tampered.getLong(1) != r.getLong(1), "xor fingerprint must flip")
-    assert(tampered.getDecimal(2) != r.getDecimal(2), "sum fingerprint must flip")
+    assert(tampered._1 == want._1, "row count unchanged")
+    assert(tampered._2 != want._2, "xor fingerprint must flip")
+    assert(tampered._3 != want._3, "sum fingerprint must flip")
+    // NULL sentinel (Canon): nulling a field must CHANGE the hash, and
+    // rows differing only in WHICH field is null must hash differently —
+    // the two failure modes of naive concat_ws encoding (ADVICE r7)
+    val nullTax = fp(base.withColumn("l_tax",
+      when(col("l_orderkey") === target.getLong(0)
+        && col("l_linenumber") === target.getInt(1),
+        lit(null).cast("double")).otherwise(col("l_tax"))))
+    val nullDisc = fp(base.withColumn("l_discount",
+      when(col("l_orderkey") === target.getLong(0)
+        && col("l_linenumber") === target.getInt(1),
+        lit(null).cast("double")).otherwise(col("l_discount"))))
+    assert(nullTax._1 == want._1 && nullTax._2 != want._2,
+      "null field must flip the checksum, not vanish from it")
+    assert(nullTax._2 != nullDisc._2,
+      "which-field-is-null must be distinguishable")
   }
 
   test("q148: diff categories match direct set arithmetic on the key space") {
