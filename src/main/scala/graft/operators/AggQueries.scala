@@ -375,8 +375,12 @@ object AggQueries {
     (s, d) => {
       val perUser = Tables.events(s, d)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      // decimal-operand square (ADVICE r7 pattern): a long n² wraps
+      // silently for a >3e9-event user; decimal matches the oracle's exact
+      // integer arithmetic at any magnitude
       val moments = perUser.agg(sum(col("n_events")).as("s1"),
-        sum(col("n_events") * col("n_events")).as("s2"),
+        sum(col("n_events").cast(dec38) * col("n_events").cast(dec38)).as("s2"),
         count(lit(1)).as("nu"))
       perUser.crossJoin(broadcast(moments))
         .withColumn("mu", col("s1").cast("double") / col("nu"))

@@ -1000,12 +1000,15 @@ object DedupQueries {
       val m = edges.agg(count(lit(1)).as("m"))
       dc.agg(count(lit(1)).as("n_components"),
           sum(col("n_v")).as("n_vertices"),
-          sum((col("d_c") * col("d_c")).cast(dec38)).as("sum_dc2"))
+          // decimal-operand product (ADVICE r7): a LongType d_c² wraps
+          // silently past ~3e9 while the oracle multiplies in HUGEINT
+          sum(col("d_c").cast(dec38) * col("d_c").cast(dec38)).as("sum_dc2"))
         .crossJoin(broadcast(m))
         .select(col("m").as("n_edges"), col("n_vertices"),
           col("n_components"),
           when(col("m") > 0, round(
-            (lit(4) * col("m") * col("m") - col("sum_dc2")).cast("double")
+            (lit(4).cast(dec38) * col("m").cast(dec38) * col("m").cast(dec38)
+              - col("sum_dc2")).cast("double")
               / (lit(4.0) * col("m") * col("m")), 6)).as("modularity"))
     },
     Some(CLUSTER_SQL +

@@ -92,28 +92,50 @@ object Ranks {
     * (rank / quantile / prefix-aggregate); works for any algebraic
     * aggregate, instantiated here for sum. */
   def runningSum(df: DataFrame, group: String, orderCols: Seq[Column],
-      value: Column, as: String): DataFrame = {
+      value: Column, as: String): DataFrame =
+    runningSums(df, group, orderCols, Seq(value -> as))
+
+  /** runningSum for SEVERAL value columns of the same relation in ONE
+    * range shuffle: the expensive part is the range repartition + local
+    * sort; each additional running sum is one more accumulator riding the
+    * same slice-local window and the same k-row offsets relation. Callers
+    * needing two parallel CDFs (q141) pay one shuffle instead of two.
+    * Per-value semantics are runningSum's verbatim (including the typed
+    * zero on the offset coalesce). */
+  def runningSums(df: DataFrame, group: String, orderCols: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty)
     val keys = col(group) +: orderCols
-    val sliced = df
-      .repartitionByRange(keys: _*)
-      .withColumn("_slice", spark_partition_id())
-      .withColumn("_v", value)
-    val local = sliced.withColumn("_run", sum(col("_v")).over(
-      Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sliced = values.zipWithIndex.foldLeft(
+      df.repartitionByRange(keys: _*)
+        .withColumn("_slice", spark_partition_id())) {
+      case (acc, ((v, _), i)) => acc.withColumn(s"_v$i", v)
+    }
+    val w = Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = values.indices.foldLeft(sliced) { (acc, i) =>
+      acc.withColumn(s"_run$i", sum(col(s"_v$i")).over(w))
+    }
     // typed zero (_t - _t below): coalescing with a double literal would
     // silently promote integral running sums to DoubleType and break
     // window-equivalence
-    val offsets = sliced.groupBy(col("_slice"), col(group))
-      .agg(sum(col("_v")).as("_t"))
-      .withColumn("_off", sum(col("_t")).over(
-        Window.partitionBy(col(group)).orderBy(col("_slice"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("_slice"), col(group),
-        coalesce(col("_off"), col("_t") - col("_t")).as("_off"))
-    local.join(broadcast(offsets), Seq("_slice", group))
-      .withColumn(as, col("_run") + col("_off"))
-      .drop("_slice", "_v", "_run", "_off")
+    val wOff = Window.partitionBy(col(group)).orderBy(col("_slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totalAggs = values.indices.map(i => sum(col(s"_v$i")).as(s"_t$i"))
+    val offsets = values.indices.foldLeft(
+      sliced.groupBy(col("_slice"), col(group))
+        .agg(totalAggs.head, totalAggs.tail: _*)) { (acc, i) =>
+        acc.withColumn(s"_off$i",
+          coalesce(sum(col(s"_t$i")).over(wOff), col(s"_t$i") - col(s"_t$i")))
+      }
+      .select(col("_slice") +: col(group) +:
+        values.indices.map(i => col(s"_off$i")): _*)
+    val out = values.zipWithIndex.foldLeft(
+      local.join(broadcast(offsets), Seq("_slice", group))) {
+      case (acc, ((_, as), i)) => acc.withColumn(as, col(s"_run$i") + col(s"_off$i"))
+    }
+    out.drop("_slice" +:
+      values.indices.flatMap(i => Seq(s"_v$i", s"_run$i", s"_off$i")): _*)
   }
 
   /** rowNumber and runningSum fused: one range shuffle, one slice-local

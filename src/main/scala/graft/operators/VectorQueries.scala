@@ -659,7 +659,9 @@ object VectorQueries {
         .groupBy((col("pos") + 1).as("dim"))
         .agg(count(lit(1)).as("n"),
           sum(col("v").cast(dec38)).as("s"),
-          sum((col("v") * col("v")).cast(dec38)).as("ss"))
+          // decimal-operand square (ADVICE r7 pattern — see q136/q147):
+          // never multiply in LongType on the way to an exact decimal sum
+          sum(col("v").cast(dec38) * col("v").cast(dec38)).as("ss"))
         .select(col("dim").cast("int").as("dim"), col("n"),
           round(col("s").cast("double") / col("n") / 1000.0, 6).as("mean_value"),
           round((col("ss") * col("n") - col("s") * col("s")).cast("double")

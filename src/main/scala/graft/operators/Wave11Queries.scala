@@ -192,21 +192,27 @@ object Wave11Queries {
     * compute the identical expression on identical integers).
     *
     * Scale notes: one value-keyed count aggregate (map-side combine,
-    * |distinct values| groups), one running sum over that aggregate
-    * (window above Aggregate — value-domain-sized, not row-sized), a
-    * 1-row (n_a, n_b) broadcast, and two 1-row reductions. */
+    * |distinct values| groups) — but for a CONTINUOUS value column
+    * |distinct values| ≈ |rows|, so the two cumulative CDFs must NOT run
+    * through one unpartitioned window over that relation (the r7 cut did,
+    * single-tasking the whole relation — ADVICE r7). Both running sums
+    * ride ONE Ranks.runningSums pass instead: range-sliced local prefix
+    * sums + a k-row broadcast offset relation, the same decomposition as
+    * q65, materialized first per the Ranks input contract (the aggregate
+    * output is shuffled, and the decomposition reads it twice). Then a
+    * 1-row (n_a, n_b) broadcast and two 1-row reductions. */
   private val q141 = GQuery(
     "q141_ks_test",
     (s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
-      val perValue = ev.groupBy(col("value"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
-        .withColumn("cuma", sum(col("ca")).over(Window.orderBy(col("value"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("cumb", sum(col("cb")).over(Window.orderBy(col("value"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val counts = graft.sources.Io.materialize(
+        ev.groupBy(col("value"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+          .withColumn("_g", lit(0)))
+      val perValue = Ranks.runningSums(counts, "_g", Seq(col("value")),
+        Seq(col("ca") -> "cuma", col("cb") -> "cumb")).drop("_g")
       val totals = ev.agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("nb"))

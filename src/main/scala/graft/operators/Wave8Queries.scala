@@ -129,12 +129,17 @@ object Wave8Queries {
     * and cuts bins at TargetBytes boundaries of the exclusive running
     * total — the size-tiered assignment production compactors use.
     *
-    * Scale notes: the ONLY global-window operator in the registry, and
-    * deliberately so — the windowed relation is file METADATA, one row
-    * per file (~800k rows for 100 TB at 128 MB files: catalog scale,
-    * not data scale; this is driver-side work in Delta/Iceberg
-    * planners). The data-sized work (byte totals per file) is one keyed
-    * aggregate with map-side combine. */
+    * Scale notes: a deliberate global-window operator — the windowed
+    * relation is file METADATA, one row per file (~800k rows for 100 TB
+    * at 128 MB files: catalog scale, not data scale; this is driver-side
+    * work in Delta/Iceberg planners). The data-sized work (byte totals
+    * per file) is one keyed aggregate with map-side combine. (The
+    * registry's other unpartitioned windows sit over similarly BOUNDED
+    * aggregate relations — q135's 10 deciles, q137's fixed histogram
+    * grid, q142's day count; anything value-domain-sized routes through
+    * the Ranks decomposition instead, as q141 does — the honest claim is
+    * "no global window over an unbounded relation", not "only one
+    * global window", ADVICE r7.) */
   private val TargetBytes = 16384L
   private val q128 = GQuery(
     "q128_compaction_plan",
@@ -402,7 +407,9 @@ object Wave8Queries {
         .withColumn("t", aggregate(col("qv"), lit(0L), (a, x) => a + x))
         .select(col("t"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy((col("pos") + 1).as("dim"))
-        .agg(sum((col("v") * col("t")).cast(dec38)).as("w"))
+        // decimal-operand product (ADVICE r7): long v·t wraps silently
+        // for large quantized magnitudes; the oracle multiplies in HUGEINT
+        .agg(sum(col("v").cast(dec38) * col("t").cast(dec38)).as("w"))
         .withColumn("nsq",
           sum((col("w") * col("w"))).over(Window.partitionBy()))
         .select(col("dim").cast("int").as("dim"),

@@ -224,6 +224,11 @@ object Wave9Queries {
     * accumulate in exact decimal (order-free); r and the slope derive
     * through one literal double formula on correctly-rounded casts —
     * the q110/q120 moment discipline for products as large as n·Σxy.
+    * The per-row products are computed IN decimal (operands cast before
+    * the multiply, ADVICE r7): a LongType x·x wraps silently in
+    * non-ANSI mode once a feature nears 3e9, while the oracle multiplies
+    * in HUGEINT — decimal-first keeps "exact, order-free" true at any
+    * feature magnitude.
     *
     * Scale notes: ONE map-side-combined aggregate over one scan; state
     * is six numbers. The textbook distributed statistic. */
@@ -232,13 +237,15 @@ object Wave9Queries {
     (s, d) => {
       val dec38 = DecimalType(38, 0)
       def m(c: Column) = sum(c.cast(dec38))
+      // decimal-operand products (never long*long): see scaladoc
+      def mp(a: Column, b: Column) = sum(a.cast(dec38) * b.cast(dec38))
       val stats = fdocs(s, d)
         .select(col("n_chars").as("x"),
           size(tokens(col("text"))).cast("long").as("y"))
         .agg(count(lit(1)).as("n"), m(col("x")).as("sx"), m(col("y")).as("sy"),
-          m(col("x") * col("y")).as("sxy"),
-          m(col("x") * col("x")).as("sxx"),
-          m(col("y") * col("y")).as("syy"))
+          mp(col("x"), col("y")).as("sxy"),
+          mp(col("x"), col("x")).as("sxx"),
+          mp(col("y"), col("y")).as("syy"))
       val cov = (col("sxy") * col("n") - col("sx") * col("sy")).cast("double")
       val vx = (col("sxx") * col("n") - col("sx") * col("sx")).cast("double")
       val vy = (col("syy") * col("n") - col("sy") * col("sy")).cast("double")

@@ -320,6 +320,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q141 CDF prefix sums are range-sliced, never one unpartitioned window") {
+    // The registry sweep's above-an-Aggregate escape hatch is a loophole
+    // here: q141's per-distinct-value relation is ~row-count-sized for a
+    // continuous column, so its running sums must ride the Ranks slice
+    // decomposition (ADVICE r7), not a global Window over the aggregate.
+    val qe = SparkEntry.queries("q141_ks_test")(spark, sfSmoke).queryExecution
+    val ws = qe.optimizedPlan.collect { case w: logical.Window => w }
+    assert(ws.nonEmpty, qe.optimizedPlan.toString)
+    ws.foreach { w =>
+      val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      // legal: slice-local prefix window, or the offsets window over the
+      // k-row per-slice totals aggregate (k = partition count, not data)
+      val overSliceTotals = w.child.collectFirst {
+        case a: logical.Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "_slice")) => a
+      }.isDefined
+      assert(refs.contains("_slice") || overSliceTotals,
+        s"unsliced window partitionSpec=${w.partitionSpec}\n${qe.optimizedPlan}")
+    }
+  }
+
   test("q145 checksum partial-combines map-side (16-byte partial states)") {
     val p = plan("q145_table_checksum")
     assert(p.contains("partial_"), p)
