@@ -43,6 +43,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Pin the oracle environment next to the dump (r7 verdict task 9): a
+    // cross-version DuckDB dialect drift (the q145 class of failure) must
+    // be diagnosable from the round's artifacts alone. Sibling file, NOT
+    // a key inside oracle_sql.json — the comparator iterates that file's
+    // keys as query names and a foreign key would fabricate a FAIL row.
+    val duckdbVersion = try {
+      val p = new ProcessBuilder("python3", "-c",
+        "import duckdb; print(duckdb.__version__)")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unavailable"
+    } catch { case _: Throwable => "unavailable" }
+    Files.writeString(Paths.get(s"$outDir/oracle_env.json"),
+      s"""{"duckdb_version": ${q(duckdbVersion)}, "spark_version": ${q(spark.version)}, "verified_at_utc": ${q(java.time.Instant.now().toString)}}""")
     spark.stop()
   }
 }

@@ -97,13 +97,14 @@ object MultimodalQueries {
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           catch { case _: java.io.IOException => null }
         if (img == null) stubFeatures(payload)
-        else
-          // 16 bits per side in the packed dims feature; real frames are
-          // masked (not clamped) so an oversized dimension truncates
-          // explicitly instead of silently corrupting the other field.
-          ((((img.getWidth & 0xFFFF) << 16) | (img.getHeight & 0xFFFF)),
-            pixelHash(img), payload.length)
+        else (packDims(img.getWidth, img.getHeight), pixelHash(img),
+          payload.length)
       } else stubFeatures(payload)
+
+    /** 16 bits per side in the packed dims feature; dimensions are masked
+      * (not clamped) so an oversized frame truncates its OWN field
+      * explicitly instead of silently corrupting the other one. */
+    def packDims(w: Int, h: Int): Int = ((w & 0xFFFF) << 16) | (h & 0xFFFF)
 
     /** The SQL-expressible stub: first UTF-8 codepoint (U+FFFD for
       * non-text bytes — deterministic), md5-60bit content hash, length. */

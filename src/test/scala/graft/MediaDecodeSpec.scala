@@ -71,6 +71,42 @@ class MediaDecodeSpec extends SparkSpec {
     assert(MediaDecoder.decode(png(c))._2 != fa._2)
   }
 
+  test("undecodable magic-valid payloads fall back to stub features, never kill the job") {
+    // ImageIO.read returns null (it does NOT throw) on a payload that
+    // passes the 8-byte magic sniff but is truncated; readers may also
+    // throw IOException on malformed chunks. Either way one bad payload
+    // must degrade that ROW to the deterministic byte stub, not fail a
+    // distributed decode job (r7 verdict task 2).
+    val good = png(pattern(31, 17, BufferedImage.TYPE_INT_RGB))
+    val truncated = good.take(24) // magic + partial IHDR: sniffs as PNG
+    assert(MediaDecoder.isPng(truncated))
+    val garbageBody = good.take(8) ++ Array.fill[Byte](64)(0x41)
+    assert(MediaDecoder.isPng(garbageBody))
+
+    val out = MultimodalQueries
+      .decodeFeatures(Seq((1L, truncated), (2L, garbageBody), (3L, good))
+        .toDS().repartition(1))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+
+    // both bad rows carry the stub features of their raw bytes
+    assert(out(1L) == ((new String(truncated.take(4), "UTF-8").codePointAt(0),
+      graft.functions.SimHash64.tokenHash60(truncated), truncated.length)))
+    assert(out(2L)._2 == graft.functions.SimHash64.tokenHash60(garbageBody))
+    // and the good row in the same partition still real-decodes
+    assert(out(3L)._1 == ((31 << 16) | 17))
+  }
+
+  test("packed dims mask oversized frames instead of corrupting the other field") {
+    // without the mask, a >65535-px width would bleed into the height
+    // bits (r7 verdict task 5)
+    assert(MediaDecoder.packDims(31, 17) == ((31 << 16) | 17))
+    assert(MediaDecoder.packDims(70000, 17) == (((70000 - 65536) << 16) | 17))
+    assert((MediaDecoder.packDims(70000, 17) & 0xFFFF) == 17,
+      "height field must survive an oversized width")
+    assert(MediaDecoder.packDims(65535, 65535) == 0xFFFFFFFF)
+  }
+
   test("q39 oracle rows are unchanged: text fixture never hits the PNG path") {
     val docs = graft.sources.Tables.documents(spark, sfSmoke)
       .select(org.apache.spark.sql.functions.col("text").cast("binary"))

@@ -69,6 +69,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("file stream over a legacy ns-vintage fixture sees the batch loader's instants") {
+    // The old fixture vintage stores ts as TIMESTAMP(NANOS), which Spark
+    // surfaces as LongType under nanosAsLong — eventsFileStream's
+    // driver-side footer sniff must route that vintage through the exact
+    // ns→us integer conversion the batch loader applies (r7 verdict task
+    // 7: the scaladoc claimed this; now it is held to it). The staged
+    // fixture stores epoch-nanos as int64, which reads back through the
+    // same LongType path as a genuine TIMESTAMP(NANOS) column.
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ns").toString
+    val nsDir = java.nio.file.Files.createTempDirectory("graft_events_ns").toString
+    graft.sources.Tables.events(spark, sfSmoke)
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(nsDir)
+    val q = StreamOps.eventsFileStream(spark, nsDir)
+      .select(col("event_id"), col("ts"))
+      .writeStream.format("memory").queryName("ns_file")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ns_file").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val batch = graft.sources.Tables.events(spark, sfSmoke)
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("s01 in Complete mode emits every window, matching the batch aggregation") {
     val input = MemoryStream[Ev](spark)
     // Complete mode re-emits the full result table each trigger (no
