@@ -1032,6 +1032,63 @@ object DedupQueries {
          FROM agg, mm""")
   )
 
+  /** q149 — asymmetric containment dedup (round 8 wave 13): for every
+    * co-shingle candidate pair, |A∩B| / min(|A|,|B|) — the fraction of
+    * the SMALLER document's shingles present in the larger. Jaccard
+    * (q25) misses subset-style duplication by construction: a page
+    * quoted whole inside a 100×-larger page has Jaccard ≈ 0.01 but
+    * containment 1.0, and training-data pipelines dedup exactly that
+    * shape (boilerplate inclusion, quotation, doc-in-doc aggregation).
+    * Reports both scores plus which doc is the contained one, so the
+    * keep-policy (usually: keep the superset) is one filter away.
+    *
+    * Scale notes: pure consumer of the published standing index
+    * (postings materialized once per session/dir — q25 is the producer);
+    * candidate generation is the same in-bucket orderedPairs as the rest
+    * of the family (never a doc×doc self-join); the per-pair aggregate
+    * carries an 8-byte count. Same shape as q25 — one more column of
+    * arithmetic on the identical relation. */
+  private val q149 = GQuery(
+    "q149_containment_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val shN = postingsFor(s, d)
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      shN.groupBy(col("sgh"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("docs"))
+        .select(explode(orderedPairs(col("docs"))).as("p"))
+        .groupBy(col("p.d1.doc_id").as("doc1"), col("p.d1.nsh").as("nsh1"),
+          col("p.d2.doc_id").as("doc2"), col("p.d2.nsh").as("nsh2"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("containment",
+          col("common") / least(col("nsh1"), col("nsh2")))
+        .filter(col("containment") >= 0.5)
+        .select(col("doc1"), col("doc2"),
+          round(col("containment"), 6).as("containment"),
+          round(col("common") /
+            (col("nsh1") + col("nsh2") - col("common")), 6).as("jaccard"),
+          when(col("nsh1") <= col("nsh2"), col("doc1")).otherwise(col("doc2"))
+            .as("contained_doc"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(SHINGLE_SQL +
+      """, sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+                   FROM sh a JOIN sh b ON a.sgh = b.sgh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         c AS (SELECT doc1, doc2, common, s1.nsh AS nsh1, s2.nsh AS nsh2
+               FROM pairs
+               JOIN sizes s1 ON doc1 = s1.doc_id
+               JOIN sizes s2 ON doc2 = s2.doc_id)
+         SELECT doc1, doc2,
+                round(common * 1.0 / LEAST(nsh1, nsh2), 6) AS containment,
+                round(common * 1.0 / (nsh1 + nsh2 - common), 6) AS jaccard,
+                CASE WHEN nsh1 <= nsh2 THEN doc1 ELSE doc2 END AS contained_doc
+         FROM c
+         WHERE common * 1.0 / LEAST(nsh1, nsh2) >= 0.5
+         ORDER BY doc1, doc2""")
+  )
+
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
-    q100, q104, q111, q117, q138, q146, q147)
+    q100, q104, q111, q117, q138, q146, q147, q149)
 }

@@ -138,6 +138,38 @@ object Ranks {
       values.indices.flatMap(i => Seq(s"_v$i", s"_run$i", s"_off$i")): _*)
   }
 
+  /** Distributed running (prefix) MAX — the second instantiation of the
+    * slice decomposition for an algebraic aggregate: equivalent to
+    * `max(value).over(partitionBy(group).orderBy(orderCols).rowsBetween(
+    * unboundedPreceding, currentRow))`. Local prefix maxima inside
+    * bounded range slices; the per-slice total max rolls forward through
+    * the k-row offsets relation and rejoins broadcast. The first slice
+    * of each group has no predecessor — its offset is null and the
+    * coalesce falls back to the local value, so no sentinel minimum is
+    * ever invented (which would have to be type-dependent). Same input
+    * contract as runningSum (deterministic per-partition row order —
+    * materialize shuffled inputs first). */
+  def runningMax(df: DataFrame, group: String, orderCols: Seq[Column],
+      value: Column, as: String): DataFrame = {
+    val keys = col(group) +: orderCols
+    val sliced = df
+      .repartitionByRange(keys: _*)
+      .withColumn("_slice", spark_partition_id())
+      .withColumn("_v", value)
+    val local = sliced.withColumn("_run", max(col("_v")).over(
+      Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = sliced.groupBy(col("_slice"), col(group))
+      .agg(max(col("_v")).as("_t"))
+      .withColumn("_off", max(col("_t")).over(
+        Window.partitionBy(col(group)).orderBy(col("_slice"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_slice"), col(group), col("_off"))
+    local.join(broadcast(offsets), Seq("_slice", group))
+      .withColumn(as, greatest(col("_run"), coalesce(col("_off"), col("_run"))))
+      .drop("_slice", "_v", "_run", "_off")
+  }
+
   /** rowNumber and runningSum fused: one range shuffle, one slice-local
     * window evaluating both, one offsets aggregate carrying both the row
     * count and the value total per (slice, group). Use when a caller needs

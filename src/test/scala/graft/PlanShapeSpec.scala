@@ -341,6 +341,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q150 resharding audit is one map pass into tiny aggregates — no join, no window") {
+    val qe = SparkEntry.queries("q150_shard_rebalance")(spark, sfSmoke).queryExecution
+    val plan = qe.optimizedPlan
+    assert(plan.collect { case j: logical.Join => j }.isEmpty, plan.toString)
+    assert(plan.collect { case w: logical.Window => w }.isEmpty, plan.toString)
+    assert(qe.executedPlan.toString.contains("partial_"), qe.executedPlan.toString)
+  }
+
+  test("q151 watermark prefix max is range-sliced, never one unpartitioned window") {
+    // same discipline as q141: the arrival-ordered running max over the
+    // raw log is the textbook global-window funnel; it must ride the
+    // Ranks slice decomposition
+    val qe = SparkEntry.queries("q151_watermark_planner")(spark, sfSmoke).queryExecution
+    val ws = qe.optimizedPlan.collect { case w: logical.Window => w }
+    assert(ws.nonEmpty, qe.optimizedPlan.toString)
+    ws.foreach { w =>
+      val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val overSliceTotals = w.child.collectFirst {
+        case a: logical.Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "_slice")) => a
+      }.isDefined
+      assert(refs.contains("_slice") || overSliceTotals,
+        s"unsliced window partitionSpec=${w.partitionSpec}\n${qe.optimizedPlan}")
+    }
+  }
+
   test("q145 checksum partial-combines map-side (16-byte partial states)") {
     val p = plan("q145_table_checksum")
     assert(p.contains("partial_"), p)
