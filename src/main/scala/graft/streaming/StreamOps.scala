@@ -846,4 +846,55 @@ object StreamOps {
       .select(col("n_rows"),
         lower(lpad(hex(col("_xor")), 16, "0")).as("xor_fp"),
         lpad(col("_sum").cast("string"), 39, "0").as("sum_fp"))
+
+  final case class CapEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value: Double)
+  final case class CapAdmit(user_id: Long, event_id: Long, event_type: String,
+      value: Double, seq: Int)
+
+  /** s22 — streaming user-level contribution cap (round-8 wave 14;
+    * streaming twin of batch q153): admit each user's first `cap` events
+    * and drop the rest, maintained incrementally so a scoring/aggregation
+    * pipeline downstream consumes an already-sensitivity-bounded stream.
+    * State per user is ONE integer (admitted-so-far) — bounded by
+    * construction regardless of ingest history, the cheapest state in
+    * the streaming family — and once a user saturates, its state never
+    * changes again (a production deployment can expire saturated users
+    * onto a bloom filter; the fixture test drains everything).
+    *
+    * Admission order: within a micro-batch, (ts_us, event_id) — the
+    * batch twin's sort key — so the drained admitted SET equals q153's
+    * kept set exactly whenever ingestion batches respect event-time
+    * order (the replayable-log deployment; StreamingSpec asserts
+    * equality under arbitrary time-ordered slicing). Under out-of-order
+    * arrival the rule degrades to first-C-by-arrival — the only
+    * retraction-free semantics a stream can offer, and the standard one
+    * (a DP budget, once spent on an event, is spent).
+    *
+    * Each admitted event is emitted exactly once, stamped with its
+    * admission sequence number; a crash-replayed batch reloads the
+    * pre-batch counter and re-emits byte-identical admissions
+    * (StreamingSpec injects the crash). Update mode, like the rest of
+    * the flatMapGroupsWithState family. */
+  def contributionCapStream(events: Dataset[CapEvent], cap: Int)
+      : Dataset[CapAdmit] = {
+    import events.sparkSession.implicits._
+    require(cap > 0)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, CapAdmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[CapEvent], state: GroupState[Int]) =>
+          val admitted = state.getOption.getOrElse(0)
+          if (admitted >= cap) Iterator.empty
+          else {
+            val take = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+              .take(cap - admitted)
+            state.update(admitted + take.length)
+            take.iterator.zipWithIndex.map { case (e, i) =>
+              CapAdmit(user, e.event_id, e.event_type, e.value,
+                admitted + i + 1)
+            }
+          }
+      }
+  }
 }

@@ -1336,4 +1336,102 @@ class StreamingSpec extends SparkSpec {
       assert(snap.getString(2).matches("[0-9]{39}"))
     } finally q.stop()
   }
+
+  /** The s22 fixture feed: sfSmoke events as CapEvent rows, globally
+    * (ts, event_id)-sorted so time-ordered slices model the
+    * replayable-log deployment the batch-equality contract assumes. */
+  private def capEvents() = graft.sources.Tables.events(spark, sfSmoke)
+    .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"), col("value"))
+    .as[StreamOps.CapEvent].collect()
+    .sortBy(e => (e.ts_us, e.event_id)).toSeq
+
+  test("s22 contribution cap converges to the q153 kept set under slicing") {
+    val dir = java.nio.file.Files.createTempDirectory("s22_conv").toString
+    val in = s"$dir/in"
+    val all = capEvents()
+    val cap = graft.operators.Wave14Queries.ContributionCap
+    // three time-ordered slices of deliberately unequal size
+    val cuts = Seq(all.length / 5, all.length / 2, all.length)
+    var prev = 0
+    cuts.zipWithIndex.foreach { case (c, i) =>
+      feedFile(all.slice(prev, c).toDF(), in, s"f$i"); prev = c
+    }
+    val q = updateSink(StreamOps.contributionCapStream(
+      spark.readStream.schema(all.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.CapEvent], cap), s"$dir/out")
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.read.parquet(s"$dir/out/rows")
+      .select("user_id", "event_id", "event_type", "value", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getInt(4)))
+    // exactly-once: no event admitted twice
+    assert(admitted.map(_._2).distinct.length == admitted.length)
+    // per-user: seq is 1..n, n <= cap
+    admitted.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.length <= cap, s"user $u over cap")
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length).toSeq, s"user $u seq")
+    }
+    // the drained kept set equals the batch twin's: first cap per user
+    val want = all.groupBy(_.user_id).flatMap { case (_, es) =>
+      es.sortBy(e => (e.ts_us, e.event_id)).take(cap)
+    }.map(_.event_id).toSet
+    assert(admitted.map(_._2).toSet == want)
+    // and the per-type aggregate of the admitted stream equals q153
+    val byType = admitted.groupBy(_._3).map { case (t, rs) =>
+      t -> (rs.length.toLong,
+        rs.map(r => BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }
+    SparkEntry.queries("q153_contribution_cap")(spark, sfSmoke).collect()
+      .foreach { r =>
+        val t = r.getString(0)
+        assert(byType.get(t).map(_._1).getOrElse(0L) == r.getLong(2), s"n_capped($t)")
+        if (r.getLong(2) > 0)
+          assert(byType(t)._2 == r.getDouble(5), s"sum_capped($t)")
+      }
+  }
+
+  test("s22 contribution cap crash-replay re-admits identically, never over-caps") {
+    val dir = java.nio.file.Files.createTempDirectory("s22_crash").toString
+    val in = s"$dir/in"
+    val all = capEvents()
+    val cap = graft.operators.Wave14Queries.ContributionCap
+    val third = all.length / 3
+    def feed(i: Int): Unit =
+      feedFile(all.slice(i * third,
+        if (i == 2) all.length else (i + 1) * third).toDF(), in, s"f$i")
+    def start() = updateSink(StreamOps.contributionCapStream(
+      spark.readStream.schema(all.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.CapEvent], cap), s"$dir/out")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    // crash window: batch 1's admissions committed to the sink, the
+    // checkpoint commit lost — the restarted query replays batch 1
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val admitted = spark.read.parquet(s"$dir/out/rows")
+      .select("user_id", "event_id", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // replay determinism: each admitted event carries ONE seq, appears once
+    admitted.groupBy(_._2).foreach { case (id, rs) =>
+      assert(rs.length == 1, s"event $id admitted ${rs.length} times")
+    }
+    // the cap survived the replay: nobody exceeds it, seqs stay dense
+    admitted.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.length <= cap, s"user $u over cap after replay")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq, s"user $u seq")
+    }
+    // and the final kept set still equals the batch rule over all 3 slices
+    val want = all.groupBy(_.user_id).flatMap { case (_, es) =>
+      es.sortBy(e => (e.ts_us, e.event_id)).take(cap)
+    }.map(_.event_id).toSet
+    assert(admitted.map(_._2).toSet == want)
+  }
 }
