@@ -847,6 +847,54 @@ object StreamOps {
         lower(lpad(hex(col("_xor")), 16, "0")).as("xor_fp"),
         lpad(col("_sum").cast("string"), 39, "0").as("sum_fp"))
 
+  /** s23 — streaming calibration monitor (round-8 wave 16; the windowed
+    * sibling of batch q158): per closed tumbling window and confidence
+    * decile, the reliability row (n, mean confidence, observed rate,
+    * gap) plus the bucket Brier score. This is the monitor a deployed
+    * model-scored filter (s09's consumer) runs continuously: a decile
+    * drifting off the diagonal means the model's confidence stopped
+    * meaning what it meant at training time — visible per window,
+    * before downstream yield shifts would reveal it.
+    *
+    * The confidence is the event's value mapped onto the milli grid
+    * (value·2 clamped to [0,999] — the fixture's value domain is
+    * [0,512)); the outcome is drawn at probability p from the event id's
+    * md5 (the q158 synthetic-truth convention, so ground truth is known
+    * and every field is assertable). A production deployment replaces
+    * both lines with its real score/outcome columns; the windowed
+    * arithmetic — integer (p_milli − 1000y)² partials, one division per
+    * output field — is the operator.
+    *
+    * Scale/state: per (window, decile) the state is 4 longs (count and
+    * three sums, all vector-addition mergeable, partial-combined
+    * map-side) — ≤ 10 rows per open window regardless of event volume;
+    * the watermark closes windows and bounds the open set. Append mode:
+    * each (window, decile) row emits exactly once (FileStreamSink
+    * crash-replay contract, StreamingSpec-injected). */
+  def calibrationStream(events: DataFrame): DataFrame = {
+    val pm = least(lit(999L), greatest(lit(0L),
+      (col("value") * 2).cast("long")))
+    val y = when(pmod(graft.functions.TextOps.shingleHash60(
+      col("event_id").cast("string")), lit(1000)) < col("p_milli"), 1L)
+      .otherwise(0L)
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("p_milli", pm)
+      .withColumn("y", y)
+      .withColumn("bucket", (col("p_milli") / 100).cast("int"))
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("p_milli")).as("sp"),
+        sum(col("y")).as("sy"),
+        sum((col("p_milli") - col("y") * 1000L)
+          * (col("p_milli") - col("y") * 1000L)).as("sq"))
+      .select(col("window.start").as("win_start"), col("bucket"), col("n"),
+        round(col("sp") / (col("n") * 1000.0), 6).as("mean_p"),
+        round(col("sy") / col("n"), 6).as("obs_rate"),
+        round(col("sp") / (col("n") * 1000.0) - col("sy") / col("n"), 6)
+          .as("gap"),
+        round(col("sq") / (col("n") * 1000000.0), 6).as("brier"))
+  }
+
   final case class CapEvent(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String, value: Double)
   final case class CapAdmit(user_id: Long, event_id: Long, event_type: String,

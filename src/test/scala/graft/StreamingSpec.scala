@@ -1434,4 +1434,65 @@ class StreamingSpec extends SparkSpec {
     }.map(_.event_id).toSet
     assert(admitted.map(_._2).toSet == want)
   }
+
+  /** Driver-side replay of s23's reliability arithmetic for a closed
+    * window fed with event ids/values known to the test. */
+  private def calibRows(evs: Seq[(Long, Double)]): Map[Int, (Long, Double, Double, Double, Double)] = {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    evs.map { case (id, v) =>
+      val p = math.min(999L, math.max(0L, (v * 2).toLong))
+      val y = if (h60(id.toString) % 1000 < p) 1L else 0L
+      (p, y)
+    }.groupBy(_._1 / 100).map { case (b, rs) =>
+      val n = rs.size.toLong
+      val sp = rs.map(_._1).sum
+      val sy = rs.map(_._2).sum
+      val sq = rs.map(r => (r._1 - 1000 * r._2) * (r._1 - 1000 * r._2)).sum
+      b.toInt -> ((n, r6(sp / (n * 1000.0)), r6(sy.toDouble / n),
+        r6(sp / (n * 1000.0) - sy.toDouble / n), r6(sq / (n * 1000000.0))))
+    }
+  }
+
+  test("s23 calibration monitor matches a driver-side reliability replay") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.calibrationStream(input.toDF())
+      .writeStream.format("memory").queryName("s23_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: values 1..450 span all ten deciles (p = 2v, up to 900)
+      val evs = (1 to 450).map(i => ev(i, i % 60, value = i.toDouble))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(ev(9999, 400)) // close hour 0
+      q.processAllAvailable()
+      val rows = spark.table("s23_out").collect()
+        .filter(_.getTimestamp(0) == ts(0))
+        .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+      val want = calibRows((1 to 450).map(i => (i.toLong, i.toDouble)))
+      assert(rows == want)
+      assert(rows.keySet == (0 to 9).toSet, "clamped values must fill all deciles")
+      assert(rows.values.map(_._1).sum == 450)
+    } finally q.stop()
+  }
+
+  test("s23 calibration monitor crash-replay emits each window-decile once") {
+    val rows = windowedCrashReplay("s23", StreamOps.calibrationStream)
+    val h0 = rows.filter(_.getTimestamp(0) == ts(0))
+    val want = calibRows((1 to 200).map(i => (i.toLong, i.toDouble)))
+    assert(h0.length == want.size, s"hour-0 deciles emitted ${h0.length}")
+    val got = h0.map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == want)
+    // no (window, decile) pair emitted twice anywhere
+    val keys = rows.map(r => (r.getTimestamp(0), r.getInt(1))).toSeq
+    assert(keys.distinct.length == keys.length)
+  }
 }
