@@ -127,15 +127,18 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val peakKb = graft.util.PeakRss.kb()
 
-    // Full-precision, full-key detail for the judge — written to a repo
-    // file because the driver's stdout capture truncates long lines
-    // (round 2's bench line lost its head and parsed as null).
+    // Full-precision, full-key detail for the judge — written to repo
+    // files because the driver's stdout capture truncates long lines
+    // (round 2's bench line lost its head and parsed as null; round 8's
+    // 158-key compact map outgrew the ~2 KB tail window the same way).
+    // Paths are cwd-relative (the bench runs via `sbt runMain` from the
+    // repo root) with env overrides, so a clone at any location works.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","phases":${phases.report},"peak_rss_kb":$peakKb}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "/root/repo/BENCH_DETAIL.json")
+      "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -148,36 +151,43 @@ object Bench {
       val stamped = detail.replaceFirst("\\{",
         s"""{"at":"${java.time.Instant.now()}","host_cpus":$cpus,"reps":$reps,""")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.jsonl"),
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),
         (stamped + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] history append failed: ${e.getMessage}") }
-
-    // The ONE stdout line stays under ~1 KB so no capture buffer can
-    // truncate it: per-query keys compacted to their q## prefix and
-    // seconds rounded to 3 decimals (full precision lives in the detail
-    // file above).
+    // BENCH_LAST.json — the canonical machine-readable record (README):
+    // the FULL per-query map at 3-decimal precision, one line, in a bare
+    // file nothing can truncate or trail.
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qsShort = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","peak_rss_kb":$peakKb}"""
-    println(line)
-    // Parse-contract backstop (r7: the driver's BENCH record carried
-    // parsed:null because sbt's [success] trailer follows the stdout line
-    // and its capture window clipped the JSON). The SAME line also lands
-    // in a bare single-line file nothing can truncate or trail —
-    // documented in README as the canonical machine-readable record.
+    val lastLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"sf":"$sfDir","peak_rss_kb":$peakKb}"""
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"),
-      (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_LAST", "BENCH_LAST.json")),
+      (lastLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LAST write failed: ${e.getMessage}") }
+
+    // The ONE stdout line must survive the driver's ~2 KB tail-capture
+    // window WITH sbt's [success] trailer after it (r7/r8 both lost the
+    // head of a long line to that window). 158 per-query entries no
+    // longer fit, so stdout carries a SHORT summary — total, query
+    // count, the slowest few for at-a-glance triage, and a pointer to
+    // the full map — and stays well under 0.5 KB at any registry size.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"5 slowest; full map in BENCH_LAST.json","sf":"$sfDir","peak_rss_kb":$peakKb}"""
+    println(line)
     spark.stop()
   }
 }

@@ -33,10 +33,19 @@ object Wave13Queries {
     * of "key:s"; argmax positions and counts are exact integers; the two
     * fractions are one double division each, rounded.
     *
-    * Scale notes: ONE map pass (a 12-element array of hashes per key —
-    * no explode, no join, no shuffle of anything data-sized) into a
-    * 12-group aggregate with map-side combine, then a 1-row reduction.
-    * The plan a 10^12-key resharding dry-run wants. */
+    * Scale notes: ONE map pass (a [[ShardsNew]]-element array of hashes
+    * per key — no explode, no join, no shuffle of anything data-sized)
+    * into a [[ShardsNew]]-group aggregate with map-side combine, then a
+    * 1-row reduction. The plan shape is what a 10^12-key resharding
+    * dry-run wants, but note the per-key CPU cost is O(shards) md5
+    * evaluations BY DESIGN: md5 is this repo's oracle-portability
+    * contract (the one keyed hash both engines evaluate bit-identically),
+    * not a production choice. A 1000-shard dry-run keeps the identical
+    * plan and swaps the hash kernel for a cheap keyed mix
+    * (xxhash64(key, shard) is built into Spark) — and at very large
+    * shard counts HRW itself is typically replaced by a top-w jump/
+    * anchor-hash variant so the per-key work is O(log shards), a kernel
+    * swap inside the same one-map-pass shape, not a new plan. */
   private val q150 = GQuery(
     "q150_shard_rebalance",
     (s, d) => {

@@ -121,19 +121,29 @@ object Wave15Queries {
     *
     * Scale notes: candidate generation is one equi-join on the blocking
     * key — never a cross join; per-block cost |A_b|·|B_b| is the knob
-    * conjunctive blocking controls, and the production path widens the
-    * suffix (right-k: key space 10^k) with corpus size exactly like
-    * Geometry.adaptiveBits widens LSH bands. The three u-statistics and
-    * the row count are 1-row broadcast relations. */
+    * conjunctive blocking controls, and the suffix width IS
+    * corpus-adaptive: right-k where 10^k ∝ n at constant expected
+    * block occupancy [[BlkOcc]] (Geometry.adaptiveDigits, the same
+    * statistics-driven-geometry discipline as q41's LSH band bits —
+    * driver-side parquet-metadata count, exact integer arithmetic,
+    * SQL-mirrored so both engines always pick the same width; the
+    * floor pins every corpus ≤ 10^4·occ rows to the historical
+    * right-4 fixture geometry). The three u-statistics and the row
+    * count are 1-row broadcast relations. */
+  private val BlkOcc = 10L
+  private val BlkFloor = 4
+  private val BlkCap = 9
   private val q156 = GQuery(
     "q156_record_linkage",
     (s, d) => {
       val cust = Tables.customer(s, d)
+      val n = cust.count() // parquet metadata scalar
+      val bw = graft.util.Geometry.adaptiveDigits(n, BlkOcc, BlkFloor, BlkCap)
       val clean = cust.select(col("c_custkey").as("key_a"),
         col("c_name").as("name_a"), col("c_mktsegment").as("seg_a"),
         col("c_nationkey").as("nat_a"),
         floor(col("c_acctbal") / 1000d).cast("bigint").as("kb"),
-        expr("right(c_name, 4)").as("blk"))
+        expr(s"right(c_name, $bw)").as("blk"))
       val dirty = cust
         .withColumn("h", TextOps.shingleHash60(
           concat(col("c_custkey").cast("string"), lit(":lk"))))
@@ -146,7 +156,7 @@ object Wave15Queries {
           when(pmod(col("h"), lit(5)) === 0, pmod(col("c_nationkey") + 1, lit(25)))
             .otherwise(col("c_nationkey")).as("nat_b"),
           floor(col("c_acctbal") / 1000d).cast("bigint").as("kb"),
-          expr("right(c_name, 4)").as("blk"))
+          expr(s"right(c_name, $bw)").as("blk"))
       def uStat(c: String, out: String) = clean
         .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
         .agg((sum(col("cnt") * col("cnt")).cast("double")
@@ -173,16 +183,25 @@ object Wave15Queries {
           sum(when(col("key_a") === col("key_b") && col("score") > ScoreHi, 1L)
             .otherwise(0L)).as("true_matched"))
         .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_clean"))))
+        // degenerate-corpus guard (no pair scored above ScoreHi →
+        // n_match = 0): precision is undefined, not a divide-by-zero —
+        // both engines emit NULL through the same explicit CASE (the
+        // q143 z-test precedent), so the hash gate cannot depend on
+        // either engine's x/0 convention
         .select(col("n_clean"), col("n_cand"), col("n_match"), col("n_review"),
           col("n_nonmatch"), col("true_in_cand"), col("true_matched"),
-          round(col("true_matched") / col("n_match"), 6).as("precision"),
+          when(col("n_match") > 0,
+            round(col("true_matched") / col("n_match"), 6)).as("precision"),
           round(col("true_matched") / col("n_clean"), 6).as("recall"))
     },
-    Some(s"""WITH clean AS (SELECT c_custkey AS key_a, c_name AS name_a,
+    Some(s"""WITH bc AS (SELECT ${graft.util.Geometry.adaptiveDigitsSql(
+                     "count(*)", BlkOcc, BlkFloor, BlkCap)} AS w
+              FROM customer),
+          clean AS (SELECT c_custkey AS key_a, c_name AS name_a,
                      c_mktsegment AS seg_a, c_nationkey AS nat_a,
                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS kb,
-                     right(c_name, 4) AS blk
-              FROM customer),
+                     right(c_name, bc.w) AS blk
+              FROM customer, bc),
           dirty AS (SELECT c_custkey AS key_b,
                        CASE WHEN h % 10 = 0
                             THEN concat('Custmoer', substring(c_name, 9))
@@ -192,11 +211,11 @@ object Wave15Queries {
                        CASE WHEN h % 5 = 0 THEN (c_nationkey + 1) % 25
                             ELSE c_nationkey END AS nat_b,
                        CAST(floor(c_acctbal / 1000) AS BIGINT) AS kb,
-                       right(c_name, 4) AS blk
+                       right(c_name, bc.w) AS blk
                 FROM (SELECT *, CAST(concat('0x', substr(md5(
                          concat(CAST(c_custkey AS VARCHAR), ':lk')), 1, 15))
                          AS BIGINT) AS h
-                      FROM customer)),
+                      FROM customer), bc),
           un AS (SELECT CAST(sum(cnt * cnt) AS DOUBLE)
                         / (sum(cnt) * sum(cnt)) AS u_name
                  FROM (SELECT count(*) AS cnt FROM clean GROUP BY name_a)),
@@ -228,10 +247,11 @@ object Wave15Queries {
                    AS BIGINT) AS true_in_cand,
                  CAST(sum(CASE WHEN key_a = key_b AND score > $ScoreHi
                    THEN 1 ELSE 0 END) AS BIGINT) AS true_matched,
-                 round(CAST(sum(CASE WHEN key_a = key_b AND score > $ScoreHi
-                   THEN 1 ELSE 0 END) AS DOUBLE)
-                   / sum(CASE WHEN score > $ScoreHi THEN 1 ELSE 0 END), 6)
-                   AS precision,
+                 CASE WHEN sum(CASE WHEN score > $ScoreHi THEN 1 ELSE 0 END) > 0
+                   THEN round(CAST(sum(CASE WHEN key_a = key_b AND score > $ScoreHi
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN score > $ScoreHi THEN 1 ELSE 0 END), 6)
+                   END AS precision,
                  round(CAST(sum(CASE WHEN key_a = key_b AND score > $ScoreHi
                    THEN 1 ELSE 0 END) AS DOUBLE) / n_clean, 6) AS recall
           FROM cand CROSS JOIN n GROUP BY n_clean""")

@@ -56,9 +56,16 @@ object Wave16Queries {
             * ((col("n11") + col("n01")) / col("n"))
             + ((col("n01") + col("n00")) / col("n"))
             * ((col("n10") + col("n00")) / col("n")))
+        // degenerate-corpus guard (single-sided labels → pe = 1):
+        // kappa is undefined, not a divide-by-zero — both engines emit
+        // NULL through the same explicit CASE (the q143 z-test
+        // precedent), so the hash gate cannot depend on either
+        // engine's x/0 convention
         .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
           round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
-          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
+          when(col("pe") =!= 1.0,
+            round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+            .as("kappa"))
     },
     Some("""WITH l AS (SELECT
                   (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':s')), 1, 15)) AS BIGINT) % 100
@@ -83,7 +90,8 @@ object Wave16Queries {
                  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
                  CAST(n00 AS BIGINT) AS n00,
                  round(po, 6) AS po, round(pe, 6) AS pe,
-                 round((po - pe) / (1.0 - pe), 6) AS kappa
+                 CASE WHEN pe <> 1.0
+                      THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
           FROM p""")
   )
 

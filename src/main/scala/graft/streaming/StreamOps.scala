@@ -923,7 +923,14 @@ object StreamOps {
     * admission sequence number; a crash-replayed batch reloads the
     * pre-batch counter and re-emits byte-identical admissions
     * (StreamingSpec injects the crash). Update mode, like the rest of
-    * the flatMapGroupsWithState family. */
+    * the flatMapGroupsWithState family.
+    *
+    * Executor memory per group is O(cap), NOT O(group size): the
+    * smallest `cap - admitted` events by (ts_us, event_id) are selected
+    * with a bounded max-heap while the group's iterator streams past —
+    * a bot user contributing a million events in one micro-batch (the
+    * exact adversary this operator exists to bound) costs the heap only
+    * `cap` slots, never a group-sized materialization. */
   def contributionCapStream(events: Dataset[CapEvent], cap: Int)
       : Dataset[CapAdmit] = {
     import events.sparkSession.implicits._
@@ -935,8 +942,22 @@ object StreamOps {
           val admitted = state.getOption.getOrElse(0)
           if (admitted >= cap) Iterator.empty
           else {
-            val take = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
-              .take(cap - admitted)
+            val need = cap - admitted
+            // bounded selection: max-heap of the `need` smallest seen
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[CapEvent](Ordering.by(e => (e.ts_us, e.event_id)))
+            rows.foreach { e =>
+              if (heap.size < need) heap.enqueue(e)
+              else {
+                val top = heap.head
+                if (Ordering.Tuple2[Long, Long].lt(
+                    (e.ts_us, e.event_id), (top.ts_us, top.event_id))) {
+                  heap.dequeue(); heap.enqueue(e)
+                }
+              }
+            }
+            // dequeueAll yields largest-first; reverse = admission order
+            val take = heap.dequeueAll.reverse
             state.update(admitted + take.length)
             take.iterator.zipWithIndex.map { case (e, i) =>
               CapAdmit(user, e.event_id, e.event_type, e.value,

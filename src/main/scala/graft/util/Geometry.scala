@@ -52,6 +52,21 @@ object Geometry {
     math.min(cap, math.max(floor, 1 << (ceilLog2(n) / 2)))
   }
 
+  /** Decimal blocking-key width for string-suffix blocking (q156): the
+    * smallest k with 10^k >= ceil(n / occ) — i.e. key space ∝ n at a
+    * constant expected block occupancy `occ` — clamped to [floor, cap].
+    * Decimal (not binary) because the key IS a digit suffix: right(name,
+    * k) spans exactly 10^k values. Same exactness discipline as
+    * [[adaptiveBits]]: ceil-div then decimal digit count of (m-1), no
+    * float logs, mirrored verbatim in [[adaptiveDigitsSql]]. */
+  def adaptiveDigits(n: Long, occ: Long, floor: Int, cap: Int): Int = {
+    require(floor <= cap, s"floor $floor > cap $cap")
+    require(occ >= 1)
+    val m = (n + occ - 1L) / occ
+    val k = if (m <= 1L) 0 else java.lang.Long.toString(m - 1L).length
+    math.min(cap, math.max(floor, k))
+  }
+
   /** DuckDB mirror of [[adaptiveBits]] over an aggregate count expression.
     * `length(bin(c-1))` IS bitLength(c-1) = ceilLog2(c) for c >= 2; the
     * CASE guards c <= 1 (bin(-1) / bin(0) never evaluated). */
@@ -59,6 +74,15 @@ object Geometry {
     s"""GREATEST($floor, LEAST($cap,
         CASE WHEN $countExpr > 1
              THEN length(bin(CAST($countExpr AS BIGINT) - 1)) - $occLog2
+             ELSE $floor END))"""
+
+  /** DuckDB mirror of [[adaptiveDigits]] over an aggregate count
+    * expression. `length(CAST(m - 1 AS VARCHAR))` IS the decimal digit
+    * count of m-1 = ceilLog10(m) for m >= 2; the CASE guards m <= 1. */
+  def adaptiveDigitsSql(countExpr: String, occ: Long, floor: Int, cap: Int): String =
+    s"""GREATEST($floor, LEAST($cap,
+        CASE WHEN $countExpr > $occ
+             THEN length(CAST((($countExpr + $occ - 1) // $occ) - 1 AS VARCHAR))
              ELSE $floor END))"""
 
   /** DuckDB mirror of [[adaptiveCodebook]]. */

@@ -70,5 +70,38 @@ class GeometrySpec extends AnyFunSuite {
     assert(bits == bits.sorted)
     val cb = sweep.filter(_ >= 0).sorted.map(Geometry.adaptiveCodebook(_, 16, 32768))
     assert(cb == cb.sorted)
+    val dig = sweep.filter(_ >= 0).sorted.map(Geometry.adaptiveDigits(_, 10, 4, 9))
+    assert(dig == dig.sorted)
+  }
+
+  test("adaptiveDigits matches clamp(ceil(log10(ceil(n/occ)))) exactly, decade boundaries included") {
+    val decades = (0 to 12).flatMap(e => {
+      val p = BigInt(10).pow(e).toLong
+      Seq(p - 1, p, p + 1)
+    }).filter(_ >= 0)
+    for (n <- sweep ++ decades; occ <- Seq(1L, 10L, 64L)) {
+      val got = Geometry.adaptiveDigits(n, occ, 4, 9)
+      val m = (n + occ - 1) / occ
+      // real-valued reference via BigInt: smallest k with 10^k >= m
+      val exact =
+        if (m <= 1) 0
+        else (0 to 19).find(k => BigInt(10).pow(k) >= BigInt(m)).get
+      assert(got == math.min(9, math.max(4, exact)), s"n=$n occ=$occ m=$m")
+    }
+  }
+
+  test("adaptiveDigits reproduces q156's blocking geometry at the measured scales") {
+    // fixtures (sf0.01 1500 / sf0.1 15000 customers) stay on the
+    // historical right-4 key; sf1 (150k) and sf3 (450k) widen to 5
+    assert(Geometry.adaptiveDigits(1500, 10, 4, 9) == 4)
+    assert(Geometry.adaptiveDigits(15000, 10, 4, 9) == 4)
+    assert(Geometry.adaptiveDigits(150000, 10, 4, 9) == 5)
+    assert(Geometry.adaptiveDigits(450000, 10, 4, 9) == 5)
+    // exact decade boundary: n/occ a power of 10
+    assert(Geometry.adaptiveDigits(100000, 10, 4, 9) == 4)  // 10^4 == 10000
+    assert(Geometry.adaptiveDigits(100001, 10, 4, 9) == 5)
+    // degenerate corpora fall to the clamp floor, never to an error
+    assert(Geometry.adaptiveDigits(0, 10, 4, 9) == 4)
+    assert(Geometry.adaptiveDigits(1, 10, 4, 9) == 4)
   }
 }

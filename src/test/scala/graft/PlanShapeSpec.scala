@@ -347,6 +347,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.collect { case j: logical.Join => j }.isEmpty, plan.toString)
     assert(plan.collect { case w: logical.Window => w }.isEmpty, plan.toString)
     assert(qe.executedPlan.toString.contains("partial_"), qe.executedPlan.toString)
+    // the per-key hash grid is O(shards) md5s by contract (scaladoc):
+    // exactly ONE sequence(0, ShardsNew-1) materializes it, and the
+    // shard-grid constant is what bounds the array length (asserted on
+    // the analyzed plan — the optimizer folds the literal sequence)
+    val analyzed = qe.analyzed.toString
+    val seqs = analyzed.split("sequence\\(0, ").length - 1
+    assert(seqs == 1, s"expected exactly one shard-grid sequence: $analyzed")
+    assert(analyzed.contains("sequence(0, 11"), analyzed)
   }
 
   test("q151 watermark prefix max is range-sliced, never one unpartitioned window") {
