@@ -113,9 +113,10 @@ object VectorQueries {
     * nearest centroid (deterministic tie-break), query probes the 2
     * closest buckets and brute-forces only inside them.
     *
-    * Centroid assignment is MAP-ONLY: the codebook is collapsed to a single
-    * broadcast row (array of (cid, cvec) structs) and the per-row argmax is
-    * one projection — `array_max` over (similarity, -cid) structs, so ties
+    * Centroid assignment is MAP-ONLY via the shared VectorOps.assignCells
+    * kernel (also the streaming s24 assigner — one kernel, no drift):
+    * codebook collapsed to a single broadcast row, per-row argmax as one
+    * projection — `array_max` over (similarity, -cid) structs, so ties
     * resolve to the smallest cid exactly like the SQL `row_number` oracle.
     * No ×B row expansion and no vec_id shuffle: at B=4096 centroids ×
     * 10^10 rows this stays a single pass over the data (the round-1
@@ -126,14 +127,9 @@ object VectorQueries {
       CosineSim.register(s)
       val cents = emb(s, d).filter(col("vec_id") < codebookSize(s, d))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val centsArr = cents
-        .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      val assigned = femb(s, d).crossJoin(broadcast(centsArr))
-        .withColumn("best", array_max(transform(col("cents"), c =>
-          struct(round(CosineSim(col("embedding"), c.getField("cvec")), 6).as("csim"),
-            (-c.getField("cid")).as("ncid")))))
-        .select(col("vec_id"), col("embedding"),
-          (-col("best").getField("ncid")).as("cid"))
+      val centsArr = VectorOps.centroidArray(cents)
+      val assigned = VectorOps.assignCells(femb(s, d), centsArr)
+        .select(col("vec_id"), col("embedding"), col("cid"))
       val qv = queryVec(s, d)
       val probeBuckets = cents.crossJoin(broadcast(qv))
         .select(col("cid"), round(CosineSim(col("cvec"), col("qv")), 6).as("qsim"))

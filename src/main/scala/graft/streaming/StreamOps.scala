@@ -966,4 +966,35 @@ object StreamOps {
           }
       }
   }
+
+  /** s24 — streaming IVF cell assignment (round-9; streaming twin of
+    * batch q37's index build): every arriving embedding is assigned to
+    * its nearest codebook centroid map-only, emitting (vec_id, cid,
+    * csim) — the ingest-time half of an ANN index. Batch builds the
+    * codebook and the standing index once (q37/q102); after that THIS is
+    * the only per-vector work ingest ever does, and the assigned stream
+    * lands directly in the index's cell layout (partitionBy(cid) at the
+    * sink), ready for q94-style in-cell probes.
+    *
+    * ZERO streaming state (the s06 pattern): assignment is a stateless
+    * projection through the SAME VectorOps.assignCells kernel the batch
+    * path uses — one kernel, so stream and batch can never disagree
+    * (StreamingSpec asserts drained-fixture equality against q37's batch
+    * assignment and an independent driver-side argmax replay). The
+    * codebook joins stream-static as one broadcast row; it is
+    * MATERIALIZED here, before the stream starts, because Structured
+    * Streaming re-evaluates the static side every micro-batch — an
+    * unmaterialized aggregate would re-reduce the codebook relation per
+    * batch (the s15 published-stop-list discipline).
+    *
+    * Append mode, exactly-once to a file sink via the sink's metadata
+    * log (crash-replay injected in StreamingSpec). At 4096 centroids ×
+    * any ingest rate the per-row cost is B fused cosine kernels — the
+    * same arithmetic the batch assigner pays, amortized to ingest. */
+  def ivfAssignStream(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val centsArr = graft.sources.Io.materialize(
+      graft.operators.VectorOps.centroidArray(centroids))
+    graft.operators.VectorOps.assignCells(vectors, centsArr)
+      .select(col("vec_id"), col("cid"), col("csim"))
+  }
 }

@@ -1495,4 +1495,121 @@ class StreamingSpec extends SparkSpec {
     val keys = rows.map(r => (r.getTimestamp(0), r.getInt(1))).toSeq
     assert(keys.distinct.length == keys.length)
   }
+
+  /** Fixture codebook for the s24 tests: exactly q37's rule — vectors
+    * 0..B-1 with B = adaptiveCodebook(n). */
+  private def s24Centroids() = {
+    val n = graft.sources.Tables.embeddings(spark, sfSmoke).count()
+    val b = graft.util.Geometry.adaptiveCodebook(n, 16, 32768)
+    graft.sources.Tables.embeddings(spark, sfSmoke)
+      .filter(col("vec_id") < b)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  }
+
+  /** Independent driver-side replay of the assignment rule: CosineSim's
+    * exact arithmetic (strict left-to-right double fold, [-1,1] clamp),
+    * Spark's HALF_UP round to 6, argmax by (csim, -cid). */
+  private def s24Replay(): Map[Long, (Long, Double)] = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      val v = dot / (math.sqrt(nx) * math.sqrt(ny))
+      math.max(-1.0, math.min(1.0, v))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.sources.Tables.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val cents = s24Centroids().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    vecs.map { case (id, e) =>
+      val best = cents.map { case (cid, cv) => (r6(cos(e, cv)), -cid) }.max
+      id -> (-best._2, best._1)
+    }.toMap
+  }
+
+  test("s24 IVF assignment over the file source equals batch q37 assignment and a driver replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s24_ckpt").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_s24_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfSmoke/embeddings.parquet"),
+      streamDir.resolve("part-00000.parquet"))
+    val vecs = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(streamDir.toString)
+    val q = StreamOps.ivfAssignStream(vecs, s24Centroids())
+      .writeStream.format("memory").queryName("s24_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("s24_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // (a) the batch path through the SAME kernel (q37's index build)
+    val batch = graft.operators.VectorOps.assignCells(
+      graft.sources.Tables.embeddings(spark, sfSmoke),
+      graft.operators.VectorOps.centroidArray(s24Centroids()))
+      .select("vec_id", "cid", "csim").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch)
+    // (b) an INDEPENDENT driver-side argmax replay (not the kernel)
+    assert(streamed == s24Replay())
+    assert(streamed.nonEmpty)
+    // every centroid id emitted is a real codebook cell
+    val b = s24Centroids().count()
+    assert(streamed.values.forall(v => v._1 >= 0 && v._1 < b))
+  }
+
+  test("s24 crash-replay assigns every vector exactly once (file-sink metadata log)") {
+    val dir = java.nio.file.Files.createTempDirectory("s24_crash").toString
+    val in = s"$dir/in"
+    val all = graft.sources.Tables.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding", "label").collect()
+    val ids = all.map(_.getLong(0)).sorted
+    val third = ids.length / 3
+    def feed(i: Int): Unit = {
+      val lo = i * third
+      val hi = if (i == 2) ids.length else (i + 1) * third
+      val slice = ids.slice(lo, hi).toSet
+      feedFile(graft.sources.Tables.embeddings(spark, sfSmoke)
+        .filter(col("vec_id").isin(slice.toSeq: _*))
+        .select("vec_id", "embedding", "label"), in, s"f$i")
+    }
+    def start() = StreamOps.ivfAssignStream(
+      spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      s24Centroids())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    // crash window: batch 1's rows committed to the sink, the checkpoint
+    // commit lost — the restarted query replays batch 1; the file sink's
+    // metadata log must swallow the duplicate
+    dropLastCommit(s"$dir/ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("vec_id", "cid", "csim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly-once: every vector assigned exactly once despite the replay
+    assert(out.map(_._1).distinct.length == out.length, "duplicate assignments")
+    assert(out.map(_._1).sorted.toSeq == ids.toSeq, "missing assignments")
+    // and the assignments equal the independent driver replay
+    val want = s24Replay()
+    assert(out.map(t => t._1 -> ((t._2, t._3))).toMap == want)
+  }
 }
