@@ -997,4 +997,34 @@ object StreamOps {
     graft.operators.VectorOps.assignCells(vectors, centsArr)
       .select(col("vec_id"), col("cid"), col("csim"))
   }
+
+  /** s25 — streaming deletion-tombstone filter (streaming twin of the
+    * q162 right-to-be-forgotten cascade): drop every arriving event
+    * whose user is on the standing tombstone list, so an erased user
+    * stops flowing into downstream features the moment the list is
+    * published — the batch cascade (q162) rewrites history, this gate
+    * guards the present. Map-only: a stream-static LEFT ANTI equi-join
+    * against the materialized tombstone relation, zero streaming state
+    * (the s06/s24 pattern).
+    *
+    * The list is MATERIALIZED once before start(): streaming
+    * re-evaluates the static side every micro-batch, and an
+    * unmaterialized deletion query would re-run its derivation per
+    * batch (the s15 published-stop-list discipline). Production swaps
+    * the list by restarting the query on the newly published snapshot —
+    * deletion lists version like the q148 snapshots they are diffed by.
+    *
+    * Append mode, exactly-once to a file sink via the sink's metadata
+    * log (crash-replay injected in StreamingSpec). At any ingest rate
+    * the per-row cost is one hash probe against the broadcast list;
+    * once a tombstone list outgrows a broadcast, the same anti-join
+    * rides a bloom-pruned shuffle (q90's operator) with no API change. */
+  def tombstoneFilterStream(events: DataFrame, tombstones: DataFrame)
+      : DataFrame = {
+    val dead = graft.sources.Io.materialize(
+      tombstones.select(col("user_id")).distinct())
+    events.join(broadcast(dead), Seq("user_id"), "left_anti")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+  }
 }

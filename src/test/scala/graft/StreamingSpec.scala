@@ -1612,4 +1612,85 @@ class StreamingSpec extends SparkSpec {
     val want = s24Replay()
     assert(out.map(t => t._1 -> ((t._2, t._3))).toMap == want)
   }
+
+  /** Fixture tombstone list for the s25 tests: every 7th user. */
+  private def s25Tombstones() =
+    graft.sources.Tables.events(spark, sfSmoke)
+      .select(col("user_id")).filter(col("user_id") % 7 === 0).distinct()
+
+  test("s25 tombstone filter over the file source equals the batch anti-join and a driver replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s25_ckpt").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_s25_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfSmoke/events.parquet"),
+      streamDir.resolve("part-00000.parquet"))
+    val q = StreamOps.tombstoneFilterStream(
+      StreamOps.eventsFileStream(spark, streamDir.toString), s25Tombstones())
+      .writeStream.format("memory").queryName("s25_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("s25_out").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // (a) the batch path: the same anti-join on the static table
+    val batch = graft.sources.Tables.events(spark, sfSmoke)
+      .join(s25Tombstones(), Seq("user_id"), "left_anti")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+    // (b) an INDEPENDENT driver-side replay of the rule (not a join)
+    val want = graft.sources.Tables.events(spark, sfSmoke)
+      .select(col("event_id"), col("user_id")).collect()
+      .filter(_.getLong(1) % 7 != 0).map(_.getLong(0)).sorted.toSeq
+    assert(streamed == want)
+    assert(streamed.nonEmpty)
+    // and at least one event was actually dropped
+    val total = graft.sources.Tables.events(spark, sfSmoke).count()
+    assert(streamed.length < total)
+  }
+
+  test("s25 crash-replay passes every surviving event exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("s25_crash").toString
+    val in = s"$dir/in"
+    val ev = graft.sources.Tables.events(spark, sfSmoke)
+    val ids = ev.select("event_id").collect().map(_.getLong(0)).sorted
+    val third = ids.length / 3
+    def feed(i: Int): Unit = {
+      val lo = i * third
+      val hi = if (i == 2) ids.length else (i + 1) * third
+      feedFile(ev.filter(col("event_id") >= ids(lo) &&
+        (if (hi == ids.length) lit(true) else col("event_id") < ids(hi))),
+        in, s"f$i")
+    }
+    def start() = StreamOps.tombstoneFilterStream(
+      StreamOps.eventsFileStream(spark, in), s25Tombstones())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    // crash window: batch 1 committed to the sink, checkpoint commit
+    // lost — the restarted query replays batch 1; the file sink's
+    // metadata log must swallow the duplicate
+    dropLastCommit(s"$dir/ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).distinct.length == out.length, "duplicate events")
+    // exactly the survivors, each exactly once
+    val want = ev.select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 % 7 != 0)
+    assert(out.sorted.toSeq == want.sorted.toSeq)
+    // no tombstoned user leaked through
+    assert(out.forall(_._2 % 7 != 0))
+  }
 }
