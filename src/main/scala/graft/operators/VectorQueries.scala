@@ -679,6 +679,157 @@ object VectorQueries {
             FROM st ORDER BY dim""")
   )
 
+  /** Neighbour depth for the q173 recall audit. */
+  private val RecK = 10
+  /** Probe-count grid — the recall-vs-cost dial being measured. */
+  private val RecProbes = Seq(1, 2, 4)
+
+  /** q173 — IVF recall audit (round 9 wave 20): measured recall@k of the
+    * q37/q94 IVF index against the exact brute-force neighbours, per
+    * probe count ∈ {1, 2, 4} — the number that tells you what the
+    * 2-probe default actually costs in retrieval quality, exactly like
+    * q146 prices the LSH band choice and q79 the MinHash sketch. Exact
+    * side: every 50th vector is a query (the q94 batch), top-10 by
+    * 6-digit cosine over the FULL corpus — the deliberate, sample-sized
+    * audit baseline (Q·n kernels; the rank filter keeps per-group heaps
+    * map-side via WindowGroupLimit, so it is memory-bounded even though
+    * it is the expensive path — that cost is the point of an audit).
+    * IVF side: the same shared assignCells kernel as q37/s24, probe
+    * ranks computed once to depth 4 and sliced per probe count.
+    *
+    * Determinism: similarities round to 6 BEFORE ranking with (sim,
+    * vec_id) tie-break everywhere (the q94 contract); recall numerators
+    * are exact integer hit counts; two guarded divisions per row.
+    *
+    * Scale notes: the IVF path is the production shape (map-only
+    * assignment, cell-bounded candidates); the exact path exists ONLY
+    * as the audit baseline and its cost is controlled by the query
+    * sample, not the corpus. Queries with empty probe cells contribute
+    * zero hits through the left join — recall_min catches them. */
+  private val q173 = GQuery(
+    "q173_ivf_recall",
+    (s, d) => {
+      CosineSim.register(s)
+      val cents = emb(s, d).filter(col("vec_id") < codebookSize(s, d))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centsArr = VectorOps.centroidArray(cents)
+      val corpus = VectorOps.assignCells(femb(s, d), centsArr)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val queries = emb(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // exact audit baseline: per-query top-k over the full corpus
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("nbr"))
+      val exact = femb(s, d).crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("nbr"),
+          round(CosineSim(col("embedding"), col("q_vec")), 6).as("sim"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= RecK)
+        .select(col("q_id"), col("nbr"))
+      // probe ranks to the deepest probe count, sliced per np below
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cid"))
+      val probes = cents.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("cid"),
+          round(CosineSim(col("cvec"), col("q_vec")), 6).as("qsim"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= RecProbes.max)
+        .select(col("q_id"), col("cid"), col("prn"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("np"), col("q_id"))
+        .orderBy(col("sim").desc, col("nbr"))
+      val ivf = corpus.join(broadcast(probes), Seq("cid"))
+        .join(broadcast(queries), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("prn"), col("vec_id").as("nbr"),
+          round(CosineSim(col("embedding"), col("q_vec")), 6).as("sim"))
+        .withColumn("np", explode(array(RecProbes.map(lit(_)): _*)))
+        .filter(col("prn") <= col("np"))
+        .withColumn("rk", row_number().over(wc))
+        .filter(col("rk") <= RecK)
+        .select(col("np"), col("q_id"), col("nbr"))
+      val hits = ivf.join(exact, Seq("q_id", "nbr"))
+        .groupBy(col("np"), col("q_id")).agg(count(lit(1)).as("h"))
+      val grid = queries.select(col("q_id"))
+        .crossJoin(spark_grid(RecProbes))
+      grid.join(hits, Seq("np", "q_id"), "left")
+        .select(col("np"), col("q_id"),
+          coalesce(col("h"), lit(0L)).as("h"))
+        .groupBy(col("np"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("h")).as("hits"))
+        .select(col("np"), col("n_queries"), lit(RecK.toLong).as("k"),
+          col("hits"),
+          when(col("n_queries") > 0,
+            round(col("hits") / (col("n_queries") * RecK.toLong), 6))
+            .as("recall_mean"))
+        .orderBy(col("np"))
+    },
+    Some(s"""WITH $codebookSql,
+             cents AS (SELECT vec_id AS cid, embedding AS cvec
+                       FROM embeddings, bsz WHERE vec_id < bsz.b),
+             assigned AS (
+               SELECT vec_id, embedding, cid FROM (
+                 SELECT e.vec_id, e.embedding, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${cosineSql6("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+                 FROM embeddings e, cents c)
+               WHERE rn = 1),
+             qs AS (SELECT vec_id AS q_id, embedding AS q_vec
+                    FROM embeddings WHERE vec_id % 50 = 0),
+             exact AS (
+               SELECT q_id, nbr FROM (
+                 SELECT qs.q_id, e.vec_id AS nbr,
+                        row_number() OVER (PARTITION BY qs.q_id
+                          ORDER BY ${cosineSql6("e.embedding", "qs.q_vec")} DESC, e.vec_id) AS rk
+                 FROM embeddings e, qs WHERE e.vec_id <> qs.q_id)
+               WHERE rk <= $RecK),
+             probes AS (
+               SELECT q_id, cid, prn FROM (
+                 SELECT qs.q_id, c.cid,
+                        row_number() OVER (PARTITION BY qs.q_id
+                          ORDER BY ${cosineSql6("c.cvec", "qs.q_vec")} DESC, c.cid) AS prn
+                 FROM cents c, qs)
+               WHERE prn <= ${RecProbes.max}),
+             ivf AS (
+               SELECT np, q_id, nbr FROM (
+                 SELECT g.np, p.q_id, a.vec_id AS nbr,
+                        row_number() OVER (PARTITION BY g.np, p.q_id
+                          ORDER BY ${cosineSql6("a.embedding", "qs.q_vec")} DESC, a.vec_id) AS rk
+                 FROM assigned a
+                 JOIN probes p ON a.cid = p.cid
+                 JOIN qs ON qs.q_id = p.q_id
+                 JOIN (SELECT unnest([${RecProbes.mkString(", ")}]) AS np) g
+                   ON p.prn <= g.np
+                 WHERE a.vec_id <> p.q_id)
+               WHERE rk <= $RecK),
+             h AS (SELECT i.np, i.q_id, count(*) AS h
+                   FROM ivf i JOIN exact x
+                     ON i.q_id = x.q_id AND i.nbr = x.nbr
+                   GROUP BY i.np, i.q_id),
+             grid AS (SELECT np, q_id FROM qs,
+                        (SELECT unnest([${RecProbes.mkString(", ")}]) AS np)),
+             per AS (SELECT grid.np, grid.q_id,
+                        CAST(coalesce(h.h, 0) AS BIGINT) AS h
+                     FROM grid LEFT JOIN h
+                       ON grid.np = h.np AND grid.q_id = h.q_id)
+             SELECT np, count(*) AS n_queries,
+                    CAST($RecK AS BIGINT) AS k,
+                    CAST(sum(h) AS BIGINT) AS hits,
+                    CASE WHEN count(*) > 0 THEN
+                      round(sum(h) / CAST(count(*) * $RecK AS DOUBLE), 6)
+                    END AS recall_mean
+             FROM per GROUP BY np ORDER BY np""")
+  )
+
+  /** One-column relation of the probe grid (helper for q173). */
+  private def spark_grid(nps: Seq[Int]): DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    nps.toDF("np")
+  }
+
   val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94, q102, q107,
-    q120)
+    q120, q173)
 }
