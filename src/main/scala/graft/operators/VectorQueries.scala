@@ -683,13 +683,24 @@ object VectorQueries {
   private val RecK = 10
   /** Probe-count grid — the recall-vs-cost dial being measured. */
   private val RecProbes = Seq(1, 2, 4)
+  /** Query-sample modulus floor (the q94 fixture geometry) and target
+    * sample size exponent (2^5 ≈ 32 queries at ANY corpus scale — an
+    * audit's cost must not grow with n; Geometry.adaptiveSampleMod). */
+  private val RecModFloor = 50L
+  private val RecTargetLog2 = 5
+  private def recMod(s: SparkSession, d: String): Long =
+    Geometry.adaptiveSampleMod(emb(s, d).count(), RecModFloor, RecTargetLog2)
+  private val recModSql: String =
+    s"qmod AS (SELECT ${Geometry.adaptiveSampleModSql("count(*)", 50L, 5)} AS m FROM embeddings)"
 
   /** q173 — IVF recall audit (round 9 wave 20): measured recall@k of the
     * q37/q94 IVF index against the exact brute-force neighbours, per
     * probe count ∈ {1, 2, 4} — the number that tells you what the
     * 2-probe default actually costs in retrieval quality, exactly like
     * q146 prices the LSH band choice and q79 the MinHash sketch. Exact
-    * side: every 50th vector is a query (the q94 batch), top-10 by
+    * side: a hash-regular query sample (vec_id % adaptiveSampleMod — the
+    * modulus GROWS with the corpus so the batch stays ≈2^5 queries at
+    * any scale; an audit's cost must not scale with n), top-10 by
     * 6-digit cosine over the FULL corpus — the deliberate, sample-sized
     * audit baseline (Q·n kernels; the rank filter keeps per-group heaps
     * map-side via WindowGroupLimit, so it is memory-bounded even though
@@ -715,7 +726,7 @@ object VectorQueries {
       val centsArr = VectorOps.centroidArray(cents)
       val corpus = VectorOps.assignCells(femb(s, d), centsArr)
         .select(col("vec_id"), col("embedding"), col("cid"))
-      val queries = emb(s, d).filter(col("vec_id") % 50 === 0)
+      val queries = emb(s, d).filter(col("vec_id") % recMod(s, d) === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       // exact audit baseline: per-query top-k over the full corpus
       val wq = org.apache.spark.sql.expressions.Window
@@ -767,6 +778,7 @@ object VectorQueries {
         .orderBy(col("np"))
     },
     Some(s"""WITH $codebookSql,
+             $recModSql,
              cents AS (SELECT vec_id AS cid, embedding AS cvec
                        FROM embeddings, bsz WHERE vec_id < bsz.b),
              assigned AS (
@@ -777,7 +789,7 @@ object VectorQueries {
                  FROM embeddings e, cents c)
                WHERE rn = 1),
              qs AS (SELECT vec_id AS q_id, embedding AS q_vec
-                    FROM embeddings WHERE vec_id % 50 = 0),
+                    FROM embeddings, qmod WHERE vec_id % qmod.m = 0),
              exact AS (
                SELECT q_id, nbr FROM (
                  SELECT qs.q_id, e.vec_id AS nbr,

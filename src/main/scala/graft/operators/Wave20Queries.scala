@@ -158,11 +158,12 @@ object Wave20Queries {
                    CAST(sum(y) AS BIGINT) AS npos
                 FROM s GROUP BY 1),
           w AS (SELECT thr, n, npos,
-                   sum(npos) OVER (ORDER BY thr DESC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
-                   sum(n) OVER (ORDER BY thr DESC
+                   CAST(sum(npos) OVER (ORDER BY thr DESC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS pred_pos
+                     AS BIGINT) AS tp,
+                   CAST(sum(n) OVER (ORDER BY thr DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS pred_pos
                 FROM b),
           t AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
                        CAST(sum(npos) AS BIGINT) AS pos_all FROM b)

@@ -85,6 +85,24 @@ object Geometry {
              THEN length(CAST((($countExpr + $occ - 1) // $occ) - 1 AS VARCHAR))
              ELSE $floor END))"""
 
+  /** Sampling modulus for a corpus-independent audit batch (q173): the
+    * power-of-two modulus M = 2^(ceilLog2(n) - targetLog2) keeps the
+    * expected sample n/M ≈ 2^targetLog2 CONSTANT as the corpus grows —
+    * an audit (exact-recall baseline, spot-check, canary) must cost the
+    * same at 100 TB as at 100 MB, so its sample size cannot scale with
+    * n. Floor pins small corpora to the historical fixture modulus;
+    * power of two so the SQL mirror is a shift, not a log. */
+  def adaptiveSampleMod(n: Long, floor: Long, targetLog2: Int): Long =
+    math.max(floor, 1L << math.max(0, ceilLog2(n) - targetLog2))
+
+  /** DuckDB mirror of [[adaptiveSampleMod]] over an aggregate count. */
+  def adaptiveSampleModSql(countExpr: String, floor: Long, targetLog2: Int): String =
+    s"""GREATEST(CAST($floor AS BIGINT),
+        CASE WHEN $countExpr > 1
+             THEN (1::BIGINT << GREATEST(0,
+                    length(bin(CAST($countExpr AS BIGINT) - 1)) - $targetLog2))
+             ELSE CAST($floor AS BIGINT) END)"""
+
   /** DuckDB mirror of [[adaptiveCodebook]]. */
   def adaptiveCodebookSql(countExpr: String, floor: Int, cap: Int): String =
     s"""GREATEST($floor, LEAST($cap,

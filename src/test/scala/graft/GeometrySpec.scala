@@ -104,4 +104,27 @@ class GeometrySpec extends AnyFunSuite {
     assert(Geometry.adaptiveDigits(0, 10, 4, 9) == 4)
     assert(Geometry.adaptiveDigits(1, 10, 4, 9) == 4)
   }
+
+  test("adaptiveSampleMod holds the expected sample size constant, boundaries included") {
+    import graft.util.Geometry
+    // fixture scales stay on the historical q94 modulus (floor 50)
+    assert(Geometry.adaptiveSampleMod(500, 50, 5) == 50)
+    assert(Geometry.adaptiveSampleMod(1024, 50, 5) == 50)
+    // growth: modulus doubles with the corpus, so n/M stays ~2^5
+    assert(Geometry.adaptiveSampleMod(2000, 50, 5) == 64)
+    assert(Geometry.adaptiveSampleMod(20000, 50, 5) == 1024)
+    assert(Geometry.adaptiveSampleMod(1L << 30, 50, 5) == (1L << 25))
+    // expected sample n/M bounded in [2^4, 2^6] for every n past the floor
+    Seq(3000L, 5000L, 50000L, 1000000L, 123456789L).foreach { n =>
+      val m = Geometry.adaptiveSampleMod(n, 50, 5)
+      val q = n.toDouble / m
+      assert(q >= 16 && q <= 64, s"n=$n m=$m q=$q")
+    }
+    // exact power-of-two boundary: ceilLog2 flips exactly at 2^k + 1
+    assert(Geometry.adaptiveSampleMod(1 << 11, 50, 5) == 64)
+    assert(Geometry.adaptiveSampleMod((1 << 11) + 1, 50, 5) == 128)
+    // degenerate corpora fall to the floor, never to an error
+    assert(Geometry.adaptiveSampleMod(0, 50, 5) == 50)
+    assert(Geometry.adaptiveSampleMod(1, 50, 5) == 50)
+  }
 }

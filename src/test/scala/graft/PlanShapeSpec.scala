@@ -392,4 +392,26 @@ class PlanShapeSpec extends SparkSpec {
       assert(side.output.length == 2, side.output.mkString(", "))
     }
   }
+
+  test("q173 recall audit: per-query top-k rides WindowGroupLimit; probes broadcast") {
+    // the exact baseline's per-query window is corpus-sized by design
+    // (it IS the audit); the rank<=k filter must rewrite to
+    // WindowGroupLimit so per-group heaps stay map-side and bounded —
+    // without it the audit concentrates n rows per query task
+    val qe = SparkEntry.queries("q173_ivf_recall")(spark, sfSmoke).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    // query batch and probe map travel as broadcasts — the corpus never
+    // shuffles by query id
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q174 ablation: occurrence relation materializes once, globals broadcast") {
+    val qe = SparkEntry.queries("q174_source_ablation")(spark, sfSmoke).queryExecution
+    val plan = qe.optimizedPlan
+    // no window anywhere — the sheet is pure aggregate + join algebra
+    assert(plan.collect { case w: logical.Window => w }.isEmpty, plan.toString)
+    assert(qe.executedPlan.toString.contains("BroadcastExchange"),
+      qe.executedPlan.toString)
+  }
 }
