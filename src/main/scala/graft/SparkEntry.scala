@@ -19,7 +19,8 @@ object SparkEntry {
       Wave9Queries.all ++ Wave10Queries.all ++ Wave11Queries.all ++
       Wave12Queries.all ++ Wave13Queries.all ++ Wave14Queries.all ++
       Wave15Queries.all ++ Wave16Queries.all ++ Wave17Queries.all ++
-      Wave18Queries.all ++ Wave19Queries.all ++ Wave20Queries.all
+      Wave18Queries.all ++ Wave19Queries.all ++ Wave20Queries.all ++
+      Wave21Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped aggregation — the reference's map/reduce aggregation

@@ -74,6 +74,18 @@ object TextOps {
   def shingleHash60(x: Column): Column =
     conv(substring(md5(x), 1, 15), 16, 10).cast("long")
 
+  /** Blocked tokens of a document under the hash-sampled denylist: the
+    * tokens whose keyed PRF (md5-60bit of token + ":bl") lands in residue
+    * 0 mod `mod`. ONE definition shared by batch q175 and the s26
+    * streaming gate (their equivalence test depends on bit-identity).
+    * Evaluates as a higher-order filter over the token array — per-row,
+    * codegen-composed, NO explode and no token-keyed shuffle. SQL twin of
+    * the predicate: `CAST(concat('0x', substr(md5(tok || ':bl'), 1, 15))
+    * AS BIGINT) % mod = 0`. */
+  def blockedTokens(text: Column, mod: Int): Column =
+    filter(tokens(text),
+      t => pmod(shingleHash60(concat(t, lit(":bl"))), lit(mod)) === 0)
+
   /** All ordered pairs (d1 < d2) from a sorted array — in-bucket candidate
     * generation without a self-join (shared by the LSH dedup families:
     * shingle buckets, MinHash/SimHash bands, hyperplane buckets). */

@@ -1027,4 +1027,44 @@ object StreamOps {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
   }
+
+  /** s26 — streaming blocklist gate (streaming twin of batch q175): every
+    * arriving document is scored against the hash-sampled denylist with
+    * the SAME kernel the batch audit uses (TextOps.blockedTokens — the
+    * equivalence test depends on bit-identity); documents with >= 1
+    * blocked token route to a `quarantined` sink carrying their blocked
+    * count, the rest to `clean`. This is the ingest-time enforcement of
+    * the policy q175 prices: the audit says what a list would cost, the
+    * gate is the list running.
+    *
+    * Stateless — the verdict is per-row (a higher-order filter over the
+    * token array, codegen-composed; no explode, no state store, no
+    * watermark), so throughput scales with tasks like s06/s25.
+    * foreachBatch because the routing is two sinks; exactly-once on
+    * replay via the s06 `_batch` dynamic-partition-overwrite contract
+    * (crash-replay injected in StreamingSpec). */
+  def blocklistGateStream(docs: DataFrame, outDir: String, mod: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val routed = batch
+          .withColumn("n_blocked",
+            size(graft.functions.TextOps.blockedTokens(col("text"), mod))
+              .cast("bigint"))
+          .withColumn("_batch", lit(batchId))
+          .persist()
+        try {
+          routed.filter(col("n_blocked") === 0).drop("n_blocked")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch").parquet(s"$outDir/clean")
+          routed.filter(col("n_blocked") > 0)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch").parquet(s"$outDir/quarantined")
+        } finally { routed.unpersist(); () }
+      }
+      .start()
+  }
 }

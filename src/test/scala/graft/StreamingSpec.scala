@@ -1693,4 +1693,50 @@ class StreamingSpec extends SparkSpec {
     // no tombstoned user leaked through
     assert(out.forall(_._2 % 7 != 0))
   }
+
+  test("s26 blocklist gate routes like a driver MD5 replay and survives crash-replay") {
+    val dir = java.nio.file.Files.createTempDirectory("s26_crash").toString
+    val in = s"$dir/in"
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val slices = docs.grouped(docs.length / 3 + 1).toSeq
+    def feed(i: Int): Unit =
+      feedFile(slices(i).toSeq.toDF("doc_id", "text"), in, s"f$i")
+    def start() = StreamOps.blocklistGateStream(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(in), s"$dir/gate")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    dropLastCommit(s"$dir/gate/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val quarantined = spark.read.parquet(s"$dir/gate/quarantined")
+      .select("doc_id", "n_blocked").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val clean = spark.read.parquet(s"$dir/gate/clean")
+      .select("doc_id").collect().map(_.getLong(0))
+    // partition of the fed set — the replayed batch duplicated nothing
+    assert((quarantined.map(_._1) ++ clean).sorted.toSeq ==
+      docs.map(_._1).sorted.toSeq)
+    // independent driver-side replay of the PRF (MD5 by hand, not Spark)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val want = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).count(t => h60(t + ":bl") % 16 == 0).toLong
+    }.toMap
+    quarantined.foreach { case (id, nb) =>
+      assert(nb == want(id) && nb > 0, s"doc $id") }
+    clean.foreach(id => assert(want(id) == 0L, s"doc $id"))
+    // and the quarantined blocked-counts agree with batch q175's totals
+    val occ = SparkEntry.queries("q175_blocklist_audit")(spark, sfSmoke)
+      .agg(org.apache.spark.sql.functions.sum("occ_blocked")).collect()
+      .head.getLong(0)
+    assert(quarantined.map(_._2).sum == occ)
+  }
 }
