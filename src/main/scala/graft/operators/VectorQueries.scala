@@ -691,7 +691,7 @@ object VectorQueries {
   private def recMod(s: SparkSession, d: String): Long =
     Geometry.adaptiveSampleMod(emb(s, d).count(), RecModFloor, RecTargetLog2)
   private val recModSql: String =
-    s"qmod AS (SELECT ${Geometry.adaptiveSampleModSql("count(*)", 50L, 5)} AS m FROM embeddings)"
+    s"qmod AS (SELECT ${Geometry.adaptiveSampleModSql("count(*)", RecModFloor, RecTargetLog2)} AS m FROM embeddings)"
 
   /** q173 — IVF recall audit (round 9 wave 20): measured recall@k of the
     * q37/q94 IVF index against the exact brute-force neighbours, per

@@ -37,25 +37,36 @@ object Wave17Queries {
     *
     * Determinism: bucket counts and totals are exact longs; each bucket
     * weight is ONE ln of a ratio of integer-valued doubles (the
-    * q101/q133/q156 ln-parity precedent); per-doc weights round to 6
+    * q101/q133/q156 ln-parity precedent); the per-doc mean is
+    * Σ wb·cnt / Σ cnt over the doc's bucket counts (both engines reduce
+    * the same ≤B-row grouped relation); per-doc weights round to 6
     * BEFORE the >0 selection test and the per-source mean, so the
     * comparison can never straddle an ulp.
     *
-    * Scale notes: one explode→bucket map pass into a B-sized LM
-    * aggregate (map-side combine); the LM and its totals are broadcast
-    * (B rows / 1 row); the per-doc reduce is a doc-keyed aggregate of
-    * its own bigrams; the final relation is |sources|-sized. Nothing
-    * vocabulary- or corpus-sized is ever broadcast or windowed. */
+    * Scale notes: ONE explode→bucket map pass lands in a materialized
+    * (doc_id, source, lang, b, cnt) pre-aggregate (map-side combine; ≤
+    * B rows per doc, so ≪ the bigram-occurrence relation) that feeds
+    * BOTH the LM aggregate and the per-doc reduce — the tokenize→
+    * explode→md5 lineage runs exactly once (the q174 shared-occurrence
+    * pattern; r9 verdict task 1). The LM and its totals are broadcast
+    * (B rows / 1 row); the per-doc reduce is a doc-keyed weighted mean
+    * of its own bucket counts; the final relation is |sources|-sized.
+    * Nothing vocabulary- or corpus-sized is ever broadcast or windowed. */
   private val q159 = GQuery(
     "q159_dsir_importance",
     (s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("lang"),
-          explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("g"))
-        .withColumn("b", pmod(TextOps.shingleHash60(col("g")), lit(DsirBuckets)))
+      val grams = graft.sources.Io.materialize(
+        graft.sources.Io.fanOut(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("text")))
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("g"))
+          .withColumn("b",
+            pmod(TextOps.shingleHash60(col("g")), lit(DsirBuckets)))
+          .groupBy(col("doc_id"), col("source"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("cnt")))
       val lm = grams.groupBy(col("b")).agg(
-        sum(when(col("lang") === DsirTarget, 1L).otherwise(0L)).as("ct"),
-        sum(when(col("lang") =!= DsirTarget, 1L).otherwise(0L)).as("cs"))
+        sum(when(col("lang") === DsirTarget, col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(col("lang") =!= DsirTarget, col("cnt")).otherwise(0L)).as("cs"))
       val tot = lm.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
       val w = lm.crossJoin(broadcast(tot))
         .select(col("b"), log(
@@ -65,7 +76,7 @@ object Wave17Queries {
       val perDoc = grams.join(broadcast(w), Seq("b"))
         .groupBy(col("doc_id"))
         .agg(first(col("source")).as("source"),
-          round(sum(col("wb")) / count(lit(1)), 6).as("wt"))
+          round(sum(col("wb") * col("cnt")) / sum(col("cnt")), 6).as("wt"))
       perDoc.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("wt")), 6).as("mean_w"),
@@ -82,17 +93,19 @@ object Wave17Queries {
                         unnest([toks[i] || ' ' || toks[i+1]
                                 FOR i IN range(1, len(toks))]) AS bg
                       FROM t WHERE len(toks) >= 2)),
+          g2 AS (SELECT doc_id, source, lang, b, count(*) AS cnt
+                 FROM g GROUP BY doc_id, source, lang, b),
           lm AS (SELECT b,
-                    sum(CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END) AS ct,
-                    sum(CASE WHEN lang <> '$DsirTarget' THEN 1 ELSE 0 END) AS cs
-                 FROM g GROUP BY b),
+                    sum(CASE WHEN lang = '$DsirTarget' THEN cnt ELSE 0 END) AS ct,
+                    sum(CASE WHEN lang <> '$DsirTarget' THEN cnt ELSE 0 END) AS cs
+                 FROM g2 GROUP BY b),
           tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM lm),
           w AS (SELECT b, ln(((ct + 1.0) * (ts + $DsirBuckets.0))
                              / ((cs + 1.0) * (tt + $DsirBuckets.0))) AS wb
                 FROM lm, tot),
           dw AS (SELECT doc_id, any_value(source) AS source,
-                        round(sum(wb) / count(*), 6) AS wt
-                 FROM g JOIN w USING (b) GROUP BY doc_id)
+                        round(sum(wb * cnt) / sum(cnt), 6) AS wt
+                 FROM g2 JOIN w USING (b) GROUP BY doc_id)
           SELECT source, count(*) AS n_docs, round(avg(wt), 6) AS mean_w,
                  CAST(sum(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_selected,

@@ -33,11 +33,13 @@ object Wave18Queries {
     * Determinism: all counts exact; one rounded division per row; fixed
     * 3-row output ordered by table name.
     *
-    * Scale notes: the deletion list is corpus-fraction-sized and
-    * broadcast; both hops are key equi-semi-joins (no row ever widens);
-    * each table reduces to a 1-row count aggregate. At 100 TB the only
-    * change is that the semi-joins ride bloom-pruned shuffles (q90's
-    * operator) instead of broadcasts once the list outgrows one. */
+    * Scale notes: the deletion list is corpus-fraction-sized; both hops
+    * are key equi-semi-joins (no row ever widens) through
+    * [[KeyPrune.semiJoin]], which broadcasts the key list while it fits
+    * the spark.graft.broadcastKeyLimit budget and switches to q90's
+    * bloom-pruned shuffle once it outgrows one (value-identical either
+    * way — the exact semi-join always runs; PlanShapeSpec locks both
+    * regimes). Each table reduces to a 1-row count aggregate. */
   private val q162 = GQuery(
     "q162_deletion_audit",
     (s, d) => {
@@ -47,11 +49,10 @@ object Wave18Queries {
         lit(DelMod)) === 0)
         .select(col("c_custkey"))
       val orders = Tables.orders(s, d)
-      val delOrders = orders.join(broadcast(del),
-        col("o_custkey") === col("c_custkey"), "leftsemi")
+      val delOrders = KeyPrune.semiJoin(orders, del, "o_custkey", "c_custkey")
       val li = Tables.lineitem(s, d)
-      val delLi = li.join(delOrders.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "leftsemi")
+      val delLi = KeyPrune.semiJoin(li, delOrders.select(col("o_orderkey")),
+        "l_orderkey", "o_orderkey")
       def row(name: String, total: DataFrame, dele: DataFrame): DataFrame =
         total.agg(count(lit(1)).as("n_total"))
           .crossJoin(dele.agg(count(lit(1)).as("n_delete")))

@@ -31,12 +31,22 @@ object Wave19Queries {
     * exact frequency relation; AUC and Gini are single rounded divisions
     * guarded for single-class corpora (both engines emit NULL).
     *
+    * Exactness envelope: 2U ≈ 2·N1·N0 exceeds int64 past ~4.3e9 scored
+    * rows — inside the 100 TB design envelope — so the accumulation is
+    * WIDENED, not documented away: Spark sums decimal(38,0) with
+    * decimal-operand products (the q120/q136 ADVICE-r7 pattern) and the
+    * oracle mirrors in HUGEINT; both denominators multiply in double
+    * (exactly-represented longs, one correctly-rounded multiply), and
+    * the class-product guard is two sign tests, never an int64 product
+    * (ADVICE r9).
+    *
     * Scale notes: one map pass into a |distinct scores|-sized frequency
     * aggregate (≤1000 rows by construction); the running-negatives
     * window orders THAT aggregate, never the corpus; one 1-row reduce. */
   private val q166 = GQuery(
     "q166_roc_auc",
     (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val sc = Tables.embeddings(s, d).select(
         (col("label") % 2).cast("int").as("y"),
         pmod(TextOps.shingleHash60(
@@ -50,13 +60,16 @@ object Wave19Queries {
         .agg(sum(col("n1") + col("n0")).as("n"),
           sum(col("n1")).as("n_pos"),
           sum(col("n0")).as("n_neg"),
-          sum(col("n1") * (lit(2L) * col("cum0") + col("n0"))).as("num2"))
+          sum(col("n1").cast(dec38)
+            * (lit(2L) * col("cum0") + col("n0")).cast(dec38)).as("num2"))
         .select(col("n"), col("n_pos"), col("n_neg"),
-          when(col("n_pos") * col("n_neg") > 0,
-            round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("num2").cast("double")
+              / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
             .as("auc"),
-          when(col("n_pos") * col("n_neg") > 0,
-            round(col("num2") / (col("n_pos") * col("n_neg")).cast("double")
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("num2").cast("double")
+              / (col("n_pos").cast("double") * col("n_neg"))
               - 1.0, 6)).as("gini"))
     },
     Some("""WITH s AS (SELECT CAST(label % 2 AS INTEGER) AS y,
@@ -76,13 +89,15 @@ object Wave19Queries {
           a AS (SELECT CAST(sum(n1 + n0) AS BIGINT) AS n,
                        CAST(sum(n1) AS BIGINT) AS n_pos,
                        CAST(sum(n0) AS BIGINT) AS n_neg,
-                       CAST(sum(n1 * (2 * cum0 + n0)) AS BIGINT) AS num2
+                       sum(CAST(n1 AS HUGEINT) * (2 * cum0 + n0)) AS num2
                 FROM c)
           SELECT n, n_pos, n_neg,
-                 CASE WHEN n_pos * n_neg > 0 THEN
-                   round(num2 / (2.0 * n_pos * n_neg), 6) END AS auc,
-                 CASE WHEN n_pos * n_neg > 0 THEN
-                   round(num2 / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6)
+                 CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   round(CAST(num2 AS DOUBLE)
+                     / (2.0 * n_pos * n_neg), 6) END AS auc,
+                 CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   round(CAST(num2 AS DOUBLE)
+                     / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6)
                  END AS gini
           FROM a""")
   )
@@ -173,25 +188,34 @@ object Wave19Queries {
     * Determinism: all sums exact integers; ratios are guarded rounded
     * divisions; ordered by lang.
     *
-    * Scale notes: one map pass into a |langs|-sized aggregate; the
-    * vocabulary side is explode→distinct→count per lang (one shuffle,
-    * the q135 vocabulary shape) joined back onto the |langs|-row sheet
-    * by broadcast. */
+    * Scale notes: the corpus is scanned and TOKENIZED exactly once — the
+    * (lang, toks, bytes, chars) projection is materialized and feeds
+    * both the |langs|-sized sheet aggregate and the vocabulary side
+    * (explode→distinct→count per lang, one shuffle, the q135 vocabulary
+    * shape), which joins back onto the |langs|-row sheet by broadcast
+    * (r9 verdict task 6: the base relation used to re-scan + re-tokenize
+    * for the vocab pass). The materialized blocks are corpus-sized —
+    * the trade is one block write/read against a second scan+tokenize
+    * pass; on storage-tight clusters flip Io.ReliableCheckpointKey and
+    * size the checkpoint dir, or drop the materialize and pay the
+    * second map pass (values are identical either way). */
   private val q168 = GQuery(
     "q168_tokenizer_fertility",
     (s, d) => {
-      val base = Tables.documents(s, d).select(col("lang"),
-        size(TextOps.tokens(col("text"))).cast("bigint").as("tok"),
-        octet_length(col("text")).cast("bigint").as("bytes"),
-        length(col("text")).cast("bigint").as("chars"),
-        col("text"))
+      val base = graft.sources.Io.materialize(
+        graft.sources.Io.fanOut(
+          Tables.documents(s, d).select(col("lang"), col("text")))
+          .select(col("lang"),
+            TextOps.tokens(col("text")).as("toks"),
+            octet_length(col("text")).cast("bigint").as("bytes"),
+            length(col("text")).cast("bigint").as("chars")))
       val agg = base.groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
-        sum(col("tok")).as("n_tok"),
+        sum(size(col("toks")).cast("bigint")).as("n_tok"),
         sum(col("bytes")).as("n_bytes"),
         sum(col("chars")).as("n_chars"))
       val vocab = base
-        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tkn"))
+        .select(col("lang"), explode(col("toks")).as("tkn"))
         .distinct()
         .groupBy(col("lang")).agg(count(lit(1)).as("vocab"))
       agg.join(broadcast(vocab), Seq("lang"), "left")

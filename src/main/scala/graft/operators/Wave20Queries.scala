@@ -30,6 +30,16 @@ object Wave20Queries {
     * Determinism: integer arithmetic end-to-end; three rounded
     * divisions; single output row.
     *
+    * Exactness envelope: the Gini numerator Σ v·n_v·(2·cum+n_v+1) ≈
+    * 2·n_docs·total_tokens blows past int64 well inside the 100 TB
+    * design envelope (1e8 docs × 1e13 tokens ≈ 2e21 ≫ 2^63), so the
+    * accumulation is WIDENED: Spark sums decimal(38,0) with
+    * decimal-operand products (the q120/q136 ADVICE-r7 pattern), the
+    * oracle in HUGEINT, and the n·S denominator multiplies in double
+    * (two exactly-represented longs → one correctly-rounded multiply,
+    * bit-identical to converting the exact product) — no silent wrap in
+    * either engine (ADVICE r9).
+    *
     * Scale notes: one map pass → distinct-length frequency aggregate
     * (hundreds of rows); both windows (ASC for Gini, DESC for Lorenz)
     * ride over THAT aggregate, never the corpus — the q163 sanctioned
@@ -37,6 +47,7 @@ object Wave20Queries {
   private val q171 = GQuery(
     "q171_gini_concentration",
     (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val freq = Tables.documents(s, d)
         .select(size(TextOps.tokens(col("text"))).cast("bigint").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"))
@@ -53,16 +64,17 @@ object Wave20Queries {
         .withColumn("k10", expr("(n + 9) DIV 10"))
         .agg(first(col("n")).as("n_docs"),
           first(col("s")).as("total_tokens"),
-          sum(col("v") * col("c")
-            * (lit(2L) * col("below") + col("c") + lit(1L))).as("num"),
+          sum(col("v").cast(dec38) * col("c").cast(dec38)
+            * (lit(2L) * col("below") + col("c") + lit(1L)).cast(dec38))
+            .as("num"),
           sum(col("v") * greatest(lit(0L),
             least(col("c"), col("k1") - col("above")))).as("top1_mass"),
           sum(col("v") * greatest(lit(0L),
             least(col("c"), col("k10") - col("above")))).as("top10_mass"))
         .select(col("n_docs"), col("total_tokens"),
           when(col("total_tokens") > 0,
-            round(col("num") / (col("n_docs") * col("total_tokens"))
-              .cast("double")
+            round(col("num").cast("double")
+              / (col("n_docs").cast("double") * col("total_tokens"))
               - (col("n_docs") + lit(1L)).cast("double") / col("n_docs"), 6))
             .as("gini"),
           when(col("total_tokens") > 0,
@@ -85,7 +97,7 @@ object Wave20Queries {
           t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
                        CAST(sum(v * c) AS BIGINT) AS s FROM f),
           a AS (SELECT any_value(n) AS n_docs, any_value(s) AS total_tokens,
-                   CAST(sum(v * c * (2 * below + c + 1)) AS BIGINT) AS num,
+                   sum(CAST(v AS HUGEINT) * c * (2 * below + c + 1)) AS num,
                    CAST(sum(v * greatest(0, least(c, (n + 99) // 100 - above)))
                      AS BIGINT) AS top1_mass,
                    CAST(sum(v * greatest(0, least(c, (n + 9) // 10 - above)))
@@ -93,7 +105,8 @@ object Wave20Queries {
                 FROM w, t)
           SELECT n_docs, total_tokens,
                  CASE WHEN total_tokens > 0 THEN
-                   round(num / CAST(n_docs * total_tokens AS DOUBLE)
+                   round(CAST(num AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE) * total_tokens)
                      - CAST(n_docs + 1 AS DOUBLE) / n_docs, 6) END AS gini,
                  CASE WHEN total_tokens > 0 THEN
                    round(top1_mass / CAST(total_tokens AS DOUBLE), 6)

@@ -19,6 +19,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Declared streaming surface: sNN key → entry method, in SURVEY §2-B
+    * order. This is the census README's streaming header is locked to
+    * (DocsCountsSpec) — add the new op HERE when a wave grows the
+    * surface, or the count-lockstep test fails. */
+  val registry: Seq[(String, String)] = Seq(
+    "s01" -> "tumblingCounts", "s02" -> "dedupEvents", "s03" -> "sessionize",
+    "s04" -> "enrich", "s05" -> "streamStreamCorrelate", "s06" -> "splitRouter",
+    "s07" -> "nearDedupDocs", "s08" -> "decontaminateStream",
+    "s09" -> "scoreStream", "s10" -> "slidingCounts",
+    "s11" -> "snapshotMaintain", "s12" -> "quotaSampleStream",
+    "s13" -> "mergedIndex", "s14" -> "funnelStream",
+    "s15" -> "incrementalDedupStream", "s16" -> "kmvStream",
+    "s17" -> "streamStreamLeftOuter", "s18" -> "heavyHittersStream",
+    "s19" -> "driftMonitor", "s20" -> "percentilesStream",
+    "s21" -> "checksumStream", "s22" -> "contributionCapStream",
+    "s23" -> "calibrationStream", "s24" -> "ivfAssignStream",
+    "s25" -> "tombstoneFilterStream", "s26" -> "blocklistGateStream")
+
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
     * become new micro-batches); driven in tests with Trigger.AvailableNow.

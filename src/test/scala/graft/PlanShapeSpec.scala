@@ -172,6 +172,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("DataFilters: [bloomcontains"), p)
   }
 
+  test("q162 deletion semi-joins: broadcast below the key limit, bloom-pruned above") {
+    // r9 verdict task 7: the scaladoc's bloom-fallback claim wired to
+    // code. Below spark.graft.broadcastKeyLimit the key list broadcasts
+    // (fixture default); forcing the limit below ANY count (-1 — the
+    // smoke fixture's deletion list is legitimately empty, so 0 would
+    // still broadcast) must flip BOTH cascade hops onto q90's
+    // bloom-pruned shuffle — with the exact semi-join still present, so
+    // the two regimes are value-identical.
+    val pDef = plan("q162_deletion_audit")
+    assert(pDef.contains("BroadcastExchange"), pDef)
+    assert(!pDef.contains("bloomcontains"), pDef)
+    val defRows = SparkEntry.queries("q162_deletion_audit")(spark, sfSmoke)
+      .collect().toSeq
+    spark.conf.set(operators.KeyPrune.BroadcastKeyLimitKey, "-1")
+    try {
+      val p = plan("q162_deletion_audit")
+      val probeAt = p.indexOf("bloomcontains")
+      val joinAt = p.indexOf("LeftSemi")
+      assert(probeAt >= 0 && joinAt >= 0, p)
+      // the probe prints below the first semi-join header: it prunes
+      // fact rows before any join machinery sees them
+      assert(probeAt > joinAt, s"bloom probe not below the semi-join:\n$p")
+      val bloomRows = SparkEntry.queries("q162_deletion_audit")(spark, sfSmoke)
+        .collect().toSeq
+      assert(bloomRows == defRows, "regimes must be value-identical")
+    } finally spark.conf.unset(operators.KeyPrune.BroadcastKeyLimitKey)
+  }
+
   test("q79 true-Jaccard overlap joins only candidate-doc postings") {
     // r3 verdict item 5: the heavy sgh self-join must consume postings
     // semi-joined down to candidate docs (at 100 TB candidates are the
@@ -411,6 +439,22 @@ class PlanShapeSpec extends SparkSpec {
     val plan = qe.optimizedPlan
     // no window anywhere — the sheet is pure aggregate + join algebra
     assert(plan.collect { case w: logical.Window => w }.isEmpty, plan.toString)
+    assert(qe.executedPlan.toString.contains("BroadcastExchange"),
+      qe.executedPlan.toString)
+  }
+
+  test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {
+    // r9 verdict task 1: the tokenize→explode→md5 chain must NOT appear
+    // in the consuming plan — it ran exactly once into the materialized
+    // (doc_id, source, lang, b, cnt) pre-aggregate that feeds BOTH the
+    // LM and the per-doc reduce. No Generate and no parquet re-scan of
+    // documents may survive in the final plan.
+    val qe = SparkEntry.queries("q159_dsir_importance")(spark, sfSmoke).queryExecution
+    val p = qe.optimizedPlan
+    assert(p.collect { case g: logical.Generate => g }.isEmpty, p.toString)
+    assert(!qe.executedPlan.toString.contains("documents.parquet"),
+      qe.executedPlan.toString)
+    // LM weights and totals travel as broadcasts
     assert(qe.executedPlan.toString.contains("BroadcastExchange"),
       qe.executedPlan.toString)
   }
