@@ -842,6 +842,72 @@ object VectorQueries {
     nps.toDF("np")
   }
 
+  /** q183 — embedding label-coherence audit (round 10 wave 22): for a
+    * hash-regular query sample (the q173 corpus-independent
+    * adaptiveSampleMod batch), find each query's exact 1-nearest
+    * neighbour by rounded cosine and measure how often the neighbour
+    * shares the query's label parity — the 1-NN classifier accuracy of
+    * the embedding space, per class. An embedding column whose nearest
+    * neighbours ignore the labels retrieves noise no matter how well the
+    * ANN index performs: q173 prices the INDEX against brute force, this
+    * prices the SPACE against the labels, and together they bound what
+    * retrieval quality is even achievable.
+    *
+    * Determinism: similarities round to 6 BEFORE ranking with (sim,
+    * vec_id) tie-break (the q94/q173 contract); agreement counts exact;
+    * one rounded division per row.
+    *
+    * Scale notes: the Q·n kernel cost is bounded by the sample, not the
+    * corpus (adaptiveSampleMod keeps Q ≈ 2^5 at any scale); the rank=1
+    * filter rewrites to WindowGroupLimit so per-query heaps stay
+    * map-side; queries travel as ONE broadcast — the corpus never
+    * shuffles. */
+  private val q183 = GQuery(
+    "q183_knn_label_coherence",
+    (s, d) => {
+      CosineSim.register(s)
+      val queries = emb(s, d).filter(col("vec_id") % recMod(s, d) === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          (col("label") % 2).cast("int").as("q_y"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("nbr"))
+      femb(s, d).crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_y"),
+          (col("label") % 2).cast("int").as("n_y"),
+          col("vec_id").as("nbr"),
+          round(CosineSim(col("embedding"), col("q_vec")), 6).as("sim"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") === 1)
+        .groupBy(col("q_y"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("q_y") === col("n_y"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("q_y").as("label_parity"), col("n_queries"),
+          col("n_agree"),
+          round(col("n_agree") / col("n_queries"), 6).as("agree_frac"))
+        .orderBy(col("label_parity"))
+    },
+    Some(s"""WITH $recModSql,
+             qs AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                           CAST(label % 2 AS INTEGER) AS q_y
+                    FROM embeddings, qmod WHERE vec_id % qmod.m = 0),
+             nn AS (SELECT q_id, q_y, n_y FROM (
+                 SELECT qs.q_id, qs.q_y,
+                        CAST(e.label % 2 AS INTEGER) AS n_y,
+                        row_number() OVER (PARTITION BY qs.q_id
+                          ORDER BY ${cosineSql6("e.embedding", "qs.q_vec")} DESC,
+                            e.vec_id) AS rk
+                 FROM embeddings e, qs WHERE e.vec_id <> qs.q_id)
+               WHERE rk = 1)
+             SELECT q_y AS label_parity, count(*) AS n_queries,
+                    CAST(sum(CASE WHEN q_y = n_y THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_agree,
+                    round(sum(CASE WHEN q_y = n_y THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS agree_frac
+             FROM nn GROUP BY q_y ORDER BY q_y""")
+  )
+
   val all: Seq[GQuery] = Seq(q26, q28, q37, q41, q59, q76, q94, q102, q107,
-    q120, q173)
+    q120, q173, q183)
 }

@@ -35,7 +35,8 @@ object StreamOps {
     "s19" -> "driftMonitor", "s20" -> "percentilesStream",
     "s21" -> "checksumStream", "s22" -> "contributionCapStream",
     "s23" -> "calibrationStream", "s24" -> "ivfAssignStream",
-    "s25" -> "tombstoneFilterStream", "s26" -> "blocklistGateStream")
+    "s25" -> "tombstoneFilterStream", "s26" -> "blocklistGateStream",
+    "s27" -> "decayedCountsStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1084,5 +1085,71 @@ object StreamOps {
         } finally { routed.unpersist(); () }
       }
       .start()
+  }
+
+  final case class DecayEvent(event_type: String, ts_us: Long)
+  final case class DecayState(refDay: Long, mass: Long, n: Long)
+  final case class DecayOut(event_type: String, ref_day: Long, n_events: Long,
+      mass: Long, decayed_n: Double)
+
+  /** Scale bits for s27 — q177's DecayScaleBits convention (weights are
+    * exact powers of two at 2^40 scale). */
+  val DecayBits = 40
+
+  /** s27 — streaming decay-weighted counts (round-10; the incremental
+    * twin of batch q177's freshness profile): per event type, maintain
+    * the exponentially decayed event count at a given half-life, with
+    * EXACT integer arithmetic — weights are powers of two on an absolute
+    * half-life day grid (day = ts_us DIV halfLife), so advancing the
+    * reference day is ONE right-shift of the accumulated mass and every
+    * arrival adds 2^(40 − age). This absolute grid is what makes decay
+    * streamable at all: q177 ages events relative to the corpus max
+    * timestamp, which moves with every arrival — a stream cannot
+    * reweight history by arbitrary factors, but it CAN shift by powers
+    * of two, which is exactly what a day-grid half-life is. Same
+    * recency-weighting dial, retraction-free.
+    *
+    * Determinism: the drained mass is order- and slicing-independent —
+    * each event's final contribution is 2^(40 − (maxDay − day)) no
+    * matter when it arrived (shift-then-add telescopes exactly), which
+    * StreamingSpec asserts against a driver-side replay under arbitrary
+    * slicing and crash-replay. Truncation contract: an event older than
+    * [[DecayBits]] half-lives at the CURRENT reference contributes 0
+    * (it decayed off the 40-bit scale; batch q177 floors the same event
+    * at one ulp — the fixtures never reach that horizon). Exactness
+    * envelope: mass < 2^63 bounds same-day arrivals per key to ~2^23,
+    * the batch operator's own BIGINT envelope.
+    *
+    * Scale/state: per event type the state is THREE longs (reference
+    * day, mass, count) — constant regardless of history; output is one
+    * updated row per key per micro-batch (Update mode). */
+  def decayedCountsStream(events: Dataset[DecayEvent], halfLifeDays: Int)
+      : Dataset[DecayOut] = {
+    import events.sparkSession.implicits._
+    require(halfLifeDays > 0)
+    val per = halfLifeDays.toLong * 86400000000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[DecayState, DecayOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[DecayEvent], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0L, 0L))
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts_us, per)
+            if (st.n == 0L) st = DecayState(d, 0L, 0L)
+            else if (d > st.refDay) {
+              val shift = d - st.refDay
+              val shifted = if (shift > DecayBits) 0L else st.mass >>> shift
+              st = DecayState(d, shifted, st.n)
+            }
+            val age = st.refDay - d
+            val w = if (age > DecayBits) 0L else 1L << (DecayBits - age)
+            st = DecayState(st.refDay, st.mass + w, st.n + 1L)
+          }
+          state.update(st)
+          val scale = (1L << DecayBits).toDouble
+          Iterator.single(DecayOut(key, st.refDay, st.n, st.mass,
+            BigDecimal(st.mass / scale)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
   }
 }

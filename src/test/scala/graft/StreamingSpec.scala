@@ -1739,4 +1739,90 @@ class StreamingSpec extends SparkSpec {
       .head.getLong(0)
     assert(quarantined.map(_._2).sum == occ)
   }
+
+  /** The s27 fixture feed: sfSmoke events as (event_type, epoch-micros). */
+  private def decayEvents() = graft.sources.Tables.events(spark, sfSmoke)
+    .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    .as[StreamOps.DecayEvent].collect().toSeq
+
+  /** Independent driver-side replay of s27's contract: ref = max
+    * half-life day per key, each event contributes 2^(bits − age),
+    * zero beyond the bits horizon. */
+  private def decayReplay(evs: Seq[StreamOps.DecayEvent], halfLifeDays: Int)
+      : Map[String, (Long, Long, Long, Double)] = {
+    val per = halfLifeDays.toLong * 86400000000L
+    evs.groupBy(_.event_type).map { case (t, es) =>
+      val days = es.map(e => Math.floorDiv(e.ts_us, per))
+      val ref = days.max
+      val mass = days.map { d =>
+        val age = ref - d
+        if (age > StreamOps.DecayBits) 0L
+        else 1L << (StreamOps.DecayBits - age)
+      }.sum
+      val dn = BigDecimal(mass / (1L << StreamOps.DecayBits).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> (ref, es.length.toLong, mass, dn)
+    }
+  }
+
+  /** Final drained state: per key, the emission from its last batch. */
+  private def lastDecayRows(outDir: String): Map[String, (Long, Long, Long, Double)] =
+    spark.read.parquet(s"$outDir/rows")
+      .select(col("event_type"), col("ref_day"), col("n_events"), col("mass"),
+        col("decayed_n"), col("_batch").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val last = rs.maxBy(_._6)
+        t -> (last._2, last._3, last._4, last._5)
+      }
+
+  test("s27 decayed counts: drained state equals a driver replay under arbitrary slicing") {
+    val dir = java.nio.file.Files.createTempDirectory("s27_conv").toString
+    val in = s"$dir/in"
+    val all = decayEvents()
+    // deliberately NON-time-ordered slices: the absolute day grid makes
+    // the drained mass order-independent (each event's contribution is
+    // 2^(bits − final age) no matter when it arrived)
+    (0 until 3).foreach(i =>
+      feedFile(all.filter(_.ts_us % 3 == i).toDF(), in, s"f$i"))
+    val q = updateSink(StreamOps.decayedCountsStream(
+      spark.readStream.schema(all.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.DecayEvent], 7), s"$dir/out")
+    try q.processAllAvailable() finally q.stop()
+    val got = lastDecayRows(s"$dir/out")
+    val want = decayReplay(all, 7)
+    assert(got == want, s"got=$got\nwant=$want")
+    // decay only shrinks: decayed mass never exceeds the raw count, and
+    // the fixture's most recent day keeps at least one full-weight event
+    got.values.foreach { case (_, n, _, dn) => assert(dn <= n && dn > 0) }
+  }
+
+  test("s27 decayed counts crash-replay converges to the same state") {
+    val dir = java.nio.file.Files.createTempDirectory("s27_crash").toString
+    val in = s"$dir/in"
+    val all = decayEvents()
+    val third = all.length / 3
+    def feed(i: Int): Unit =
+      feedFile(all.slice(i * third,
+        if (i == 2) all.length else (i + 1) * third).toDF(), in, s"f$i")
+    def start() = updateSink(StreamOps.decayedCountsStream(
+      spark.readStream.schema(all.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.DecayEvent], 7), s"$dir/out")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    // crash window: batch 1's rows committed, checkpoint commit lost —
+    // the restarted query replays batch 1 from the pre-batch state and
+    // overwrites its own partition (the updateSink contract)
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(lastDecayRows(s"$dir/out") == decayReplay(all, 7))
+  }
 }
