@@ -1089,6 +1089,59 @@ object DedupQueries {
          ORDER BY doc1, doc2""")
   )
 
+  /** q187 — duplicate-cluster size profile (round 10 wave 23): the
+    * distribution of q60's cluster sizes — per size k, how many clusters
+    * and how much of the corpus they hold — plus the global cluster and
+    * singleton counts. The dedup family resolves clusters (q60), picks
+    * representatives (q78) and prices inflation (q176); this is the
+    * census that says what SHAPE the duplication has: a corpus of pairs
+    * deduplicates cheaply, one giant template cluster means a systematic
+    * ingestion bug, and the k-profile is the first thing an operator
+    * reads when dedup yield moves.
+    *
+    * Determinism: exact integer counts end-to-end; one rounded division
+    * per row; ordered by k.
+    *
+    * Scale notes: consumes the PUBLISHED label relation (the CC loop
+    * runs once per fixture — labelsFor's materialized cache); the size
+    * aggregate is cluster-count-sized, the k-histogram distinct-size-
+    * sized, and the globals ride a 1-row broadcast. Nothing corpus-sized
+    * beyond the one count(*). */
+  private val q187 = GQuery(
+    "q187_dup_cluster_profile",
+    (s, d) => {
+      val sizes = labelsFor(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+      val glob = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(sizes.agg(count(lit(1)).as("n_clusters"),
+          sum(col("k")).as("n_clustered")))
+      sizes.groupBy(col("k")).agg(count(lit(1)).as("n_clusters_k"))
+        .crossJoin(broadcast(glob))
+        .select(col("k"), col("n_clusters_k"),
+          (col("k") * col("n_clusters_k")).as("n_docs_k"),
+          col("n_clusters"),
+          (col("n_docs") - col("n_clustered")).as("n_singletons"),
+          round((col("k") * col("n_clusters_k")) / col("n_docs").cast("double"), 6)
+            .as("doc_frac"))
+        .orderBy(col("k"))
+    },
+    Some(CLUSTER_SQL +
+      """, sizes AS (SELECT cluster_id, count(*) AS k FROM labels
+                     GROUP BY cluster_id),
+          g AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT count(*) FROM sizes) AS n_clusters,
+                       (SELECT CAST(sum(k) AS BIGINT) FROM sizes)
+                         AS n_clustered)
+          SELECT k, count(*) AS n_clusters_k,
+                 CAST(k * count(*) AS BIGINT) AS n_docs_k,
+                 any_value(n_clusters) AS n_clusters,
+                 CAST(any_value(n_docs) - any_value(n_clustered) AS BIGINT)
+                   AS n_singletons,
+                 round(k * count(*) / CAST(any_value(n_docs) AS DOUBLE), 6)
+                   AS doc_frac
+          FROM sizes, g GROUP BY k ORDER BY k""")
+  )
+
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
-    q100, q104, q111, q117, q138, q146, q147, q149)
+    q100, q104, q111, q117, q138, q146, q147, q149, q187)
 }
