@@ -125,18 +125,22 @@ object Wave19Queries {
     * ordered by source.
     *
     * Scale notes: the UNCAPPED posting relation is built by the same
-    * explode→distinct map as the dedup index; the hot set is a HAVING
-    * over the shingle-keyed aggregate (vocabulary-sized input, tiny
-    * output) and rides a semi-join back onto postings (AQE broadcasts it
-    * while it fits, shuffle otherwise); at-risk doc_ids reduce by
-    * DISTINCT before the |sources|-sized sheet. Nothing corpus-sized is
-    * collected or windowed. */
+    * explode→distinct map as the dedup index and MATERIALIZED — it
+    * feeds two consumers (the hot-shingle aggregate and the semi-join
+    * probe), so without the checkpoint the tokenize→explode→md5 lineage
+    * would run twice over the corpus (the r10 shared-relation sweep;
+    * q159's fixed defect, same shape — measured 10.1 s → 6.0 s at sf3).
+    * The hot set is a HAVING over the shingle-keyed aggregate
+    * (vocabulary-sized input, tiny output) and rides a semi-join back
+    * onto postings (AQE broadcasts it while it fits, shuffle otherwise);
+    * at-risk doc_ids reduce by DISTINCT before the |sources|-sized
+    * sheet. Nothing corpus-sized is collected or windowed. */
   private val q167 = GQuery(
     "q167_memorization_risk",
     (s, d) => {
-      val posts = CorpusOps.shingleHashes(
+      val posts = Io.materialize(CorpusOps.shingleHashes(
         Io.fanOut(Tables.documents(s, d).select(col("doc_id"), col("text"))),
-        "doc_id", "text", MemN)
+        "doc_id", "text", MemN))
       val hot = posts.groupBy(col("sgh")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= MemHotT)
       val nHot = hot.agg(count(lit(1)).as("n_hot_shingles"))
