@@ -98,10 +98,8 @@ object Bloom {
   private val NAME = "bloom_contains"
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(NAME,
-        exprs => BloomContains(exprs.head, exprs(1)), "built-in")
+    Registry.ensure(spark, NAME)(
+      exprs => BloomContains(exprs.head, exprs(1)))
 
   /** Column-API probe; requires register(spark) once per session. */
   def mightContain(bits: Column, key: Column): Column =

@@ -83,9 +83,7 @@ object CharEntropy {
   private val NAME = "char_entropy"
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(NAME, exprs => CharEntropy(exprs.head), "built-in")
+    Registry.ensure(spark, NAME)(exprs => CharEntropy(exprs.head))
 
   /** Column-API entry point; requires register(spark) once per session. */
   def apply(c: Column): Column = call_function(NAME, c)

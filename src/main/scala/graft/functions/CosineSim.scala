@@ -101,9 +101,7 @@ object CosineSim {
   /** Register the expression in the session's function registry (idempotent)
     * so it is usable from both the Column API and SQL text. */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(NAME, exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    Registry.ensure(spark, NAME)(exprs => CosineSim(exprs(0), exprs(1)))
 
   /** Column-API entry point; requires register(spark) once per session. */
   def apply(a: Column, b: Column): Column = call_function(NAME, a, b)

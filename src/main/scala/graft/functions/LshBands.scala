@@ -125,10 +125,8 @@ object LshBands {
   /** Register with a fixed geometry (the Column API cannot carry non-column
     * constructor args through the function registry). */
   def register(spark: SparkSession, bands: Int, bits: Int, dim: Int): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(NAME,
-        exprs => LshBands(exprs.head, bands, bits, dim), "built-in")
+    Registry.ensure(spark, NAME, (bands, bits, dim))(
+      exprs => LshBands(exprs.head, bands, bits, dim))
 
   /** Column-API entry point; requires register(spark, ...) once per session. */
   def apply(c: Column): Column = call_function(NAME, c)

@@ -124,9 +124,7 @@ object NormalizeText {
   private val NAME = "normalize_text"
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(NAME, exprs => NormalizeText(exprs.head), "built-in")
+    Registry.ensure(spark, NAME)(exprs => NormalizeText(exprs.head))
 
   /** Column-API entry point; requires register(spark) once per session. */
   def apply(c: Column): Column = call_function(NAME, c)

@@ -128,9 +128,7 @@ object SimHash128 {
   private val NAME = "simhash128"
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(NAME, exprs => SimHash128(exprs.head), "built-in")
+    Registry.ensure(spark, NAME)(exprs => SimHash128(exprs.head))
 
   /** Column-API entry point; requires register(spark) once per session. */
   def apply(c: Column): Column = call_function(NAME, c)

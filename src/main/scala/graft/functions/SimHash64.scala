@@ -121,9 +121,7 @@ object SimHash64 {
   private val NAME = "simhash64"
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(NAME, exprs => SimHash64(exprs.head), "built-in")
+    Registry.ensure(spark, NAME)(exprs => SimHash64(exprs.head))
 
   /** Column-API entry point; requires register(spark) once per session. */
   def apply(c: Column): Column = call_function(NAME, c)

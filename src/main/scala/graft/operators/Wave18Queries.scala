@@ -49,9 +49,15 @@ object Wave18Queries {
         lit(DelMod)) === 0)
         .select(col("c_custkey"))
       val orders = Tables.orders(s, d)
-      val delOrders = KeyPrune.semiJoin(orders, del, "o_custkey", "c_custkey")
+      // MATERIALIZED: the hop-1 hit set feeds TWO consumers (the orders
+      // audit row and hop 2's key list) — lazy, the whole orders ⋉ del
+      // join re-executed per consumer (ADVICE r10). One eager build of
+      // the slim key projection; both consumers read a block scan.
+      val delOrderKeys = graft.sources.Io.materialize(
+        KeyPrune.semiJoin(orders, del, "o_custkey", "c_custkey")
+          .select(col("o_orderkey")))
       val li = Tables.lineitem(s, d)
-      val delLi = KeyPrune.semiJoin(li, delOrders.select(col("o_orderkey")),
+      val delLi = KeyPrune.semiJoin(li, delOrderKeys,
         "l_orderkey", "o_orderkey")
       def row(name: String, total: DataFrame, dele: DataFrame): DataFrame =
         total.agg(count(lit(1)).as("n_total"))
@@ -60,7 +66,7 @@ object Wave18Queries {
             round(col("n_delete") / col("n_total"), 6).as("frac"))
       row("customer", cust, del)
         .union(row("lineitem", li, delLi))
-        .union(row("orders", orders, delOrders))
+        .union(row("orders", orders, delOrderKeys))
         .orderBy(col("table_name"))
     },
     Some(s"""WITH del AS (SELECT c_custkey FROM customer

@@ -111,6 +111,15 @@ object Wave23Queries {
     * aggregation (the q59/q94 integerize-then-aggregate rule); group
     * stats are exact integer/decimal arithmetic with rounded divisions.
     *
+    * Exactness envelope (the q180 convention): the variance numerator
+    * sqq·n − sq·sq is decimal(38,0); with micro-norms q ≤ Q it needs
+    * (n·Q²)·n ≤ 10³⁸, i.e. n ≤ 10¹³ rows at unit-ish norms (Q ≈ 10⁶)
+    * but only n ≤ 10¹² at Q ≈ 10⁷ (norm 10) — the 100 TB row-count
+    * boundary. Past it, compute var as sqq/n − (sq/n)² in DOUBLE after
+    * the exact integer sums (one extra rounding, no 76-digit
+    * intermediate); the exact-decimal form is kept here because the
+    * fixtures and the oracle sit far inside the envelope.
+    *
     * Scale notes: map-only kernel → 2-group aggregate with map-side
     * combine; nothing else. */
   private val q186 = GQuery(

@@ -1113,10 +1113,15 @@ object StreamOps {
     * each event's final contribution is 2^(40 − (maxDay − day)) no
     * matter when it arrived (shift-then-add telescopes exactly), which
     * StreamingSpec asserts against a driver-side replay under arbitrary
-    * slicing and crash-replay. Truncation contract: an event older than
-    * [[DecayBits]] half-lives at the CURRENT reference contributes 0
-    * (it decayed off the 40-bit scale; batch q177 floors the same event
-    * at one ulp — the fixtures never reach that horizon). Exactness
+    * slicing and crash-replay. Truncation contract: shifts compose
+    * exactly (m >>> a >>> b == m >>> (a+b)), so the mass after any gap
+    * is independent of how micro-batches slice it; a single event older
+    * than [[DecayBits]] half-lives at the current reference has decayed
+    * off the 40-bit scale and contributes 0, though ACCUMULATED
+    * same-day mass (k events = k·2^w) floors as a sum, so a residue
+    * carry of up to log2(k) extra half-lives can survive — identically
+    * under every slicing (batch q177 floors the same event at one ulp;
+    * the fixtures never reach that horizon). Exactness
     * envelope: mass < 2^63 bounds same-day arrivals per key to ~2^23,
     * the batch operator's own BIGINT envelope.
     *
@@ -1137,8 +1142,16 @@ object StreamOps {
             val d = Math.floorDiv(e.ts_us, per)
             if (st.n == 0L) st = DecayState(d, 0L, 0L)
             else if (d > st.refDay) {
+              // >>> composes exactly (m >>> a >>> b == m >>> (a+b) for
+              // a+b < 64), so slicing a gap across micro-batches lands on
+              // the same mass as jumping it in one — the invariant the
+              // scaladoc claims. Guard at 64 (where >>> wraps), NOT at
+              // DecayBits: accumulated same-day mass can carry above
+              // 2^DecayBits, and zeroing it at shift 41 while two shifts
+              // of 20+21 kept a carry would break slicing-independence
+              // (ADVICE r10).
               val shift = d - st.refDay
-              val shifted = if (shift > DecayBits) 0L else st.mass >>> shift
+              val shifted = if (shift >= 64) 0L else st.mass >>> shift
               st = DecayState(d, shifted, st.n)
             }
             val age = st.refDay - d
