@@ -36,7 +36,7 @@ object StreamOps {
     "s21" -> "checksumStream", "s22" -> "contributionCapStream",
     "s23" -> "calibrationStream", "s24" -> "ivfAssignStream",
     "s25" -> "tombstoneFilterStream", "s26" -> "blocklistGateStream",
-    "s27" -> "decayedCountsStream")
+    "s27" -> "decayedCountsStream", "s28" -> "mixRouterStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1163,6 +1163,64 @@ object StreamOps {
           Iterator.single(DecayOut(key, st.refDay, st.n, st.mass,
             BigDecimal(st.mass / scale)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+  }
+
+  final case class MixDoc(doc_id: Long, source: String, n_tokens: Long)
+  final case class MixState(admitted_docs: Long, admitted_tokens: Long,
+      seen_docs: Long)
+  final case class MixOut(doc_id: Long, source: String, admitted: Boolean,
+      admitted_tokens_after: Long)
+
+  /** s28 — streaming mixture/token-budget router (streaming twin of the
+    * q95/q169 selection family): per source, admit documents in arrival
+    * order until the source's TOKEN budget is consumed — the admission
+    * step that turns a mixture design (per-source token budgets, e.g.
+    * q169's temperature weights × a total budget) into an actual
+    * admitted set while the corpus streams past. A document is admitted
+    * iff the source's admitted-token total BEFORE it is still under
+    * budget — the q69/q108 straddle rule (the doc that crosses the
+    * boundary ships, then the gate closes), so a budget is never
+    * under-filled by early termination.
+    *
+    * Equivalence contract: under TIME-ORDERED ingestion (doc_id
+    * non-decreasing per source across micro-batches — the natural feed
+    * order; within a micro-batch arrival interleave is repaired by a
+    * per-group doc_id sort), the drained admitted set equals the batch
+    * prefix rule — per source, admit while the running token sum
+    * (cumulative, doc_id order) minus the doc's own tokens is < budget
+    * — which StreamingSpec asserts against a window-cumsum batch twin,
+    * plus crash-replay. Unlike s12's rank-quota sampler (order-free
+    * fixpoint), first-fit budget admission is order-DEPENDENT by
+    * nature; the contract scopes it to the feed order a router actually
+    * sees.
+    *
+    * Scale/state: per source the state is THREE longs (admitted docs,
+    * admitted tokens, seen docs) — constant regardless of history; the
+    * per-batch sort buffer is micro-batch-group-sized, never
+    * history-sized. Sources absent from the budget map admit nothing
+    * (deny-by-default). Output: one decision row per arriving doc
+    * (Update mode; replays overwrite their own batch partition). */
+  def mixRouterStream(docs: Dataset[MixDoc], budgets: Map[String, Long])
+      : Dataset[MixOut] = {
+    import docs.sparkSession.implicits._
+    require(budgets.values.forall(_ >= 0L), "budgets must be non-negative")
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[MixState, MixOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[MixDoc], state: GroupState[MixState]) =>
+          val budget = budgets.getOrElse(src, 0L)
+          var st = state.getOption.getOrElse(MixState(0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.doc_id).map { doc =>
+            val admit = st.admitted_tokens < budget
+            st =
+              if (admit) MixState(st.admitted_docs + 1L,
+                st.admitted_tokens + doc.n_tokens, st.seen_docs + 1L)
+              else st.copy(seen_docs = st.seen_docs + 1L)
+            MixOut(doc.doc_id, src, admit, st.admitted_tokens)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 }

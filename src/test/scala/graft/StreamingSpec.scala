@@ -1825,4 +1825,96 @@ class StreamingSpec extends SparkSpec {
     finally q2.stop()
     assert(lastDecayRows(s"$dir/out") == decayReplay(all, 7))
   }
+
+  /** The s28 fixture feed: smoke documents as (doc_id, source, n_tokens),
+    * doc_id order (= the time-ordered ingestion the contract scopes to). */
+  private def mixDocs(): Seq[StreamOps.MixDoc] =
+    graft.sources.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[StreamOps.MixDoc].collect().toSeq.sortBy(_.doc_id)
+
+  /** Per-source budgets at 40% of each source's total tokens — every
+    * source gets both admits and rejects, and at least one straddle. */
+  private def mixBudgets(docs: Seq[StreamOps.MixDoc]): Map[String, Long] =
+    docs.groupBy(_.source).map { case (s, ds) =>
+      s -> (ds.map(_.n_tokens).sum * 2 / 5) }
+
+  /** The batch twin: per source in doc_id order, admit while the running
+    * token sum BEFORE the doc is under budget (the q69 straddle rule). */
+  private def mixReplay(docs: Seq[StreamOps.MixDoc],
+      budgets: Map[String, Long]): Map[Long, (Boolean, Long)] =
+    docs.groupBy(_.source).flatMap { case (s, ds) =>
+      val budget = budgets.getOrElse(s, 0L)
+      var tok = 0L
+      ds.sortBy(_.doc_id).map { doc =>
+        val admit = tok < budget
+        if (admit) tok += doc.n_tokens
+        doc.doc_id -> (admit, tok)
+      }
+    }
+
+  private def mixRows(outDir: String): Map[Long, (Boolean, Long)] =
+    spark.read.parquet(s"$outDir/rows")
+      .select(col("doc_id"), col("admitted"), col("admitted_tokens_after"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+
+  test("s28 mix router: drained admissions equal the batch prefix rule") {
+    val dir = java.nio.file.Files.createTempDirectory("s28_conv").toString
+    val in = s"$dir/in"
+    val all = mixDocs()
+    val budgets = mixBudgets(all)
+    // time-ordered slices (doc_id thirds) — the contract's feed order
+    val third = all.length / 3
+    (0 until 3).foreach(i =>
+      feedFile(all.slice(i * third,
+        if (i == 2) all.length else (i + 1) * third).toDF(), in, s"f$i"))
+    val q = updateSink(StreamOps.mixRouterStream(
+      spark.readStream.schema(all.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.MixDoc], budgets), s"$dir/out")
+    try q.processAllAvailable() finally q.stop()
+    val got = mixRows(s"$dir/out")
+    val want = mixReplay(all, budgets)
+    assert(got == want)
+    // the budgets exercise the operator: every source both admits and
+    // rejects, and each source's admitted mass crosses its budget once
+    // (the straddle doc) but never twice
+    all.groupBy(_.source).foreach { case (s, ds) =>
+      val decisions = ds.map(d => got(d.doc_id)._1)
+      assert(decisions.contains(true) && decisions.contains(false), s)
+      val admittedTok = ds.filter(d => got(d.doc_id)._1).map(_.n_tokens).sum
+      assert(admittedTok >= budgets(s), s)
+      val admitted = ds.filter(d => got(d.doc_id)._1).sortBy(_.doc_id)
+      assert(admittedTok - admitted.last.n_tokens < budgets(s), s)
+    }
+  }
+
+  test("s28 mix router crash-replay converges to the same admissions") {
+    val dir = java.nio.file.Files.createTempDirectory("s28_crash").toString
+    val in = s"$dir/in"
+    val all = mixDocs()
+    val budgets = mixBudgets(all)
+    val third = all.length / 3
+    def feed(i: Int): Unit =
+      feedFile(all.slice(i * third,
+        if (i == 2) all.length else (i + 1) * third).toDF(), in, s"f$i")
+    def start() = updateSink(StreamOps.mixRouterStream(
+      spark.readStream.schema(all.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.MixDoc], budgets), s"$dir/out")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    // crash window: batch 1's rows committed, checkpoint commit lost —
+    // the replayed batch recomputes from the pre-batch state and
+    // overwrites its own partition (the updateSink contract)
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(mixRows(s"$dir/out") == mixReplay(all, budgets))
+  }
 }
