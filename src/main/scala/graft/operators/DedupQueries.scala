@@ -1142,6 +1142,66 @@ object DedupQueries {
           FROM sizes, g GROUP BY k ORDER BY k""")
   )
 
+  /** q196 — cluster-majority label spread (weak supervision over the
+    * duplicate graph): near-duplicate copies of one underlying document
+    * should carry ONE label; per q60 cluster, elect the majority lang
+    * (ties to the lexicographically smallest — both engines) and count,
+    * per original lang, the members whose label disagrees with their
+    * cluster's majority. This is the label-denoising/propagation step a
+    * weak-supervision pipeline runs before training on metadata labels
+    * (q188 votes across annotators on ONE doc; this votes across
+    * near-duplicate COPIES), and a high flip count per lang is the
+    * mislabeled-mirror signal q134/q179 see from the content side.
+    *
+    * Determinism: exact integer counts; majority ties break on lang
+    * order in both engines; one rounded division per row.
+    *
+    * Scale notes: consumes the PUBLISHED label relation (CC runs once —
+    * labelsFor's cache); the majority election is a (cluster, lang)
+    * aggregate with a cluster-partitioned row_number over that
+    * AGGREGATE (cluster-sized, never corpus-partitioned); the final
+    * sheet is a |langs| aggregate behind a cluster-keyed broadcast-
+    * eligible join of the vertex-sized member relation. */
+  private val q196 = GQuery(
+    "q196_cluster_label_spread",
+    (s, d) => {
+      val members = labelsFor(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id")
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("cnt").desc, col("lang"))
+      val majority = members.groupBy(col("cluster_id"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wc)).filter(col("rk") === 1)
+        .select(col("cluster_id"), col("lang").as("maj_lang"))
+      members.join(majority, "cluster_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") =!= col("maj_lang"), 1L).otherwise(0L))
+            .as("n_flipped"))
+        .select(col("lang"), col("n_docs"), col("n_flipped"),
+          round(col("n_flipped") / col("n_docs"), 6).as("flip_frac"))
+        .orderBy(col("lang"))
+    },
+    Some(CLUSTER_SQL +
+      """, mem AS (SELECT l.cluster_id, d.doc_id, d.lang
+                   FROM labels l JOIN documents d USING (doc_id)),
+          cnt AS (SELECT cluster_id, lang, count(*) AS c
+                  FROM mem GROUP BY cluster_id, lang),
+          maj AS (SELECT cluster_id, lang AS maj_lang FROM (
+                    SELECT cluster_id, lang,
+                           row_number() OVER (PARTITION BY cluster_id
+                                              ORDER BY c DESC, lang) AS rk
+                    FROM cnt) WHERE rk = 1)
+          SELECT m.lang, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN m.lang <> j.maj_lang THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_flipped,
+                 round(sum(CASE WHEN m.lang <> j.maj_lang THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS flip_frac
+          FROM mem m JOIN maj j USING (cluster_id)
+          GROUP BY m.lang ORDER BY lang""")
+  )
+
   val all: Seq[GQuery] = Seq(q24, q25, q31, q32, q60, q78, q79, q86, q97,
-    q100, q104, q111, q117, q138, q146, q147, q149, q187)
+    q100, q104, q111, q117, q138, q146, q147, q149, q187, q196)
 }
