@@ -170,10 +170,10 @@ object VectorQueries {
     * cross-engine hash), so the oracle reconstructs the exact same
     * hyperplanes from DuckDB's md5. The bucket cap bounds in-bucket pair
     * blowup on skewed buckets (same guard as q25's stop-shingles). */
-  private val LshBandCount = 6
-  private val LshBits = 8
-  private val LshDim = 64
-  private val LshBucketCap = 200
+  private[operators] val LshBandCount = 6
+  private[operators] val LshBits = 8
+  private[operators] val LshDim = 64
+  private[operators] val LshBucketCap = 200
 
   /** q41 — embedding-cosine near-duplicate candidates, blocked on
     * hyperplane-LSH band buckets (sign-random-projection): deterministic

@@ -44,7 +44,7 @@ object Wave24Queries {
     Io.fanOut(Tables.embeddings(s, d))
 
   /** Milli-integerized vectors — the q102 exact-integer grid. */
-  private def qvecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def qvecs(s: SparkSession, d: String): DataFrame =
     femb(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
@@ -54,7 +54,7 @@ object Wave24Queries {
     * rule), so encoding never shuffles the vector table. Adds `codes`
     * (array of the M chosen code ids, subspace order) and `dists`
     * (array of the M per-subspace squared errors). */
-  private def withCodes(df: DataFrame,
+  private[graft] def withCodes(df: DataFrame,
       books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]]): DataFrame = {
     val per = (0 until PqM).map { m =>
       val sv = slice(col("qv"), m * PqS + 1, PqS)
@@ -83,7 +83,7 @@ object Wave24Queries {
     * M·K·S = 256 longs. A code emptied by the iteration drops out of
     * its subspace's book (both engines aggregate present groups — the
     * q102 drop-out rule). */
-  private def trainBooks(s: SparkSession, d: String)
+  private[graft] def trainBooks(s: SparkSession, d: String)
       : IndexedSeq[Seq[(Long, IndexedSeq[Long])]] = {
     val seeds = qvecs(s, d)
       .withColumn("mkey", md5(col("vec_id").cast("string")))

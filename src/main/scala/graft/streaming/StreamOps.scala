@@ -36,7 +36,8 @@ object StreamOps {
     "s21" -> "checksumStream", "s22" -> "contributionCapStream",
     "s23" -> "calibrationStream", "s24" -> "ivfAssignStream",
     "s25" -> "tombstoneFilterStream", "s26" -> "blocklistGateStream",
-    "s27" -> "decayedCountsStream", "s28" -> "mixRouterStream")
+    "s27" -> "decayedCountsStream", "s28" -> "mixRouterStream",
+    "s29" -> "pqEncodeStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1201,6 +1202,27 @@ object StreamOps {
     * history-sized. Sources absent from the budget map admit nothing
     * (deny-by-default). Output: one decision row per arriving doc
     * (Update mode; replays overwrite their own batch partition). */
+  /** s29 — streaming PQ encoder: ingest-time product-quantization code
+    * assignment through the SAME Wave24Queries.withCodes kernel as
+    * q191's batch encode — zero streaming state (the s24 ivfAssign
+    * pattern with PQ codes instead of IVF cells: the index's compressed
+    * representation is computed AT INGEST, so the search tier never
+    * re-reads raw vectors). The codebook is trained offline (q191's
+    * exact-integer Lloyd) and travels as M·K·S literals; output is one
+    * (vec_id, code_str) row per arriving vector, append-only.
+    * Determinism: drained codes equal the batch encode bit-for-bit
+    * (ScalaTest-asserted) — same milli grid, same lowest-id tie-break. */
+  def pqEncodeStream(vectors: DataFrame,
+      books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]]): DataFrame = {
+    val milli = vectors.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+    graft.operators.Wave24Queries.withCodes(milli, books)
+      .select(col("vec_id"),
+        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
+          .as("code_str"))
+  }
+
   def mixRouterStream(docs: Dataset[MixDoc], budgets: Map[String, Long])
       : Dataset[MixOut] = {
     import docs.sparkSession.implicits._

@@ -1917,4 +1917,35 @@ class StreamingSpec extends SparkSpec {
     finally q2.stop()
     assert(mixRows(s"$dir/out") == mixReplay(all, budgets))
   }
+
+  test("s29 PQ encode stream drains to the exact batch encode") {
+    val dir = java.nio.file.Files.createTempDirectory("s29").toString
+    val in = s"$dir/in"
+    val books = graft.operators.Wave24Queries.trainBooks(spark, sfSmoke)
+    val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rows = emb.collect()
+    val third = rows.length / 3
+    (0 until 3).foreach { i =>
+      val slice = rows.slice(i * third,
+        if (i == 2) rows.length else (i + 1) * third)
+      feedFile(spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq), emb.schema), in, s"f$i")
+    }
+    val q = StreamOps.pqEncodeStream(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in), books)
+      .writeStream.format("memory").queryName("s29_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("s29_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = graft.operators.Wave24Queries
+      .withCodes(graft.operators.Wave24Queries.qvecs(spark, sfSmoke), books)
+      .select(col("vec_id"),
+        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
