@@ -21,7 +21,8 @@ object SparkEntry {
       Wave15Queries.all ++ Wave16Queries.all ++ Wave17Queries.all ++
       Wave18Queries.all ++ Wave19Queries.all ++ Wave20Queries.all ++
       Wave21Queries.all ++ Wave22Queries.all ++ Wave23Queries.all ++
-      Wave24Queries.all ++ Wave25Queries.all ++ Wave26Queries.all
+      Wave24Queries.all ++ Wave25Queries.all ++ Wave26Queries.all ++
+      Wave27Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped aggregation — the reference's map/reduce aggregation

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.GQuery
+import graft.functions.TextOps
+import graft.sources.{Io, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave 27: allocation and admission policy sheets —
+  *
+  *   - q199 water-filling mixture allocation: the entropy-maximizing
+  *     per-source token allocation under supply caps and a total
+  *     budget (uniform water level; small sources fully funded, large
+  *     sources capped at the level). Completes the mixture-design
+  *     family's policy axis: q169 reweights by temperature, q155 funds
+  *     greedily by priority, q95 cuts proportional quotas — this is
+  *     the BALANCED allocation a diversity-first mixture uses;
+  *   - q200 quality-rule battery: Gopher-style independent document
+  *     rules (symbol ratio, mean/max word length, numeric-token
+  *     fraction) counted per source with any/all overlaps — q70 is the
+  *     sequential funnel on diversity/repetition, this is the
+  *     per-rule marginal sheet a filter review reads BEFORE picking an
+  *     order (independent counts say which rule actually bites).
+  *
+  * Determinism: q199 is exact integer arithmetic end-to-end (prefix
+  * sums, floor-division candidates, min_by on a unique index); q200's
+  * rules compare exact integers (scaled thresholds — no float ratios).
+  */
+object Wave27Queries {
+
+  /** The water-fill core over a (source, supply, budget) relation —
+    * extracted so Wave27Spec can drive the SATURATED branch with a
+    * synthetic skewed supply (the fixture's sources are near-uniform by
+    * construction, so on it every source caps at the level and the
+    * fully-funded branch never shows; the algorithm handles both, and
+    * the spec proves it). */
+  private[graft] def waterfill(src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ord = Window.orderBy(col("supply"), col("source"))
+    val base = src
+      .withColumn("idx", row_number().over(ord))
+      .withColumn("k", count(lit(1)).over())
+      .withColumn("cumbefore", coalesce(
+        sum(col("supply")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("cand", expr("(budget - cumbefore) DIV (k - idx + 1)"))
+    // the filter is provably non-empty for budget < total supply
+    // (all-saturated would need total <= budget); coalesce(0) keeps
+    // the 1-row empty-group aggregate typed on an empty corpus
+    val lvl = base.filter(col("supply") > col("cand"))
+      .agg(coalesce(min_by(col("cand"), col("idx")), lit(0L)).as("level"))
+    base.crossJoin(broadcast(lvl))
+      .withColumn("alloc", least(col("supply"), col("level")))
+      .withColumn("saturated",
+        (col("supply") <= col("level")).cast("int"))
+      .withColumn("leftover", expr("budget - sum(alloc) OVER ()"))
+      .select(col("source"), col("supply"), col("alloc"), col("saturated"),
+        col("level"), col("budget"), col("leftover"))
+      .orderBy(col("source"))
+  }
+
+  /** q199 — water-filling token allocation: sort sources by ascending
+    * supply; the candidate level at row i is the equal split of the
+    * budget left after fully funding rows 1..i−1 over rows i..k; the
+    * true level L is the candidate at the FIRST row whose supply
+    * exceeds it (candidates are non-decreasing up to that row, the
+    * classic water-fill argument), every source gets min(supply, L),
+    * and the integer remainder (< number of capped sources) is
+    * reported as leftover rather than silently spread. Budget = half
+    * the corpus mass (the q155 convention, so the two planners read
+    * the same scenario).
+    *
+    * Determinism: supplies/prefix sums/candidates exact longs; DIV
+    * floor; the level row is selected by min_by on the unique sort
+    * index; leftover exact.
+    *
+    * Scale notes: the corpus reduces to a |sources| aggregate in one
+    * map-side-combined pass; every window after that is over the
+    * AGGREGATE (the q155 sweep-sanctioned shape). */
+  private val q199 = GQuery(
+    "q199_mixture_waterfill",
+    (s, d) => {
+      val src = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("bigint")).as("supply"))
+        .withColumn("budget", expr("sum(supply) OVER () DIV 2"))
+      waterfill(src)
+    },
+    Some("""WITH src AS (SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply
+                 FROM documents GROUP BY source),
+          base AS (SELECT source, supply,
+                     row_number() OVER (ORDER BY supply, source) AS idx,
+                     count(*) OVER () AS k,
+                     (SELECT CAST(sum(supply) AS BIGINT) FROM src) // 2 AS budget,
+                     coalesce(sum(supply) OVER (ORDER BY supply, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cumbefore
+                   FROM src),
+          b2 AS (SELECT *, (budget - cumbefore) // (k - idx + 1) AS cand
+                 FROM base),
+          lvl AS (SELECT coalesce(min_by(cand, idx), 0) AS level FROM b2
+                  WHERE supply > cand)
+          SELECT source, supply,
+                 least(supply, level) AS alloc,
+                 CAST(CASE WHEN supply <= level THEN 1 ELSE 0 END AS INTEGER)
+                   AS saturated,
+                 level, budget,
+                 budget - sum(least(supply, level)) OVER () AS leftover
+          FROM b2, lvl ORDER BY source""")
+  )
+
+  /** q200 thresholds — integer-scaled so every rule comparison is
+    * exact: symbols per 10 tokens, word-length milli bounds, numeric
+    * tokens per 10. The word-length band and the short/long-word rules
+    * are tuned to DISCRIMINATE on the fixture (mean word length spans
+    * 3.7–5.3 there); the symbol and numeric rules are tripwires the
+    * symbol- and digit-free synthetic corpus passes — their zero
+    * columns ARE the assertion (a real crawl fails them constantly). */
+  private val SymPerTokTenths = 1L   // > 0.1 symbols/token fails
+  private val MeanWlMilliLo = 4100L  // mean word length < 4.1 fails
+  private val MeanWlMilliHi = 4900L  // mean word length > 4.9 fails
+  private val MaxWl = 10L            // any token longer than 10 fails
+  private val NumPerTokTenths = 1L   // > 0.1 numeric tokens/token fails
+  private val MinTok = 12L           // docs under 12 tokens fail
+
+  /** q200 — Gopher-style quality-rule battery: four INDEPENDENT
+    * document rules — symbol density, mean word length out of range
+    * (incl. a max-length tripwire), numeric-token density — counted
+    * per source with the any/all overlaps. q34 scores, q70 funnels
+    * sequentially; this is the marginal sheet that says which rule
+    * actually bites per source (two rules with equal funnel loss can
+    * have disjoint or nested failure sets — the overlap columns
+    * distinguish them).
+    *
+    * Determinism: every rule is an exact integer comparison
+    * (cross-multiplied thresholds — no float ratios anywhere); counts
+    * exact; one rounded division per row.
+    *
+    * Scale notes: map-only per-document feature kernel (no explode —
+    * higher-order array folds over the token array) → |sources|
+    * aggregate with map-side combine. */
+  private val q200 = GQuery(
+    "q200_quality_rule_battery",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("bigint")
+      val nSym = (length(col("text"))
+        - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("bigint")
+      val sumWl = expr(
+        "aggregate(split(text, ' '), 0L, (a, w) -> a + length(w))")
+      val maxWl = expr(
+        "aggregate(split(text, ' '), 0L, (a, w) -> greatest(a, length(w)))")
+      val nNum = expr(
+        "aggregate(split(text, ' '), 0L, (a, w) -> " +
+          "a + CASE WHEN w rlike '^[0-9]+$' THEN 1 ELSE 0 END)")
+      val feats = Io.fanOut(Tables.documents(s, d)
+        .select(col("source"), col("text")))
+        .select(col("source"), nTok.as("nt"), nSym.as("ns"),
+          sumWl.as("swl"), maxWl.as("mwl"), nNum.as("nn"))
+        .select(col("source"),
+          (col("ns") * 10 > col("nt") * SymPerTokTenths).cast("long").as("r_sym"),
+          (col("swl") * 1000 < col("nt") * MeanWlMilliLo
+            || col("swl") * 1000 > col("nt") * MeanWlMilliHi
+            || col("mwl") > MaxWl).cast("long").as("r_wl"),
+          (col("nn") * 10 > col("nt") * NumPerTokTenths).cast("long").as("r_num"),
+          (col("nt") < MinTok).cast("long").as("r_short"))
+      feats.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r_sym")).as("fail_symbol"),
+          sum(col("r_wl")).as("fail_wordlen"),
+          sum(col("r_num")).as("fail_numeric"),
+          sum(col("r_short")).as("fail_short"),
+          sum(when(col("r_sym") + col("r_wl") + col("r_num")
+            + col("r_short") > 0, 1L).otherwise(0L)).as("fail_any"),
+          sum(when(col("r_sym") + col("r_wl") + col("r_num")
+            + col("r_short") === 4, 1L).otherwise(0L)).as("fail_all"))
+        .withColumn("keep_frac",
+          round((col("n_docs") - col("fail_any")) / col("n_docs").cast("double"), 6))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH f AS (SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                   CAST(length(text)
+                     - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                     AS BIGINT) AS ns,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                     w -> length(w))) AS BIGINT) AS swl,
+                   CAST(list_max(list_transform(string_split(text, ' '),
+                     w -> length(w))) AS BIGINT) AS mwl,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                     w -> CASE WHEN regexp_full_match(w, '[0-9]+')
+                               THEN 1 ELSE 0 END)) AS BIGINT) AS nn
+                 FROM documents),
+          r AS (SELECT source,
+                   CASE WHEN ns * 10 > nt * $SymPerTokTenths THEN 1 ELSE 0 END AS r_sym,
+                   CASE WHEN swl * 1000 < nt * $MeanWlMilliLo
+                          OR swl * 1000 > nt * $MeanWlMilliHi
+                          OR mwl > $MaxWl THEN 1 ELSE 0 END AS r_wl,
+                   CASE WHEN nn * 10 > nt * $NumPerTokTenths THEN 1 ELSE 0 END AS r_num,
+                   CASE WHEN nt < $MinTok THEN 1 ELSE 0 END AS r_short
+                FROM f)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(r_sym) AS BIGINT) AS fail_symbol,
+                 CAST(sum(r_wl) AS BIGINT) AS fail_wordlen,
+                 CAST(sum(r_num) AS BIGINT) AS fail_numeric,
+                 CAST(sum(r_short) AS BIGINT) AS fail_short,
+                 CAST(sum(CASE WHEN r_sym + r_wl + r_num + r_short > 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS fail_any,
+                 CAST(sum(CASE WHEN r_sym + r_wl + r_num + r_short = 4
+                   THEN 1 ELSE 0 END) AS BIGINT) AS fail_all,
+                 round((count(*) - sum(CASE WHEN r_sym + r_wl + r_num + r_short > 0
+                   THEN 1 ELSE 0 END)) / CAST(count(*) AS DOUBLE), 6) AS keep_frac
+          FROM r GROUP BY source ORDER BY source""")
+  )
+
+  val all: Seq[GQuery] = Seq(q199, q200)
+}
