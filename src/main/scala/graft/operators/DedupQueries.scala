@@ -1165,9 +1165,13 @@ object DedupQueries {
   private val q196 = GQuery(
     "q196_cluster_label_spread",
     (s, d) => {
-      val members = labelsFor(s, d)
+      // MATERIALIZED: two consumers (the majority election and the final
+      // per-lang reduce) — lazy, the labels ⋈ documents join and its
+      // corpus projection scan would run twice per execution (the q122/
+      // q162 multi-consumer rule this round re-established)
+      val members = graft.sources.Io.materialize(labelsFor(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
-          "doc_id")
+          "doc_id"))
       val wc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id")).orderBy(col("cnt").desc, col("lang"))
       val majority = members.groupBy(col("cluster_id"), col("lang"))

@@ -85,7 +85,11 @@ object Wave25Queries {
       cells.crossJoin(broadcast(corpus))
         .withColumn("tot", tot).withColumn("ctot", ctot)
         .select(col("source"), col("tot").as("n_tok"),
-          expr(s"(1000000 * c$KlCells) DIV tot").as("other_ppm"),
+          // ppm numerator widened to decimal(38,0): c17·10^6 overflows
+          // int64 once one source's OTHER mass passes ~9.2e12 tokens —
+          // inside the 100 TB envelope (the q171/q166 widening class)
+          expr(s"CAST((CAST(c$KlCells AS DECIMAL(38,0)) * 1000000) DIV tot AS BIGINT)")
+            .as("other_ppm"),
           round(terms.reduce(_ + _), 6).as("kl_nats"))
         .orderBy(col("source"))
     },
@@ -118,7 +122,8 @@ object Wave25Queries {
           w AS (SELECT source, ($totExpr) AS tot, ($ctotExpr) AS ctot, *
                 FROM cells, corpus)
           SELECT source, tot AS n_tok,
-                 (1000000 * c$KlCells) // tot AS other_ppm,
+                 CAST(CAST(c$KlCells AS HUGEINT) * 1000000 // tot AS BIGINT)
+                   AS other_ppm,
                  round($terms, 6) AS kl_nats
           FROM w ORDER BY source"""
     }

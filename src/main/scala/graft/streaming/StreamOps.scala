@@ -1202,27 +1202,6 @@ object StreamOps {
     * history-sized. Sources absent from the budget map admit nothing
     * (deny-by-default). Output: one decision row per arriving doc
     * (Update mode; replays overwrite their own batch partition). */
-  /** s29 — streaming PQ encoder: ingest-time product-quantization code
-    * assignment through the SAME Wave24Queries.withCodes kernel as
-    * q191's batch encode — zero streaming state (the s24 ivfAssign
-    * pattern with PQ codes instead of IVF cells: the index's compressed
-    * representation is computed AT INGEST, so the search tier never
-    * re-reads raw vectors). The codebook is trained offline (q191's
-    * exact-integer Lloyd) and travels as M·K·S literals; output is one
-    * (vec_id, code_str) row per arriving vector, append-only.
-    * Determinism: drained codes equal the batch encode bit-for-bit
-    * (ScalaTest-asserted) — same milli grid, same lowest-id tie-break. */
-  def pqEncodeStream(vectors: DataFrame,
-      books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]]): DataFrame = {
-    val milli = vectors.select(col("vec_id"),
-      org.apache.spark.sql.functions.transform(col("embedding"),
-        x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
-    graft.operators.Wave24Queries.withCodes(milli, books)
-      .select(col("vec_id"),
-        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
-          .as("code_str"))
-  }
-
   def mixRouterStream(docs: Dataset[MixDoc], budgets: Map[String, Long])
       : Dataset[MixOut] = {
     import docs.sparkSession.implicits._
@@ -1244,5 +1223,32 @@ object StreamOps {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** s29 — streaming PQ encoder: ingest-time product-quantization code
+    * assignment through the SAME Wave24Queries.withCodes kernel as
+    * q191's batch encode — zero streaming state (the s24 ivfAssign
+    * pattern with PQ codes instead of IVF cells: the index's compressed
+    * representation is computed AT INGEST, so the search tier never
+    * re-reads raw vectors). The codebook is trained offline (q191's
+    * exact-integer Lloyd) and travels as M·K·S literals; output is one
+    * (vec_id, code_str) row per arriving vector, append-only. An empty
+    * codebook (trainBooks on an empty corpus) encodes nothing — the
+    * stream is the typed empty projection, mirroring q191/q192's
+    * empty-model branch rather than indexing into absent books.
+    * Determinism: drained codes equal the batch encode bit-for-bit
+    * (ScalaTest-asserted) — same milli grid, same lowest-id tie-break. */
+  def pqEncodeStream(vectors: DataFrame,
+      books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]]): DataFrame = {
+    if (books.isEmpty)
+      return vectors.select(col("vec_id"), lit("").as("code_str"))
+        .filter(lit(false))
+    val milli = vectors.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+    graft.operators.Wave24Queries.withCodes(milli, books)
+      .select(col("vec_id"),
+        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
+          .as("code_str"))
   }
 }
