@@ -152,6 +152,11 @@ object Wave24Queries {
                                                ORDER BY dist, c) AS rn
                   FROM d2) WHERE rn = 1)"""
 
+  /** The shared Lloyd CTE chain, exposed for the q201 retrieval audit
+    * (same books, same final assignment — the audit must price the
+    * exact codes q191/q192 publish). */
+  private[graft] def pqSqlForAudit: String = PqSql
+
   /** q191 — product-quantization codebook training + distortion sheet:
     * per (subspace, code): vectors encoded to it, total and mean squared
     * quantization error (exact integer numerator; mean in original

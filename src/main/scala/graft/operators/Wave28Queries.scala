@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.GQuery
+import graft.sources.Tables
+import graft.util.Geometry
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave 28: q201 — PQ retrieval-quality audit, the last piece
+  * of the PQ family (q191 trains, q192/s29 encode and search, THIS
+  * prices what the compression costs retrieval): for a hash-regular
+  * query sample, compare ADC top-10 against the exact integer-L2
+  * top-10 on the same rows — recall@10 plus the rank the exact nearest
+  * neighbour lands at under ADC ordering (at 1 / within 5 / within 10 /
+  * missed). The q173 price-the-approximation discipline applied to
+  * quantized search: q173 dials probe count for IVF pruning, this
+  * audits the DISTANCE DISTORTION of M×8-bit codes.
+  *
+  * Determinism: all distances exact integers on the milli grid; both
+  * rankings break ties (dist, vec_id); every published number is an
+  * exact integer count over the sample.
+  */
+object Wave28Queries {
+
+  private val Dim = 64
+  private val PqM = 4
+  private val PqS = 16
+  private val AudK = 10
+  private val AudModFloor = 50L
+  private val AudTargetLog2 = 5
+
+  /** q201 — ADC retrieval recall audit. Scale notes: both rankings are
+    * Q·n kernels bounded by the sample (adaptiveSampleMod keeps
+    * Q ≈ 2^5 at any corpus size — an audit must cost the same at
+    * 100 TB); queries and the M·K·Q ADC table travel as broadcasts/
+    * literals; per-query heaps stay map-side for the rank ≤ 10 filter
+    * (WindowGroupLimit); the corpus never shuffles. The unbounded
+    * ADC rank of the single exact-NN row is the one full per-query
+    * sort — sample-bounded, the audit's deliberate cost. */
+  private val q201 = GQuery(
+    "q201_pq_recall_audit",
+    (s, d) => {
+      val books = Wave24Queries.trainBooks(s, d)
+      val n = Tables.embeddings(s, d).count()
+      val mod = Geometry.adaptiveSampleMod(n, AudModFloor, AudTargetLog2)
+      if (books.isEmpty)
+        Wave24Queries.qvecs(s, d).select(
+          col("vec_id").as("n_queries"), col("vec_id").as("recall10_hits"),
+          col("vec_id").as("nn1_at_1"), col("vec_id").as("nn1_in_top5"),
+          col("vec_id").as("nn1_in_top10"), col("vec_id").as("nn1_missed"))
+          .limit(0)
+      else {
+        val corpus = Wave24Queries.withCodes(Wave24Queries.qvecs(s, d), books)
+          .select(col("vec_id"), col("qv"), col("codes"))
+        val queries = Wave24Queries.qvecs(s, d)
+          .filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+        // per-query ADC table, driver-built: Q·M·K exact longs
+        val qrows = queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+        val adcFlat: Map[Long, Long] = qrows.flatMap { case (qid, qqv) =>
+          (0 until PqM).flatMap { m =>
+            val qs = qqv.slice(m * PqS, (m + 1) * PqS)
+            books(m).map { case (c, cv) =>
+              (qid * 10000L + m * 100L + c) ->
+                qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+            }
+          }
+        }.toMap
+        val adcMap = typedLit(adcFlat)
+        val adcDist = (0 until PqM).map { m =>
+          element_at(adcMap,
+            col("q_id") * 10000L + m * 100L + element_at(col("codes"), m + 1))
+        }.reduce(_ + _)
+        val exactDist = aggregate(
+          zip_with(col("qv"), col("qqv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val wAdc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("adc"), col("nbr"))
+        val wEx = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("ex"), col("nbr"))
+        val scored = graft.sources.Io.materialize(
+          corpus.crossJoin(broadcast(queries))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("nbr"),
+              adcDist.as("adc"), exactDist.as("ex")))
+        val adcRanked = scored
+          .withColumn("ark", row_number().over(wAdc))
+          .select(col("q_id"), col("nbr"), col("ark"))
+        val exTop = scored
+          .withColumn("xrk", row_number().over(wEx))
+          .filter(col("xrk") <= AudK)
+          .select(col("q_id"), col("nbr"), col("xrk"))
+        val hits = exTop
+          .join(adcRanked.filter(col("ark") <= AudK), Seq("q_id", "nbr"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+        val nn1 = exTop.filter(col("xrk") === 1)
+          .join(adcRanked, Seq("q_id", "nbr"))
+          .select(col("q_id"), col("ark"))
+        queries.select(col("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .join(nn1, Seq("q_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            coalesce(sum(col("h")), lit(0L)).as("recall10_hits"),
+            sum(when(col("ark") === 1, 1L).otherwise(0L)).as("nn1_at_1"),
+            sum(when(col("ark") <= 5, 1L).otherwise(0L)).as("nn1_in_top5"),
+            sum(when(col("ark") <= AudK, 1L).otherwise(0L)).as("nn1_in_top10"),
+            sum(when(col("ark").isNull || col("ark") > AudK, 1L).otherwise(0L))
+              .as("nn1_missed"))
+      }
+    },
+    Some(Wave24Queries.pqSqlForAudit +
+      s""", qmod AS (SELECT ${Geometry.adaptiveSampleModSql("count(*)",
+             AudModFloor, AudTargetLog2)} AS m FROM embeddings),
+          qs AS (SELECT vec_id AS q_id, qv AS qqv
+                 FROM e, qmod WHERE vec_id % qmod.m = 0),
+          adct AS (SELECT qs.q_id, c1.m, c1.c,
+                     list_sum(list_transform(range(1, ${PqS + 1}),
+                       i -> (qs.qqv[CAST(c1.m*$PqS + i AS INT)] - c1.cv[CAST(i AS INT)])
+                          * (qs.qqv[CAST(c1.m*$PqS + i AS INT)] - c1.cv[CAST(i AS INT)])))
+                       AS ad
+                   FROM c1, qs),
+          scored AS (SELECT qs.q_id, a2.vec_id AS nbr,
+                       CAST(sum(t.ad) AS BIGINT) AS adc
+                     FROM a2 JOIN qs ON a2.vec_id <> qs.q_id
+                     JOIN adct t ON t.q_id = qs.q_id AND t.m = a2.m AND t.c = a2.c
+                     GROUP BY qs.q_id, a2.vec_id),
+          exd AS (SELECT qs.q_id, e2.vec_id AS nbr,
+                    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+                      i -> (e2.qv[CAST(i AS INT)] - qs.qqv[CAST(i AS INT)])
+                         * (e2.qv[CAST(i AS INT)] - qs.qqv[CAST(i AS INT)])))
+                      AS BIGINT) AS ex
+                  FROM e e2, qs WHERE e2.vec_id <> qs.q_id),
+          ar AS (SELECT q_id, nbr,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adc, nbr) AS ark
+                 FROM scored),
+          xr AS (SELECT q_id, nbr,
+                   row_number() OVER (PARTITION BY q_id ORDER BY ex, nbr) AS xrk
+                 FROM exd),
+          xt AS (SELECT q_id, nbr, xrk FROM xr WHERE xrk <= $AudK),
+          hits AS (SELECT xt.q_id, count(*) AS h
+                   FROM xt JOIN ar ON xt.q_id = ar.q_id AND xt.nbr = ar.nbr
+                   WHERE ar.ark <= $AudK GROUP BY xt.q_id),
+          nn1 AS (SELECT xt.q_id, ar.ark
+                  FROM xt JOIN ar ON xt.q_id = ar.q_id AND xt.nbr = ar.nbr
+                  WHERE xt.xrk = 1)
+          SELECT count(*) AS n_queries,
+                 CAST(coalesce(sum(h.h), 0) AS BIGINT) AS recall10_hits,
+                 CAST(sum(CASE WHEN n.ark = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nn1_at_1,
+                 CAST(sum(CASE WHEN n.ark <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nn1_in_top5,
+                 CAST(sum(CASE WHEN n.ark <= $AudK THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nn1_in_top10,
+                 CAST(sum(CASE WHEN n.ark IS NULL OR n.ark > $AudK
+                   THEN 1 ELSE 0 END) AS BIGINT) AS nn1_missed
+          FROM qs LEFT JOIN hits h ON qs.q_id = h.q_id
+                  LEFT JOIN nn1 n ON qs.q_id = n.q_id""")
+  )
+
+  val all: Seq[GQuery] = Seq(q201)
+}
