@@ -64,12 +64,16 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         # The driver's hash is representation-sensitive (e.g. DuckDB HUGEINT vs
-        # Spark BIGINT hashed differently even when values match) — surface
-        # per-column type divergence so it is caught before the driver runs.
+        # Spark BIGINT hashed differently even when values match) — a type
+        # divergence IS a gate failure, not a warning: q199 shipped red in
+        # round 11 precisely because this printed WARN and counted green
+        # (r11 verdict task 2). Local gate must be a superset of the driver's.
         tdiff = {c: (got_types[c], exp_types[c]) for c in got_cols
                  if got_types[c] != exp_types[c]}
         if tdiff:
-            print(f"WARN {name}: column type mismatch (driver hash risk): {tdiff}")
+            print(f"FAIL {name}: column type mismatch (driver hash risk): {tdiff}")
+            n_fail += 1
+            continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = [tuple(norm(r[i]) for i in gi) for r in got]

@@ -38,10 +38,15 @@ object Registry {
       cur
     }
     m.synchronized {
-      if (!m.get(name).contains(sig)) {
-        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-          .sessionState.functionRegistry
-          .createOrReplaceTempFunction(name, builder, "built-in")
+      val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      // the signature map can go stale if something mutates the session's
+      // functionRegistry directly (ADVICE r11) — verify actual presence
+      // before trusting the cached signature
+      val present = reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      if (!present || !m.get(name).contains(sig)) {
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
         m(name) = sig
       }
     }

@@ -409,16 +409,29 @@ object CorpusOps {
     * length. Never all-pairs, never a corpus-sized window partition. */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bucketCap: Int, minSpanTokens: Int): DataFrame = {
-    require(n > 0 && minSpanTokens >= n,
-      s"need n > 0 and minSpanTokens >= n, got n=$n minSpanTokens=$minSpanTokens")
-    guard(Seq("toks", "pos", "sgh", "posts", "doc_id1", "doc_id2", "p1",
-      "p2", "off", "grp", "span_tokens", "longest_span", "n_spans"),
-      idCol, textCol)
+    guard(Seq("toks"), idCol, textCol)
     // fanOut before the positional-shingle expansion — the heaviest
     // map stage in the family (every token position hashes), serial on
     // a one-file fixture scan without it
-    val postings = graft.sources.Io.fanOut(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    sharedSpansFromToks(
+      graft.sources.Io.fanOut(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), TextOps.tokens(col(textCol)).as("toks")),
+      idCol, n, bucketCap, minSpanTokens)
+  }
+
+  /** [[sharedSpans]] over a PRE-TOKENIZED (idCol, toks) relation — the
+    * multi-shingle-size escalation (q193) tokenizes the corpus once,
+    * materializes it, and derives every shingle size from the shared
+    * token arrays instead of re-tokenizing per level (r11 verdict
+    * task 5). Identical output to [[sharedSpans]] per level. */
+  def sharedSpansFromToks(toksDf: DataFrame, idCol: String,
+      n: Int, bucketCap: Int, minSpanTokens: Int): DataFrame = {
+    require(n > 0 && minSpanTokens >= n,
+      s"need n > 0 and minSpanTokens >= n, got n=$n minSpanTokens=$minSpanTokens")
+    guard(Seq("pos", "sgh", "posts", "doc_id1", "doc_id2", "p1",
+      "p2", "off", "grp", "span_tokens", "longest_span", "n_spans"),
+      idCol)
+    val postings = toksDf
       .filter(size(col("toks")) >= n)
       .select(col(idCol),
         posexplode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),

@@ -37,7 +37,8 @@ object Wave24Queries {
     * encode shape below is geometry-independent). */
   private val PqM = 4
   private val PqS = 16
-  private val PqK = 4
+  private val PqK = 4 // must stay < 100: q191/q201 pack (m, code) into
+  //                      decimal-digit key slots (guarded by requires)
   private val AdcK = 10
 
   private def femb(s: SparkSession, d: String): DataFrame =
@@ -181,6 +182,11 @@ object Wave24Queries {
           lit(0.0).as("avg_sqerr"), col("vec_id").as("centroid_sum"))
           .limit(0)
       else {
+        // packed key m·10² + c silently collides (corrupting centroid
+        // sums, not failing) outside its envelope — guard it (ADVICE r11)
+        require(PqM <= 100 &&
+          books.forall(_.forall(b => b._1 >= 0 && b._1 < 100)),
+          "centroid-sum key packing needs 0 <= code < 100 and m < 100")
         val sums = typedLit(books.zipWithIndex.flatMap { case (bk, m) =>
           bk.map { case (c, cv) => (m * 100L + c) -> cv.sum } }.toMap)
         withCodes(qvecs(s, d), books)
@@ -308,17 +314,21 @@ object Wave24Queries {
     * length escalation, measured instead of assumed.
     *
     * Scale notes: three independent bucket-local passes (the q117
-    * operator — positional shingles, capped buckets, gaps-and-islands);
-    * cost is 3 tokenize+hash map passes (prod would share one tokenize;
-    * kept separate here so each level is exactly the audited q117
-    * kernel). Never all-pairs: pair generation stays inside ≤64-posting
-    * buckets at every level. */
+    * operator — positional shingles, capped buckets, gaps-and-islands)
+    * over ONE shared tokenize: the (doc_id, toks) projection
+    * materializes once and every level derives its shingles from it
+    * (r11 verdict task 5 — each level is still exactly the audited
+    * q117 kernel past the tokenize). Never all-pairs: pair generation
+    * stays inside ≤64-posting buckets at every level. */
   private val q193 = GQuery(
     "q193_multik_span",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val toks = Io.materialize(
+        Io.fanOut(Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            graft.functions.TextOps.tokens(col("text")).as("toks")))
       val levels = MultiKGrid.map { k =>
-        CorpusOps.sharedSpans(docs, "doc_id", "text",
+        CorpusOps.sharedSpansFromToks(toks, "doc_id",
             n = k, bucketCap = MultiKCap, minSpanTokens = MultiKMinSpan)
           .select(col("doc_id1"), col("doc_id2"), lit(k).as("k"),
             col("longest_span"))

@@ -72,7 +72,10 @@ object Wave27Queries {
     *
     * Determinism: supplies/prefix sums/candidates exact longs; DIV
     * floor; the level row is selected by min_by on the unique sort
-    * index; leftover exact.
+    * index; leftover exact. DuckDB widens window sum() over BIGINT to
+    * HUGEINT, which the driver's representation-sensitive hash reds
+    * even on identical values (r11 verdict task 1) — so `cumbefore`
+    * and `leftover` are CAST back to BIGINT in the oracle.
     *
     * Scale notes: the corpus reduces to a |sources| aggregate in one
     * map-side-combined pass; every window after that is over the
@@ -92,9 +95,9 @@ object Wave27Queries {
                      row_number() OVER (ORDER BY supply, source) AS idx,
                      count(*) OVER () AS k,
                      (SELECT CAST(sum(supply) AS BIGINT) FROM src) // 2 AS budget,
-                     coalesce(sum(supply) OVER (ORDER BY supply, source
+                     CAST(coalesce(sum(supply) OVER (ORDER BY supply, source
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS cumbefore
+                       AS BIGINT) AS cumbefore
                    FROM src),
           b2 AS (SELECT *, (budget - cumbefore) // (k - idx + 1) AS cand
                  FROM base),
@@ -105,7 +108,8 @@ object Wave27Queries {
                  CAST(CASE WHEN supply <= level THEN 1 ELSE 0 END AS INTEGER)
                    AS saturated,
                  level, budget,
-                 budget - sum(least(supply, level)) OVER () AS leftover
+                 CAST(budget - sum(least(supply, level)) OVER () AS BIGINT)
+                   AS leftover
           FROM b2, lvl ORDER BY source""")
   )
 

@@ -1169,7 +1169,7 @@ object StreamOps {
 
   final case class MixDoc(doc_id: Long, source: String, n_tokens: Long)
   final case class MixState(admitted_docs: Long, admitted_tokens: Long,
-      seen_docs: Long)
+      seen_docs: Long, max_doc_id: Long)
   final case class MixOut(doc_id: Long, source: String, admitted: Boolean,
       admitted_tokens_after: Long)
 
@@ -1196,8 +1196,9 @@ object StreamOps {
     * nature; the contract scopes it to the feed order a router actually
     * sees.
     *
-    * Scale/state: per source the state is THREE longs (admitted docs,
-    * admitted tokens, seen docs) — constant regardless of history; the
+    * Scale/state: per source the state is FOUR longs (admitted docs,
+    * admitted tokens, seen docs, max doc_id seen — the out-of-order
+    * tripwire) — constant regardless of history; the
     * per-batch sort buffer is micro-batch-group-sized, never
     * history-sized. Sources absent from the budget map admit nothing
     * (deny-by-default). Output: one decision row per arriving doc
@@ -1211,13 +1212,26 @@ object StreamOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (src: String, rows: Iterator[MixDoc], state: GroupState[MixState]) =>
           val budget = budgets.getOrElse(src, 0L)
-          var st = state.getOption.getOrElse(MixState(0L, 0L, 0L))
-          val out = rows.toSeq.sortBy(_.doc_id).map { doc =>
+          var st = state.getOption.getOrElse(MixState(0L, 0L, 0L, Long.MinValue))
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          // the equivalence contract REQUIRES doc_id non-decreasing per
+          // source across micro-batches; a violating feed used to
+          // silently diverge from the batch prefix rule — fail loudly
+          // instead (ADVICE r11). State rolls back with the batch on
+          // crash-replay, so replays never false-positive here.
+          sorted.headOption.foreach { first =>
+            if (first.doc_id < st.max_doc_id) throw new IllegalStateException(
+              s"mixRouterStream: out-of-order feed for source '$src': " +
+                s"doc_id ${first.doc_id} arrived after ${st.max_doc_id}")
+          }
+          val out = sorted.map { doc =>
             val admit = st.admitted_tokens < budget
             st =
               if (admit) MixState(st.admitted_docs + 1L,
-                st.admitted_tokens + doc.n_tokens, st.seen_docs + 1L)
-              else st.copy(seen_docs = st.seen_docs + 1L)
+                st.admitted_tokens + doc.n_tokens, st.seen_docs + 1L,
+                math.max(st.max_doc_id, doc.doc_id))
+              else st.copy(seen_docs = st.seen_docs + 1L,
+                max_doc_id = math.max(st.max_doc_id, doc.doc_id))
             MixOut(doc.doc_id, src, admit, st.admitted_tokens)
           }
           state.update(st)

@@ -61,15 +61,23 @@ object StreamBench {
     }
 
     // move a coalesced single-file write into `dir/name.parquet` so file
-    // mtimes (= maxFilesPerTrigger processing order) follow write order
+    // mtimes (= maxFilesPerTrigger processing order) follow write order.
+    // mtime is set EXPLICITLY, strictly increasing: FileStreamSource
+    // orders at millisecond granularity, and two files landing in the
+    // same millisecond could otherwise process out of doc_id order —
+    // outside s28's contracted state path (ADVICE r11).
+    val stageClock = new java.util.concurrent.atomic.AtomicLong(1000000000000L)
     def stageFile(df: DataFrame, dir: String, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"stage_$name").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      val dest = java.nio.file.Paths.get(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          stageClock.addAndGet(1000L)))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
 

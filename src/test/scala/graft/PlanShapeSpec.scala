@@ -246,23 +246,58 @@ class PlanShapeSpec extends SparkSpec {
     //    tie groups), not the corpus;
     //  - the optimizer inserted a WindowGroupLimit (rank-filter pushdown:
     //    map-side per-group heaps bound the final per-group work).
-    val scalesWithData = Set(
-      "user_id", "doc_id", "vec_id", "c_custkey", "o_custkey", "o_orderkey",
-      "l_orderkey", "ps", "psh", "token", "sig", "bucket", "cluster_id")
     SparkEntry.registry.foreach { q =>
       val qe = SparkEntry.queries(q.key)(spark, sfSmoke).queryExecution
       val plan = qe.optimizedPlan
-      val hasGroupLimit = plan.collectFirst {
-        case g: logical.WindowGroupLimit => g }.isDefined
       plan.collect { case w: logical.Window => w }.foreach { w =>
-        val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
-        val sliced = refs.contains("_slice") || refs.contains("pid")
-        val scaled = refs.exists(r => scalesWithData.exists(r.startsWith))
-        val aboveAgg = w.child.collectFirst { case a: logical.Aggregate => a }.isDefined
-        assert(sliced || scaled || aboveAgg || hasGroupLimit,
+        assert(windowIsScaleSafe(w),
           s"${q.key}: data-sized window partition ${w.partitionSpec}\n$plan")
       }
     }
+  }
+
+  private val scalesWithData = Set(
+    "user_id", "doc_id", "vec_id", "c_custkey", "o_custkey", "o_orderkey",
+    "l_orderkey", "ps", "psh", "token", "sig", "bucket", "cluster_id")
+
+  /** The per-window scale-safety predicate behind the registry sweep.
+    * WindowGroupLimit is attributed to the SPECIFIC window it bounds —
+    * one sitting in this window's child subtree with a semantically
+    * equal partition spec — never plan-wide: r11's q201 slipped an
+    * unbounded corpus-wide window past the sweep because a SIBLING
+    * window's rank<=10 group limit whitelisted the whole plan
+    * (r11 verdict task 4). */
+  private def windowIsScaleSafe(w: logical.Window): Boolean = {
+    val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+    val sliced = refs.contains("_slice") || refs.contains("pid")
+    val scaled = refs.exists(r => scalesWithData.exists(r.startsWith))
+    val aboveAgg = w.child.collectFirst { case a: logical.Aggregate => a }.isDefined
+    val grouped = w.child.collect { case g: logical.WindowGroupLimit => g }
+      .exists(g => g.partitionSpec.length == w.partitionSpec.length &&
+        g.partitionSpec.zip(w.partitionSpec)
+          .forall { case (a, b) => a.semanticEquals(b) })
+    sliced || scaled || aboveAgg || grouped
+  }
+
+  test("sweep attribution is per-window: a sibling's WindowGroupLimit whitelists nothing") {
+    // synthetic q201-shaped plan: the SAME non-scaling-keyed window twice
+    // over one relation — one rank<=10-filtered branch (optimizer inserts
+    // WindowGroupLimit) unioned with one unbounded branch. The r11 sweep's
+    // plan-wide hasGroupLimit passed both; per-window attribution must
+    // pass exactly the limited one.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100)
+      .select((col("id") % 4).as("grp"), col("id").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+    val limited = df.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10)
+    val unbounded = df.withColumn("r", row_number().over(w))
+    val plan = limited.union(unbounded).queryExecution.optimizedPlan
+    val verdicts = plan.collect { case win: logical.Window => win }
+      .map(windowIsScaleSafe)
+    assert(verdicts.sorted == Seq(false, true),
+      s"expected exactly the rank-limited window safe, got $verdicts\n$plan")
   }
 
   test("q76 cluster pruning rides WindowGroupLimit (map-side per-cluster heaps)") {
