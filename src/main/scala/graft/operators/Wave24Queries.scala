@@ -31,14 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object Wave24Queries {
 
-  private val Dim = 64
+  private[graft] val Dim = 64
   /** PQ geometry: M subspaces × S dims, K codes per subspace. Fixture
     * constants (prod: M·K scales with the recall target; the train/
-    * encode shape below is geometry-independent). */
-  private val PqM = 4
-  private val PqS = 16
-  private val PqK = 4 // must stay < 100: q191/q201 pack (m, code) into
-  //                      decimal-digit key slots (guarded by requires)
+    * encode shape below is geometry-independent). Shared with the
+    * IVFADC composition (Wave29) — one geometry, one kernel. */
+  private[graft] val PqM = 4
+  private[graft] val PqS = 16
+  private[graft] val PqK = 4 // must stay < 100: q191/q201 pack (m, code)
+  //                       into decimal-digit key slots (guarded by requires)
   private val AdcK = 10
 
   private def femb(s: SparkSession, d: String): DataFrame =
@@ -85,8 +86,16 @@ object Wave24Queries {
     * its subspace's book (both engines aggregate present groups — the
     * q102 drop-out rule). */
   private[graft] def trainBooks(s: SparkSession, d: String)
+      : IndexedSeq[Seq[(Long, IndexedSeq[Long])]] =
+    trainBooksOn(qvecs(s, d))
+
+  /** [[trainBooks]] over an arbitrary (vec_id, qv) relation — the IVFADC
+    * composition (Wave29) trains the SAME exact-integer Lloyd chain on
+    * cell RESIDUALS instead of raw vectors (Jégou et al. 2011's layout:
+    * coarse quantizer + PQ on what it misses). */
+  private[graft] def trainBooksOn(vecs: DataFrame)
       : IndexedSeq[Seq[(Long, IndexedSeq[Long])]] = {
-    val seeds = qvecs(s, d)
+    val seeds = vecs
       .withColumn("mkey", md5(col("vec_id").cast("string")))
       .orderBy(col("mkey"), col("vec_id")).limit(PqK)
       .collect()
@@ -97,7 +106,7 @@ object Wave24Queries {
         seeds.zipWithIndex.map { case (v, i) =>
           ((i + 1).toLong, v.slice(m * PqS, (m + 1) * PqS)) }.toSeq
       }
-    val upd = withCodes(qvecs(s, d), init)
+    val upd = withCodes(vecs.select(col("vec_id"), col("qv")), init)
       .select(col("codes"), posexplode(col("qv")).as(Seq("pos", "v")))
       .select(expr(s"pos div $PqS").cast("int").as("m"),
         element_at(col("codes"),
@@ -114,14 +123,12 @@ object Wave24Queries {
     }
   }
 
-  /** Shared oracle CTE chain: milli grid → subvectors → seeds → one
-    * Lloyd iteration (the q102 kmIterSql pattern with a subspace column
-    * so all M books train in one pass) → final assignment a2 + book c1. */
-  private val PqSql: String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
-                     x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
-                   FROM embeddings),
-        sub AS (SELECT vec_id, m,
+  /** The Lloyd-train CTE chain body, parameterized on a relation named
+    * `e` (vec_id, qv) the caller's WITH prefix must define — so the
+    * IVFADC oracle (Wave29) can train the identical chain on cell
+    * residuals. Appended after "WITH e AS (...)," by callers. */
+  private[graft] val PqChainFromE: String =
+    s"""sub AS (SELECT vec_id, m,
                   qv[CAST(m*$PqS+1 AS INT):CAST(m*$PqS+$PqS AS INT)] AS sv
                 FROM e, (SELECT unnest(range(0, $PqM)) AS m) g),
         sd AS (SELECT vec_id, row_number() OVER
@@ -152,6 +159,15 @@ object Wave24Queries {
                  (SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                                ORDER BY dist, c) AS rn
                   FROM d2) WHERE rn = 1)"""
+
+  /** Shared oracle CTE chain: milli grid → subvectors → seeds → one
+    * Lloyd iteration (the q102 kmIterSql pattern with a subspace column
+    * so all M books train in one pass) → final assignment a2 + book c1. */
+  private val PqSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+                   FROM embeddings),
+        $PqChainFromE"""
 
   /** The shared Lloyd CTE chain, exposed for the q201 retrieval audit
     * (same books, same final assignment — the audit must price the
