@@ -37,7 +37,8 @@ object StreamOps {
     "s23" -> "calibrationStream", "s24" -> "ivfAssignStream",
     "s25" -> "tombstoneFilterStream", "s26" -> "blocklistGateStream",
     "s27" -> "decayedCountsStream", "s28" -> "mixRouterStream",
-    "s29" -> "pqEncodeStream")
+    "s29" -> "pqEncodeStream", "s30" -> "adcSearchStream",
+    "s31" -> "tvdMonitorStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1264,5 +1265,142 @@ object StreamOps {
       .select(col("vec_id"),
         concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
           .as("code_str"))
+  }
+
+  final case class AdcTop(adc: Long, nbr: Long)
+  final case class TopKState(top: Seq[AdcTop])
+  final case class AdcHit(q_id: Long, nbr: Long, adc_dist: Long, rank: Int)
+
+  /** s30 — streaming ADC search (the serving twin of batch q192):
+    * arriving QUERY vectors are scored against the standing PQ-coded
+    * corpus and each query's top-k lands in the sink. The ADC staging
+    * is honest: each query row computes its own M·K subspace-distance
+    * table ONCE in the stream-side projection (`qtab`, an array of M
+    * code→distance maps built from the literal books), and every
+    * (query, corpus-row) candidate costs exactly M map lookups + a
+    * sum — no vector arithmetic touches the scan, the q192 contract
+    * at ingest time.
+    *
+    * The coded corpus is encoded through the SAME withCodes kernel as
+    * q191/s29 and MATERIALIZED before the stream starts (streaming
+    * re-evaluates the static side per micro-batch — the s24/s15
+    * discipline). Per-query state is a bounded top-k list (k rows,
+    * (adc, nbr)-ordered with the q192 tie-break) maintained by
+    * insertion, never a buffered group; a query's candidates all
+    * arrive in its own micro-batch (static corpus), so each query
+    * emits exactly once and crash-replay reloads the pre-batch state
+    * and re-emits byte-identically (StreamingSpec injects it).
+    *
+    * Scale notes: the fixture plan broadcasts the coded corpus into
+    * the batch's query crossJoin; at index scale the same operator
+    * runs cell-partitioned with the micro-batch's queries broadcast
+    * (the q203 orientation) — the per-row cost and the state bound
+    * are unchanged. Determinism: drained top-k for the family's fixed
+    * probe equals q192 bit-for-bit (ScalaTest-asserted). */
+  def adcSearchStream(queries: DataFrame, corpus: DataFrame,
+      books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
+      k: Int): Dataset[AdcHit] = {
+    import queries.sparkSession.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    if (books.isEmpty) return queries.sparkSession.emptyDataset[AdcHit]
+    val M = graft.operators.Wave24Queries.PqM
+    val S = graft.operators.Wave24Queries.PqS
+    val coded = graft.sources.Io.materialize(
+      graft.operators.Wave24Queries.withCodes(
+        corpus.select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => round(x.cast("double") * 1000, 0).cast("long")).as("qv")),
+        books)
+        .select(col("vec_id").as("nbr"), col("codes")))
+    val staged = queries.select(col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+      .withColumn("qtab", array((0 until M).map { m =>
+        val sv = slice(col("qv"), m * S + 1, S)
+        map_from_arrays(typedLit(books(m).map(_._1)),
+          array(books(m).map { case (_, cv) =>
+            aggregate(zip_with(sv, typedLit(cv), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x)
+          }: _*))
+      }: _*))
+      .drop("qv")
+    val adc = (0 until M).map { m =>
+      element_at(element_at(col("qtab"), m + 1),
+        element_at(col("codes"), m + 1))
+    }.reduce(_ + _)
+    staged.crossJoin(coded)
+      .filter(col("nbr") =!= col("q_id"))
+      .select(col("q_id"), col("nbr"), adc.as("adc"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, AdcHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[TopKState]) =>
+          var top = state.getOption.map(_.top).getOrElse(Seq.empty)
+          rows.foreach { case (_, nbr, adcD) =>
+            val c = AdcTop(adcD, nbr)
+            if (top.size < k || c.adc < top.last.adc
+              || (c.adc == top.last.adc && c.nbr < top.last.nbr))
+              top = (top :+ c).sortBy(t => (t.adc, t.nbr)).take(k)
+          }
+          state.update(TopKState(top))
+          top.zipWithIndex.map { case (c, i) =>
+            AdcHit(qid, c.nbr, c.adc, i + 1) }.iterator
+      }
+  }
+
+  final case class TvdRow(grp: String, cat: String)
+  final case class TvdState(counts: Map[String, Long])
+  final case class TvdOut(grp: String, n_rows: Long, tvd_num: Long,
+      tvd: Double)
+
+  /** s31 — streaming t-closeness monitor (incremental twin of batch
+    * q204): per quasi-identifier group, maintain the live sensitive-
+    * category histogram and emit the total-variation distance against
+    * a PUBLISHED reference distribution after every micro-batch — the
+    * ingest-time disclosure tripwire (q204 audits a finished corpus;
+    * this flags a group drifting toward one sensitive value while the
+    * corpus is still arriving). The reference is a published constant
+    * (the s15/s24 discipline): a stream cannot see the final global
+    * distribution, so it monitors against the released one, exactly
+    * like a production privacy gate.
+    *
+    * Determinism: identical integer numerators to q204 (cross-
+    * multiplied |cnt·N − gcnt·k| with the closed-form absent-category
+    * mass) and the same one-division HALF_UP round — the drained
+    * per-group tvd equals the batch kernel on the same rows
+    * bit-for-bit (ScalaTest-asserted), independent of slicing, plus
+    * crash-replay.
+    *
+    * Scale/state: per group the state is its live category histogram
+    * (bounded by |categories|, constant in history); output is one
+    * row per touched group per micro-batch (Update mode). */
+  def tvdMonitorStream(rows: Dataset[TvdRow],
+      reference: Map[String, Long]): Dataset[TvdOut] = {
+    import rows.sparkSession.implicits._
+    require(reference.values.forall(_ >= 0L), "reference counts must be >= 0")
+    val nTot = reference.values.sum
+    rows.groupByKey(_.grp)
+      .flatMapGroupsWithState[TvdState, TvdOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[TvdRow], state: GroupState[TvdState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+          it.foreach { r =>
+            counts = counts.updated(r.cat, counts.getOrElse(r.cat, 0L) + 1L)
+          }
+          state.update(TvdState(counts))
+          val k = counts.values.sum
+          val present = counts.map { case (cat, c) =>
+            math.abs(c * nTot - reference.getOrElse(cat, 0L) * k) }.sum
+          val absent =
+            (nTot - counts.keys.map(reference.getOrElse(_, 0L)).sum) * k
+          val num = present + absent
+          val tvd =
+            if (k == 0L || nTot == 0L) 0.0
+            else BigDecimal(num.toDouble / (2L * k * nTot).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(TvdOut(grp, k, num, tvd))
+      }
   }
 }

@@ -1948,4 +1948,193 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  // ---- s30 ADC search stream ----
+
+  private val AdcQids = Seq(0L, 7L, 50L, 111L, 200L, 333L)
+  private val AdcK = 10
+
+  /** Driver-side exact replay of the ADC ranking: per query, the
+    * staged M·K table from the query's milli vector, M lookups per
+    * corpus row, (adc, nbr) order with top-k cut. */
+  private def adcReplay(books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
+      milli: Map[Long, IndexedSeq[Long]], codes: Map[Long, Seq[Long]],
+      qid: Long): Seq[(Long, Long, Int)] = {
+    val M = 4; val S = 16
+    val qv = milli(qid)
+    val tabs = (0 until M).map { m =>
+      val sv = qv.slice(m * S, (m + 1) * S)
+      books(m).map { case (c, cv) =>
+        c -> sv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.toMap
+    }
+    codes.toSeq.filter(_._1 != qid)
+      .map { case (nbr, cs) =>
+        (nbr, (0 until M).map(m => tabs(m)(cs(m))).sum) }
+      .sortBy { case (nbr, adc) => (adc, nbr) }
+      .take(AdcK)
+      .zipWithIndex.map { case ((nbr, adc), i) => (nbr, adc, i + 1) }
+  }
+
+  private def adcFixture(): (IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
+      Map[Long, IndexedSeq[Long]], Map[Long, Seq[Long]]) = {
+    val books = graft.operators.Wave24Queries.trainBooks(spark, sfSmoke)
+    val milli = graft.operators.Wave24Queries.qvecs(spark, sfSmoke)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val codes = graft.operators.Wave24Queries
+      .withCodes(graft.operators.Wave24Queries.qvecs(spark, sfSmoke), books)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (books, milli, codes)
+  }
+
+  private def adcRows(outDir: String): Map[Long, Seq[(Long, Long, Int)]] =
+    spark.read.parquet(s"$outDir/rows")
+      .select(col("q_id"), col("nbr"), col("adc_dist"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(_._2).sortBy(_._3).toSeq }
+
+  test("s30 ADC search stream: drained top-k equals the exact ADC ranking and q192") {
+    val dir = java.nio.file.Files.createTempDirectory("s30_conv").toString
+    val in = s"$dir/in"
+    val (books, milli, codes) = adcFixture()
+    val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qrows = emb.filter(col("vec_id").isin(AdcQids: _*)).collect()
+    qrows.grouped(2).zipWithIndex.foreach { case (slice, i) =>
+      feedFile(spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq), emb.schema), in, s"f$i")
+    }
+    val q = updateSink(StreamOps.adcSearchStream(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      emb, books, AdcK), s"$dir/out")
+    try q.processAllAvailable() finally q.stop()
+    val got = adcRows(s"$dir/out")
+    assert(got.keySet == AdcQids.toSet)
+    AdcQids.foreach { qid =>
+      assert(got(qid) == adcReplay(books, milli, codes, qid), s"query $qid")
+    }
+    // the family's fixed probe matches batch q192 bit-for-bit
+    val q192 = SparkEntry.queries("q192_pq_adc_topk")(spark, sfSmoke)
+      .select(col("vec_id"), col("adc_dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got(0L).map(h => (h._1, h._2)) == q192)
+  }
+
+  test("s30 ADC search crash-replay re-emits the same per-query top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("s30_crash").toString
+    val in = s"$dir/in"
+    val (books, milli, codes) = adcFixture()
+    val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qrows = emb.filter(col("vec_id").isin(AdcQids: _*)).collect()
+    val slices = qrows.grouped(2).toSeq
+    def feed(i: Int): Unit = feedFile(spark.createDataFrame(
+      spark.sparkContext.parallelize(slices(i).toSeq), emb.schema), in, s"f$i")
+    def start() = updateSink(StreamOps.adcSearchStream(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      emb, books, AdcK), s"$dir/out")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = adcRows(s"$dir/out")
+    assert(got.keySet == AdcQids.toSet)
+    AdcQids.foreach { qid =>
+      assert(got(qid) == adcReplay(books, milli, codes, qid), s"query $qid")
+    }
+  }
+
+  // ---- s31 t-closeness monitor ----
+
+  private def tvdRowsFixture(): Seq[StreamOps.TvdRow] =
+    graft.sources.Tables.customer(spark, sfSmoke)
+      .select(concat_ws(":", col("c_nationkey"),
+          floor(col("c_acctbal") / 1000d).cast("bigint")).as("grp"),
+        col("c_mktsegment").as("cat"))
+      .as[StreamOps.TvdRow].collect().toSeq
+
+  /** The batch twin: q204's exact-integer TVD math per group against
+    * the published reference. */
+  private def tvdReplay(rows: Seq[StreamOps.TvdRow],
+      reference: Map[String, Long]): Map[String, (Long, Long, Double)] = {
+    val nTot = reference.values.sum
+    rows.groupBy(_.grp).map { case (g, rs) =>
+      val counts = rs.groupBy(_.cat).map { case (c, xs) => c -> xs.length.toLong }
+      val k = counts.values.sum
+      val present = counts.map { case (c, n) =>
+        math.abs(n * nTot - reference.getOrElse(c, 0L) * k) }.sum
+      val absent = (nTot - counts.keys.map(reference.getOrElse(_, 0L)).sum) * k
+      val num = present + absent
+      val tvd = BigDecimal(num.toDouble / (2L * k * nTot).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      g -> (k, num, tvd)
+    }
+  }
+
+  /** Per group, the latest emission (max `_batch` partition). */
+  private def tvdDrained(outDir: String): Map[String, (Long, Long, Double)] =
+    spark.read.parquet(s"$outDir/rows")
+      .select(col("grp"), col("n_rows"), col("tvd_num"), col("tvd"),
+        col("_batch").cast("long"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)), r.getLong(4)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.maxBy(_._3)._2 }
+
+  test("s31 tvd monitor: drained per-group tvd equals the q204 kernel") {
+    val dir = java.nio.file.Files.createTempDirectory("s31_conv").toString
+    val in = s"$dir/in"
+    val rows = tvdRowsFixture()
+    val reference = rows.groupBy(_.cat)
+      .map { case (c, rs) => c -> rs.length.toLong }
+    // interleaved slices, so most groups SPAN micro-batches and the
+    // state accumulates across them
+    val slices = rows.zipWithIndex.groupBy(_._2 % 3)
+      .toSeq.sortBy(_._1).map(_._2.map(_._1))
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      feedFile(sl.toDF(), in, s"f$i") }
+    val q = updateSink(StreamOps.tvdMonitorStream(
+      spark.readStream.schema(rows.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.TvdRow], reference), s"$dir/out")
+    try q.processAllAvailable() finally q.stop()
+    val got = tvdDrained(s"$dir/out")
+    val want = tvdReplay(rows, reference)
+    assert(got == want)
+    // the fixture discriminates: small classes sit far from global
+    assert(got.values.exists(_._3 > 0.2) && got.values.exists(_._3 < 0.8))
+  }
+
+  test("s31 tvd monitor crash-replay converges to the same sheet") {
+    val dir = java.nio.file.Files.createTempDirectory("s31_crash").toString
+    val in = s"$dir/in"
+    val rows = tvdRowsFixture()
+    val reference = rows.groupBy(_.cat)
+      .map { case (c, rs) => c -> rs.length.toLong }
+    val slices = rows.zipWithIndex.groupBy(_._2 % 3)
+      .toSeq.sortBy(_._1).map(_._2.map(_._1))
+    def feed(i: Int): Unit = feedFile(slices(i).toDF(), in, s"f$i")
+    def start() = updateSink(StreamOps.tvdMonitorStream(
+      spark.readStream.schema(rows.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.TvdRow], reference), s"$dir/out")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(tvdDrained(s"$dir/out") == tvdReplay(rows, reference))
+  }
 }
