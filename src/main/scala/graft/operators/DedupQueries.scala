@@ -234,43 +234,50 @@ object DedupQueries {
   private val SimHashBandFloor = 15
   private val SimHashBandCap = 30
   private val SimHashHammingMax = 30 // 120-bit twin of the old 15/60 bound
-  private val q32 = GQuery(
-    "q32_dedup_simhash",
-    (s, d) => {
-      // Per-row signature — no tokenize shuffle at all: the whole 120-bit
-      // SimHash is one native codegen kernel (graft.functions.SimHash128)
-      // over the distinct-token array. At 100 TB this is a map-only pass;
-      // only the small (doc_id, lo, hi) relation ever shuffles (for the
-      // band buckets).
-      graft.functions.SimHash128.register(s)
-      val n = Tables.documents(s, d).count() // parquet metadata scalar
-      val bandBits = Geometry.adaptiveBits(n, 3, SimHashBandFloor, SimHashBandCap)
-      val mask = lit((1L << bandBits) - 1L)
-      val sim = Io.fanOut(Tables.documents(s, d).select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          graft.functions.SimHash128(array_distinct(tokens(col("text")))).as("sig"))
-        .select(col("doc_id"),
-          element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
-      val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
-        struct(lit(0).as("band"), col("lo").bitwiseAND(mask).as("bh")),
-        struct(lit(1).as("band"), shiftright(col("lo"), 30).bitwiseAND(mask).as("bh")),
-        struct(lit(2).as("band"), col("hi").bitwiseAND(mask).as("bh")),
-        struct(lit(3).as("band"), shiftright(col("hi"), 30).bitwiseAND(mask).as("bh"))))
-        .as("e"))
-        .select(col("doc_id"), col("lo"), col("hi"),
-          col("e.band").as("band"), col("e.bh").as("bh"))
-      bands.groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("lo"), col("hi")))).as("docs"))
-        .filter(size(col("docs")).between(2, SIMHASH_BUCKET_CAP))
-        .select(explode(orderedPairs(col("docs"))).as("p"))
-        .select(col("p.d1.doc_id").as("doc1"), col("p.d2.doc_id").as("doc2"),
-          (bit_count(col("p.d1.lo").bitwiseXOR(col("p.d2.lo"))) +
-            bit_count(col("p.d1.hi").bitwiseXOR(col("p.d2.hi")))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= SimHashHammingMax)
-        .orderBy(col("doc1"), col("doc2"))
-    },
-    Some(s"""WITH nb AS (SELECT ${Geometry.adaptiveBitsSql("count(*)", 3, 15, 30)} AS b
+
+  /** The DISTINCT SimHash candidate-pair relation (doc1 < doc2, exact
+    * 120-bit Hamming distance) BEFORE any distance threshold — q32
+    * consumes it with the [[SimHashHammingMax]] cut, the wave-31
+    * threshold-curve audit (q207) histograms it to PRICE that cut.
+    * One kernel, one band geometry, two published views. */
+  private[operators] def simhashCandidatePairs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    // Per-row signature — no tokenize shuffle at all: the whole 120-bit
+    // SimHash is one native codegen kernel (graft.functions.SimHash128)
+    // over the distinct-token array. At 100 TB this is a map-only pass;
+    // only the small (doc_id, lo, hi) relation ever shuffles (for the
+    // band buckets).
+    graft.functions.SimHash128.register(s)
+    val n = Tables.documents(s, d).count() // parquet metadata scalar
+    val bandBits = Geometry.adaptiveBits(n, 3, SimHashBandFloor, SimHashBandCap)
+    val mask = lit((1L << bandBits) - 1L)
+    val sim = Io.fanOut(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        graft.functions.SimHash128(array_distinct(tokens(col("text")))).as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
+    val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
+      struct(lit(0).as("band"), col("lo").bitwiseAND(mask).as("bh")),
+      struct(lit(1).as("band"), shiftright(col("lo"), 30).bitwiseAND(mask).as("bh")),
+      struct(lit(2).as("band"), col("hi").bitwiseAND(mask).as("bh")),
+      struct(lit(3).as("band"), shiftright(col("hi"), 30).bitwiseAND(mask).as("bh"))))
+      .as("e"))
+      .select(col("doc_id"), col("lo"), col("hi"),
+        col("e.band").as("band"), col("e.bh").as("bh"))
+    bands.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("lo"), col("hi")))).as("docs"))
+      .filter(size(col("docs")).between(2, SIMHASH_BUCKET_CAP))
+      .select(explode(orderedPairs(col("docs"))).as("p"))
+      .select(col("p.d1.doc_id").as("doc1"), col("p.d2.doc_id").as("doc2"),
+        (bit_count(col("p.d1.lo").bitwiseXOR(col("p.d2.lo"))) +
+          bit_count(col("p.d1.hi").bitwiseXOR(col("p.d2.hi")))).as("hamming"))
+      .distinct()
+  }
+
+  /** The shared oracle prefix ending in the `pairs` CTE — the exact
+    * mirror of [[simhashCandidatePairs]]. */
+  private[operators] val SimhashPairsSql: String =
+    s"""WITH nb AS (SELECT ${Geometry.adaptiveBitsSql("count(*)", 3, 15, 30)} AS b
                          FROM documents),
                  tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
                          FROM documents),
@@ -296,14 +303,22 @@ object DedupQueries {
                                           ELSE (hi >> 30) & ((1::BIGINT << nb.b) - 1) END AS bh
                           FROM sig, range(0, 4) b(b), nb),
                  ok AS (SELECT band, bh FROM band GROUP BY band, bh
-                        HAVING count(*) BETWEEN 2 AND 200)
-            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-                   CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
-            FROM band a JOIN band b
-              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-            JOIN ok o ON a.band = o.band AND a.bh = o.bh
-            WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 30
-            ORDER BY doc1, doc2""")
+                        HAVING count(*) BETWEEN 2 AND 200),
+                 pairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+                                  CAST(bit_count(xor(a.lo, b.lo))
+                                    + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+                           FROM band a JOIN band b
+                             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                           JOIN ok o ON a.band = o.band AND a.bh = o.bh)"""
+
+  private val q32 = GQuery(
+    "q32_dedup_simhash",
+    (s, d) => simhashCandidatePairs(s, d)
+      .filter(col("hamming") <= SimHashHammingMax)
+      .orderBy(col("doc1"), col("doc2")),
+    Some(SimhashPairsSql +
+      s""" SELECT doc1, doc2, hamming FROM pairs
+           WHERE hamming <= $SimHashHammingMax ORDER BY doc1, doc2""")
   )
 
   /** q60 — duplicate-cluster resolution: connected components over the

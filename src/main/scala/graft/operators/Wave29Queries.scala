@@ -51,11 +51,41 @@ object Wave29Queries {
         i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])
            * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))"""
 
+  /** Coarse-assign + residual projection, map-only: nearest centroid
+    * by exact integer L2 (ties to the lowest cid) against the ONE-row
+    * broadcast centroid array, residual = elementwise difference.
+    * Output: (vec_id, fqv = full milli vector, cid, qv = residual).
+    * SHARED between the batch index build and the s32 ingest stream —
+    * one kernel, so stream and batch can never disagree. */
+  private[graft] def assignResiduals(vecs: DataFrame, centsArr: DataFrame)
+      : DataFrame =
+    vecs.crossJoin(broadcast(centsArr))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(l2(col("qv"), c.getField("cvec")).as("dist"),
+          c.getField("cid").as("cid"), c.getField("cvec").as("cvec")))))
+      .drop("cents")
+      .select(col("vec_id"), col("qv").as("fqv"),
+        col("best").getField("cid").as("cid"),
+        zip_with(col("qv"), col("best").getField("cvec"),
+          (a, b) => a - b).as("qv"))
+
+  /** Collapse a driver-held coarse codebook into the 1-row broadcastable
+    * `cents` array [[assignResiduals]] consumes (the VectorOps
+    * centroidArray shape, built from the published model — the s32
+    * ingest path, where the codebook arrives as a model artifact, not a
+    * corpus derivation). */
+  private[graft] def centroidArrayDf(s: SparkSession,
+      cents: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
+    import s.implicits._
+    cents.map { case (c, v) => (c, v) }.toDF("cid", "cvec")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+  }
+
   /** The built index: the coded corpus plan (vec_id, fqv = full milli
     * vector, cid = coarse cell, qv = residual, codes), the residual PQ
     * books, and the coarse centroids (driver copy — the codebook IS
     * the model, Bc·Dim longs). */
-  private final case class Index(
+  private[graft] final case class Index(
       coded: DataFrame,
       books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
       cents: IndexedSeq[(Long, IndexedSeq[Long])])
@@ -72,7 +102,7 @@ object Wave29Queries {
     * the q191 budget plus one subtraction; at 100 TB the coded index
     * lands partitioned by cid, so a probed search reads nprobe
     * partitions and nothing else. */
-  private def buildIndex(s: SparkSession, d: String): Option[Index] = {
+  private[graft] def buildIndex(s: SparkSession, d: String): Option[Index] = {
     val n = Tables.embeddings(s, d).count()
     if (n == 0) return None
     val bc = Geometry.adaptiveCodebook(n, IvfFloor, IvfCap)
@@ -81,15 +111,7 @@ object Wave29Queries {
       .select(col("vec_id").as("cid"), col("qv").as("cvec"))
     val centsArr = centsDf
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-    val assigned = vecs.crossJoin(broadcast(centsArr))
-      .withColumn("best", array_min(transform(col("cents"), c =>
-        struct(l2(col("qv"), c.getField("cvec")).as("dist"),
-          c.getField("cid").as("cid"), c.getField("cvec").as("cvec")))))
-      .drop("cents")
-      .select(col("vec_id"), col("qv").as("fqv"),
-        col("best").getField("cid").as("cid"),
-        zip_with(col("qv"), col("best").getField("cvec"),
-          (a, b) => a - b).as("qv"))
+    val assigned = assignResiduals(vecs, centsArr)
     val books = Wave24Queries.trainBooksOn(
       assigned.select(col("vec_id"), col("qv")))
     if (books.isEmpty) return None

@@ -38,7 +38,7 @@ object StreamOps {
     "s25" -> "tombstoneFilterStream", "s26" -> "blocklistGateStream",
     "s27" -> "decayedCountsStream", "s28" -> "mixRouterStream",
     "s29" -> "pqEncodeStream", "s30" -> "adcSearchStream",
-    "s31" -> "tvdMonitorStream")
+    "s31" -> "tvdMonitorStream", "s32" -> "ivfadcEncodeStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1402,5 +1402,41 @@ object StreamOps {
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           Iterator.single(TvdOut(grp, k, num, tvd))
       }
+  }
+
+  /** s32 — streaming IVFADC ingest encoder: every arriving vector is
+    * coarse-assigned to its nearest cell and residual-PQ-encoded in ONE
+    * map-only projection through the SAME kernels as the q202 batch
+    * index build (Wave29Queries.assignResiduals + Wave24Queries
+    * .withCodes — one kernel each, so the streamed index and the batch
+    * index can never disagree; drained rows are ScalaTest-asserted
+    * bit-identical to the batch build). This completes the family's
+    * serving loop: s32 ingests into the IVFADC layout, q202 searches
+    * it, q203 audits it.
+    *
+    * ZERO streaming state (the s24/s29 pattern): the coarse codebook
+    * arrives as a published model artifact (driver seq → one
+    * materialized broadcast row — streaming re-evaluates the static
+    * side per micro-batch, the s15 discipline) and the residual books
+    * as M·K·S literals. Output (vec_id, cid, code_str) lands
+    * append-only, ready for a partitionBy(cid) sink — the index's
+    * cell layout at ingest time. */
+  def ivfadcEncodeStream(vectors: DataFrame,
+      cents: Seq[(Long, IndexedSeq[Long])],
+      books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]]): DataFrame = {
+    if (books.isEmpty || cents.isEmpty)
+      return vectors.select(col("vec_id"), col("vec_id").as("cid"),
+        lit("").as("code_str")).filter(lit(false))
+    val centsArr = graft.sources.Io.materialize(
+      graft.operators.Wave29Queries.centroidArrayDf(
+        vectors.sparkSession, cents))
+    val milli = vectors.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+    graft.operators.Wave24Queries.withCodes(
+      graft.operators.Wave29Queries.assignResiduals(milli, centsArr), books)
+      .select(col("vec_id"), col("cid"),
+        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
+          .as("code_str"))
   }
 }

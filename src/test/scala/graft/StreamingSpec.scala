@@ -2053,6 +2053,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s32 IVFADC encode stream drains to the exact batch index") {
+    val dir = java.nio.file.Files.createTempDirectory("s32").toString
+    val in = s"$dir/in"
+    val idx = graft.operators.Wave29Queries.buildIndex(spark, sfSmoke).get
+    val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rows = emb.collect()
+    val third = rows.length / 3
+    (0 until 3).foreach { i =>
+      val slice = rows.slice(i * third,
+        if (i == 2) rows.length else (i + 1) * third)
+      feedFile(spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq), emb.schema), in, s"f$i")
+    }
+    val q = StreamOps.ivfadcEncodeStream(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in), idx.cents, idx.books)
+      .writeStream.format("memory").queryName("s32_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("s32_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val want = idx.coded
+      .select(col("vec_id"), col("cid"),
+        concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))")))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the index is real: more than one cell is populated
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
+
   // ---- s31 t-closeness monitor ----
 
   private def tvdRowsFixture(): Seq[StreamOps.TvdRow] =
