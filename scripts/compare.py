@@ -36,6 +36,14 @@ def norm(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     import os
+    # heavy sf1 oracles (q193's shingle chain, q203's IVFADC chain) can
+    # exceed RAM under DuckDB's default no-spill config — give the gate a
+    # bounded budget and a spill directory so it degrades to disk instead
+    # of dying with a bad-allocation error (observed on the r12 sf1 pass)
+    con.execute("SET memory_limit='96GB'")
+    spill = f"{out_dir}/_duckdb_spill"
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver fixtures are single files; graft.tools.DataGen output is a

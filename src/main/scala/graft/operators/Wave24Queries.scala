@@ -128,7 +128,7 @@ object Wave24Queries {
     * IVFADC oracle (Wave29) can train the identical chain on cell
     * residuals. Appended after "WITH e AS (...)," by callers. */
   private[graft] val PqChainFromE: String =
-    s"""sub AS (SELECT vec_id, m,
+    s"""sub AS MATERIALIZED (SELECT vec_id, m,
                   qv[CAST(m*$PqS+1 AS INT):CAST(m*$PqS+$PqS AS INT)] AS sv
                 FROM e, (SELECT unnest(range(0, $PqM)) AS m) g),
         sd AS (SELECT vec_id, row_number() OVER
@@ -144,7 +144,7 @@ object Wave24Queries {
                  (SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                                ORDER BY dist, c) AS rn
                   FROM d1) WHERE rn = 1),
-        c1 AS (SELECT m, c, list(v ORDER BY i) AS cv FROM
+        c1 AS MATERIALIZED (SELECT m, c, list(v ORDER BY i) AS cv FROM
                  (SELECT a.m, a.c, t.i,
                          CAST(sum(s.sv[CAST(t.i AS INT)]) AS BIGINT) // count(*) AS v
                   FROM a1 a JOIN sub s USING (vec_id, m), range(1, ${PqS + 1}) t(i)
@@ -155,7 +155,7 @@ object Wave24Queries {
                    i -> (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
                       * (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
                FROM sub s JOIN c1 c ON s.m = c.m),
-        a2 AS (SELECT vec_id, m, c, dist FROM
+        a2 AS MATERIALIZED (SELECT vec_id, m, c, dist FROM
                  (SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                                ORDER BY dist, c) AS rn
                   FROM d2) WHERE rn = 1)"""
@@ -164,7 +164,7 @@ object Wave24Queries {
     * Lloyd iteration (the q102 kmIterSql pattern with a subspace column
     * so all M books train in one pass) → final assignment a2 + book c1. */
   private val PqSql: String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                      x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
                    FROM embeddings),
         $PqChainFromE"""

@@ -161,21 +161,27 @@ object Wave29Queries {
   /** Shared oracle prefix: milli grid `em` → adaptive codebook size →
     * coarse cells → assignment (lowest-cid ties) → residual relation
     * `e` feeding the wave-24 Lloyd chain (books c1 + final codes a2,
-    * both ON RESIDUALS). */
+    * both ON RESIDUALS). The assignment window (a0g) deliberately
+    * projects ONLY (vec_id, cid): dragging the 512-byte cvec payload
+    * through the n·Bc window intermediate is what OOM'd DuckDB on the
+    * r12 sf1 pass — the centroid vector joins back from the Bc-row
+    * cents relation afterwards. */
   private val IvfadcSql: String =
-    s"""WITH em AS (SELECT vec_id, list_transform(embedding,
+    s"""WITH em AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                       x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
                     FROM embeddings),
         bsz AS (SELECT ${Geometry.adaptiveCodebookSql("count(*)", IvfFloor, IvfCap)}
                   AS b FROM embeddings),
         cents AS (SELECT vec_id AS cid, qv AS cvec FROM em, bsz
                   WHERE vec_id < bsz.b),
-        asg AS (SELECT vec_id, cid, cvec FROM (
-                  SELECT em.vec_id, c.cid, c.cvec,
+        a0g AS MATERIALIZED (SELECT vec_id, cid FROM (
+                  SELECT em.vec_id, c.cid,
                          row_number() OVER (PARTITION BY em.vec_id
                            ORDER BY ${l2SeqSql("em.qv", "c.cvec", Dim)}, c.cid) AS rn
                   FROM em, cents c) WHERE rn = 1),
-        e AS (SELECT a.vec_id, list_transform(range(1, ${Dim + 1}),
+        asg AS MATERIALIZED (SELECT a.vec_id, a.cid, c.cvec
+                FROM a0g a JOIN cents c USING (cid)),
+        e AS MATERIALIZED (SELECT a.vec_id, list_transform(range(1, ${Dim + 1}),
                 i -> a0.qv[CAST(i AS INT)] - a.cvec[CAST(i AS INT)]) AS qv
               FROM asg a JOIN em a0 USING (vec_id)),
         ${Wave24Queries.PqChainFromE}"""
@@ -345,7 +351,7 @@ object Wave29Queries {
     Some(IvfadcSql +
       s""", qmod AS (SELECT ${Geometry.adaptiveSampleModSql("count(*)",
              AudModFloor, AudTargetLog2)} AS m FROM embeddings),
-          qs AS (SELECT vec_id AS q_id, qv AS qqv
+          qs AS MATERIALIZED (SELECT vec_id AS q_id, qv AS qqv
                  FROM em, qmod WHERE vec_id % qmod.m = 0),
           qprobe AS (SELECT q_id, cid, cvec FROM (
                        SELECT qs.q_id, c.cid, c.cvec,
@@ -356,7 +362,7 @@ object Wave29Queries {
           adct AS (SELECT p.q_id, p.cid, c1.m, c1.c,
                      ${adctSql("qs.qqv", "p.cvec")} AS ad
                    FROM c1, qprobe p JOIN qs USING (q_id)),
-          scored AS (SELECT t.q_id, a2.vec_id AS nbr,
+          scored AS MATERIALIZED (SELECT t.q_id, a2.vec_id AS nbr,
                        CAST(sum(t.ad) AS BIGINT) AS adc
                      FROM a2 JOIN asg g USING (vec_id)
                      JOIN adct t ON t.cid = g.cid AND t.m = a2.m AND t.c = a2.c
@@ -367,7 +373,7 @@ object Wave29Queries {
                           row_number() OVER (PARTITION BY q_id
                             ORDER BY adc, nbr) AS ark
                    FROM scored) WHERE ark <= $TopK),
-          exd AS (SELECT qs.q_id, em2.vec_id AS nbr, g.cid,
+          exd AS MATERIALIZED (SELECT qs.q_id, em2.vec_id AS nbr, g.cid,
                     CAST(${l2SeqSql("em2.qv", "qs.qqv", Dim)} AS BIGINT) AS ex
                   FROM em em2 JOIN asg g ON em2.vec_id = g.vec_id, qs
                   WHERE em2.vec_id <> qs.q_id),
