@@ -279,6 +279,7 @@ object Wave29Queries {
       val idxOpt = buildIndex(s, d)
       idxOpt match {
         case Some(idx) =>
+          val coded = idx.coded
           val n = Tables.embeddings(s, d).count()
           val mod = Geometry.adaptiveSampleMod(n, AudModFloor, AudTargetLog2)
           val queries = Wave24Queries.qvecs(s, d)
@@ -304,7 +305,7 @@ object Wave29Queries {
           // per query via group-limit heaps
           val wAdc = org.apache.spark.sql.expressions.Window
             .partitionBy(col("q_id")).orderBy(col("adc"), col("nbr"))
-          val adcTop = idx.coded.crossJoin(broadcast(queries))
+          val adcTop = coded.crossJoin(broadcast(queries))
             .filter(col("vec_id") =!= col("q_id") && isCand)
             .select(col("q_id"), col("vec_id").as("nbr"),
               adcDistCol(adcMap, element_at(idxLit, col("q_id"))).as("adc"))
@@ -315,7 +316,7 @@ object Wave29Queries {
           // tagged with whether its cell was probed
           val wEx = org.apache.spark.sql.expressions.Window
             .partitionBy(col("q_id")).orderBy(col("ex"), col("nbr"))
-          val exTop = idx.coded.crossJoin(broadcast(queries))
+          val exTop = coded.crossJoin(broadcast(queries))
             .filter(col("vec_id") =!= col("q_id"))
             .select(col("q_id"), col("vec_id").as("nbr"),
               l2(col("fqv"), col("qqv")).as("ex"),
