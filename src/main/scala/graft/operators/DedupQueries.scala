@@ -84,7 +84,7 @@ object DedupQueries {
 
   /** Consumer accessors (compute-if-absent so every query stays correct
     * standalone; block scans when the family runs as a pipeline). */
-  private def postingsFor(s: SparkSession, d: String): DataFrame =
+  private[operators] def postingsFor(s: SparkSession, d: String): DataFrame =
     indexFor("postings", s, d)(shingleDf(s, d))
   private def bandsFor(s: SparkSession, d: String): DataFrame =
     indexFor("bands", s, d)(
@@ -161,7 +161,7 @@ object DedupQueries {
 
   /** MinHash+LSH candidate pairs (unordered) — the published standing
     * index relation; q31 is its producer, q60/q86/q97/q111 consume. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsFor(s, d)
 
   /** q31 — MinHash + LSH banding. Signature = 8 md5-min hashes; 2 bands of
@@ -582,7 +582,7 @@ object DedupQueries {
 
   /** The candidate-graph CTE chain (shingles → signatures → bands → LSH
     * candidate pairs as (u, v)) shared by graph-consumer oracles. */
-  private val CAND_SQL = SHINGLE_SQL +
+  private[operators] val CAND_SQL: String = SHINGLE_SQL +
     """, sig AS (SELECT doc_id,
                     min(CAST(concat('0x', substr(md5('0|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h0,
                     min(CAST(concat('0x', substr(md5('1|' || CAST(sgh AS VARCHAR)), 1, 15)) AS BIGINT)) AS h1,

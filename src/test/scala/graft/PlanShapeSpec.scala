@@ -478,6 +478,34 @@ class PlanShapeSpec extends SparkSpec {
       qe.executedPlan.toString)
   }
 
+  test("q202 IVFADC search: broadcast probes, heap top-k, no shuffle join") {
+    val p = plan("q202_ivfadc_search")
+    // the codebook and centroid array travel as broadcasts/literals; the
+    // top-10 merges per-partition heaps; a SortMergeJoin would mean the
+    // coded corpus shuffled for the probe
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q205 collision matrix: pair mass is arithmetic — no pair explode") {
+    // candidate-pair MASS comes from bucket occupancy counts, never from
+    // materialized pairs: the only Generate allowed is none at all (the
+    // min-shingle is an array fold, not an explode)
+    val qe = SparkEntry.queries("q205_source_collision_matrix")(spark, sfSmoke)
+      .queryExecution
+    assert(qe.optimizedPlan.collect {
+      case g: logical.Generate => g }.isEmpty, qe.optimizedPlan.toString)
+  }
+
+  test("q206 bloom probe is map-only: one ground-truth broadcast join, no shuffle join") {
+    val p = plan("q206_bloom_fpr_audit")
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly the exact-membership broadcast join; the bloom test itself
+    // is bit arithmetic on a literal bitmap (no join machinery)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p)
+  }
+
   test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {
     // r9 verdict task 1: the tokenize→explode→md5 chain must NOT appear
     // in the consuming plan — it ran exactly once into the materialized
