@@ -39,8 +39,14 @@ def main(sf_dir, out_dir):
     # heavy sf1 oracles (q193's shingle chain, q203's IVFADC chain) can
     # exceed RAM under DuckDB's default no-spill config — give the gate a
     # bounded budget and a spill directory so it degrades to disk instead
-    # of dying with a bad-allocation error (observed on the r12 sf1 pass)
-    con.execute("SET memory_limit='96GB'")
+    # of dying with a bad-allocation error (observed on the r12 sf1 pass).
+    # Derive the budget from physical memory: a hardcoded 96GB RAISES the
+    # limit above DuckDB's default (80% of RAM) on smaller hosts, so the
+    # spill path never triggers and the process gets OOM-killed instead
+    # of degrading to disk (ADVICE r12).
+    mem_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) // 2**30
+    limit_gb = min(96, max(1, mem_gb * 8 // 10))
+    con.execute(f"SET memory_limit='{limit_gb}GB'")
     spill = f"{out_dir}/_duckdb_spill"
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")

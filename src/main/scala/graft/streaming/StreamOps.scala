@@ -1203,7 +1203,16 @@ object StreamOps {
     * per-batch sort buffer is micro-batch-group-sized, never
     * history-sized. Sources absent from the budget map admit nothing
     * (deny-by-default). Output: one decision row per arriving doc
-    * (Update mode; replays overwrite their own batch partition). */
+    * (Update mode; replays overwrite their own batch partition).
+    *
+    * Checkpoint compatibility: adding max_doc_id in round 12 CHANGED the
+    * state encoder schema, and flatMapGroupsWithState state is not
+    * schema-evolvable — a checkpoint written by the 3-field MixState
+    * cannot be restored by this version (the restore fails with a state
+    * schema error, it does not silently misread). Restarting from such a
+    * checkpoint requires a fresh checkpoint dir + source replay (the
+    * family's documented checkpoint-loss recovery path); noted here so a
+    * restored-from-old-checkpoint failure is diagnosable (ADVICE r12). */
   def mixRouterStream(docs: Dataset[MixDoc], budgets: Map[String, Long])
       : Dataset[MixOut] = {
     import docs.sparkSession.implicits._
@@ -1302,7 +1311,14 @@ object StreamOps {
       k: Int): Dataset[AdcHit] = {
     import queries.sparkSession.implicits._
     require(k > 0, s"k must be positive, got $k")
-    if (books.isEmpty) return queries.sparkSession.emptyDataset[AdcHit]
+    // derive the empty-model result FROM the input (the ivfadcEncodeStream
+    // pattern): emptyDataset is a BATCH relation, and returning it for a
+    // streaming `queries` makes the caller's .writeStream throw
+    // AnalysisException instead of running an empty stream (ADVICE r12)
+    if (books.isEmpty)
+      return queries.select(col("vec_id").as("q_id"), col("vec_id").as("nbr"),
+        col("vec_id").as("adc_dist"), lit(0).as("rank"))
+        .filter(lit(false)).as[AdcHit]
     val M = graft.operators.Wave24Queries.PqM
     val S = graft.operators.Wave24Queries.PqS
     val coded = graft.sources.Io.materialize(
@@ -1337,6 +1353,17 @@ object StreamOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (qid: Long, rows: Iterator[(Long, Long, Long)],
             state: GroupState[TopKState]) =>
+          // a query's candidates all arrive in its own micro-batch (the
+          // corpus side is static), so existing state here means the SAME
+          // q_id arrived in a second batch: the whole corpus would be
+          // re-scored and already-present (adc, nbr) entries re-inserted,
+          // silently emitting a top-k with duplicate neighbours. Fail
+          // loudly instead (the s28 out-of-order discipline; ADVICE r12).
+          // State rolls back with the batch on crash-replay, so replays
+          // never false-positive here.
+          if (state.exists) throw new IllegalStateException(
+            s"adcSearchStream: q_id $qid arrived in a second micro-batch " +
+              "— duplicate query feed")
           var top = state.getOption.map(_.top).getOrElse(Seq.empty)
           rows.foreach { case (_, nbr, adcD) =>
             val c = AdcTop(adcD, nbr)
