@@ -29,16 +29,18 @@ object Wave28Queries {
   private val AudTargetLog2 = 5
 
   /** q201 — ADC retrieval recall audit. Scale notes (r11 verdict task 3
-    * shape): the scored Q·n relation is never materialized — every
-    * consumer is an independent map-only broadcast pass over the corpus
-    * that reduces immediately (per-query heaps via WindowGroupLimit for
-    * the two top-10 rankings; plain bounded aggregates for the rest).
-    * The exact-NN's ADC rank is computed WITHOUT any window at all:
-    * min_by gives the Q exact-NN rows (one aggregate), those travel
-    * back as literals, and the rank is 1 + count of strictly-smaller
-    * (adc, nbr) pairs per query — rank-by-count, value-identical to
-    * row_number of the known row, with no corpus-sized window
-    * partition anywhere. Queries and the Q·M·K ADC table travel as
+    * shape, folded to TWO corpus passes in r12 verdict task 5): the
+    * scored Q·n relation is never materialized — each of the two top-10
+    * rankings is an independent map-only broadcast pass over the corpus
+    * that reduces immediately to per-query heaps (literal rank filters →
+    * WindowGroupLimit, PlanShapeSpec-locked). Everything else derives
+    * from those two Q·10-row relations: the exact NN is the xrk = 1 row
+    * of the exact heap, and its ADC rank is read off the ADC heap by a
+    * (q_id, nbr) left join — the NN is "at rank r ≤ 10" iff it appears
+    * there, "missed" iff it does not, which is exactly the bucket
+    * structure the sheet reports, so the former rank-by-count corpus
+    * scan and the min_by exact-NN collect bought nothing the heaps
+    * didn't already know. Queries and the Q·M·K ADC table travel as
     * broadcasts/literals (adaptiveSampleMod keeps Q ≈ 2^5 at any
     * corpus size — an audit must cost the same at 100 TB); the corpus
     * never shuffles. */
@@ -91,36 +93,28 @@ object Wave28Queries {
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("nbr"),
             adcDist.as("adc"), exactDist.as("ex"))
-        // exact NN per query — a plain min_by aggregate (no window),
-        // Q rows of driver state (model-sized, same order as qrows)
-        val nn1Rows = scored.groupBy(col("q_id"))
-          .agg(min_by(struct(col("adc"), col("nbr")),
-            struct(col("ex"), col("nbr"))).as("nn"))
-          .select(col("q_id"), col("nn.adc"), col("nn.nbr")).collect()
-        val nn1Adc = typedLit(
-          nn1Rows.map(r => r.getLong(0) -> r.getLong(1)).toMap)
-        val nn1Nbr = typedLit(
-          nn1Rows.map(r => r.getLong(0) -> r.getLong(2)).toMap)
-        // ADC rank of the exact NN by COUNT: 1 + |strictly smaller
-        // (adc, nbr) pairs| == row_number of the known row — one
-        // bounded aggregate instead of an unbounded per-query sort
-        val nn1Rank = scored.groupBy(col("q_id"))
-          .agg((sum(when(col("adc") < element_at(nn1Adc, col("q_id"))
-            || (col("adc") === element_at(nn1Adc, col("q_id"))
-              && col("nbr") < element_at(nn1Nbr, col("q_id"))), 1L)
-            .otherwise(0L)) + 1L).as("ark"))
         val wAdc = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id")).orderBy(col("adc"), col("nbr"))
         val wEx = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id")).orderBy(col("ex"), col("nbr"))
         // both top-10 rankings carry a literal rank filter → map-side
-        // per-query heaps (WindowGroupLimit; PlanShapeSpec locks it)
+        // per-query heaps (WindowGroupLimit; PlanShapeSpec locks it).
+        // These TWO passes are the only corpus scans: the exact NN and
+        // its ADC rank fall out of the heap outputs below.
         val adcTop = scored.withColumn("ark10", row_number().over(wAdc))
-          .filter(col("ark10") <= AudK).select(col("q_id"), col("nbr"))
+          .filter(col("ark10") <= AudK)
+          .select(col("q_id"), col("nbr"), col("ark10"))
         val exTop = scored.withColumn("xrk", row_number().over(wEx))
-          .filter(col("xrk") <= AudK).select(col("q_id"), col("nbr"))
+          .filter(col("xrk") <= AudK).select(col("q_id"), col("nbr"), col("xrk"))
         val hits = exTop.join(adcTop, Seq("q_id", "nbr"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+        // exact NN = the xrk = 1 heap row; its ADC rank (when ≤ 10) is
+        // its ark10 in the ADC heap — a Q-row left join, no extra scan.
+        // An absent match IS the "missed" bucket (ark > 10 under the old
+        // rank-by-count), value-identical by construction.
+        val nn1Rank = exTop.filter(col("xrk") === 1)
+          .join(adcTop, Seq("q_id", "nbr"), "left")
+          .select(col("q_id"), col("ark10").as("ark"))
         queries.select(col("q_id"))
           .join(hits, Seq("q_id"), "left")
           .join(nn1Rank, Seq("q_id"), "left")
