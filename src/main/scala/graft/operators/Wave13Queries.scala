@@ -29,11 +29,17 @@ object Wave13Queries {
     * query reports both measured fractions side by side plus the max
     * per-shard load factor, i.e. the full evidence a capacity plan needs.
     *
-    * Determinism: h(key, s) is the md5-60 hash (TextOps.shingleHash60)
-    * of "key:s"; argmax positions and counts are exact integers; the two
-    * fractions are one double division each, rounded.
+    * Determinism: h(key, s) is the md5-60 hash (TextOps.shingleHash60
+    * semantics) of "key:s"; argmax positions and counts are exact
+    * integers; the two fractions are one double division each, rounded.
+    * Both argmaxes are computed by the fused native [[graft.functions
+    * .HrwPack]] kernel (r12 verdict task 4) — one generated call per key
+    * digesting the raw "key:s" bytes for all shards and returning
+    * old·100 + new, bit-identical to the array-of-hashes expression
+    * tree it replaced (Wave13Spec asserts equality against a literal
+    * md5 replay).
     *
-    * Scale notes: ONE map pass (a [[ShardsNew]]-element array of hashes
+    * Scale notes: ONE map pass (the fused [[ShardsNew]]-hash kernel
     * per key — no explode, no join, no shuffle of anything data-sized)
     * into a [[ShardsNew]]-group aggregate with map-side combine, then a
     * 1-row reduction. The plan shape is what a 10^12-key resharding
@@ -49,16 +55,12 @@ object Wave13Queries {
   private val q150 = GQuery(
     "q150_shard_rebalance",
     (s, d) => {
+      graft.functions.HrwPack.register(s, ShardsOld, ShardsNew)
       val hashed = Tables.orders(s, d)
         .select(col("o_orderkey").as("k"))
-        .withColumn("hs", transform(
-          sequence(lit(0), lit(ShardsNew - 1)),
-          sh => TextOps.shingleHash60(concat_ws(":", col("k"), sh))))
-        .withColumn("old_shard",
-          (array_position(slice(col("hs"), 1, ShardsOld),
-            array_max(slice(col("hs"), 1, ShardsOld))) - 1).cast("int"))
-        .withColumn("new_shard",
-          (array_position(col("hs"), array_max(col("hs"))) - 1).cast("int"))
+        .withColumn("packed", graft.functions.HrwPack(col("k")))
+        .withColumn("old_shard", expr("CAST(packed DIV 100 AS INT)"))
+        .withColumn("new_shard", expr("CAST(packed % 100 AS INT)"))
         .withColumn("hrw_moved",
           when(col("old_shard") =!= col("new_shard"), 1L).otherwise(0L))
         .withColumn("mod_moved",

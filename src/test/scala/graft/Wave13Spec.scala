@@ -65,6 +65,27 @@ class Wave13Spec extends SparkSpec {
     assert(modMoved.toDouble / nKeys > 0.55)
   }
 
+  test("HrwPack kernel equals the array-of-hashes expression tree per key") {
+    graft.functions.HrwPack.register(spark, 8, 12)
+    val keys = spark.read.parquet(s"$sfSmoke/orders.parquet")
+      .select(col("o_orderkey").as("k"))
+    val both = keys
+      .withColumn("hs", transform(sequence(lit(0), lit(11)),
+        sh => graft.functions.TextOps.shingleHash60(concat_ws(":", col("k"), sh))))
+      .withColumn("old_t", array_position(slice(col("hs"), 1, 8),
+        array_max(slice(col("hs"), 1, 8))) - 1)
+      .withColumn("new_t", array_position(col("hs"), array_max(col("hs"))) - 1)
+      .withColumn("packed", graft.functions.HrwPack(col("k")))
+    val bad = both.filter(col("packed") =!= col("old_t") * 100 + col("new_t"))
+      .count()
+    assert(bad == 0, s"$bad keys disagree with the expression-tree replay")
+    // interpreted eval path agrees with the codegen path
+    val sample = both.select(col("k"), col("packed")).as[(Long, Long)].head(50)
+    sample.foreach { case (k, p) =>
+      assert(graft.functions.HrwPack.compute(k, 8, 12) == p, s"key $k")
+    }
+  }
+
   test("q151: lateness counts match a sequential replay of arrival order") {
     val rows = graft.sources.Tables.events(spark, sfSmoke)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
