@@ -1,18 +1,20 @@
 package graft.operators
 
 import graft.GQuery
-import graft.sources.Tables
+import graft.sources.{Io, Tables}
 import graft.util.Geometry
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-12 wave 29: the composed production ANN index — IVFADC (Jégou
-  * et al. 2011, "Product Quantization for Nearest Neighbor Search",
-  * §IV): a coarse quantizer prunes WHICH cells a query scans (q37's
-  * IVF idea on the exact milli-integer grid) and product quantization
-  * on the cell RESIDUALS compresses WHAT the scan reads (q191/q192's
-  * codes, trained on r = v − centroid(cell) so the codes spend their
-  * bits on the part the coarse quantizer missed) —
+/** Round-12 wave 29 (re-architected in round 13): the composed
+  * production ANN index — IVFADC (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search", §IV): a coarse quantizer
+  * prunes WHICH cells a query scans (q37's IVF idea on the exact
+  * milli-integer grid) and product quantization on the cell RESIDUALS
+  * compresses WHAT the scan reads (q191/q192's codes, trained on
+  * r = v − centroid(cell) so the codes spend their bits on the part the
+  * coarse quantizer missed) —
   *
   *   - q202 the probed search itself: nprobe nearest cells by exact
   *     integer L2, ADC over residual codes inside them, top-k priced
@@ -25,6 +27,31 @@ import org.apache.spark.sql.functions._
   *     knob to turn, completing the q173 (IVF-only) / q201 (PQ-only)
   *     price-the-approximation pair.
   *
+  * Round-13 re-architecture (r12 verdict tasks 1–2) — the coarse stage
+  * no longer has a corpus-scale ceiling:
+  *
+  *   - coarse ASSIGNMENT is a broadcast-join + min_by aggregate over
+  *     the centroid RELATION ([[assignResiduals]]) — centroids never
+  *     collapse into a single array row or a driver literal, so Bc is
+  *     bounded only by [[IvfCap]] (2^20 cells ≈ n = 10^12 vectors
+  *     under the √n geometry), not by row-size/literal limits;
+  *   - query PROBING and the per-query ADC tables are DISTRIBUTED
+  *     ([[qMeta]]): queries broadcast against the centroid relation,
+  *     nprobe cells per query via a WindowGroupLimit heap, ADC entries
+  *     from a join with the M·K-row book relation, bundled into ONE
+  *     struct-keyed map column per query — no driver-side probe loop,
+  *     no packed-decimal keys (the r12 `cid < 10^5` require is gone);
+  *   - the ADC scan looks each candidate row up in its own query's
+  *     map column via struct keys (cid, m, code) — M lookups per row,
+  *     exactly the q192 contract, with no global Q-indexed literal;
+  *   - the built index is MATERIALIZED once per (session, scale) and
+  *     shared ([[servingIndex]]): q202 always rebuilds (it PRICES the
+  *     build honestly); q203/q211 read the standing artifact, which is
+  *     what a serving audit does — the s32 ingest encoder already
+  *     defines the artifact shape (cid-partitioned coded rows + model
+  *     sidecar), and the cache is its single-JVM stand-in
+  *     (repartition(cid) + eager localCheckpoint).
+  *
   * Everything rides the wave-24 kernels: same milli grid, same
   * exact-integer Lloyd (trainBooksOn — on residuals here), same
   * withCodes encoder, same lowest-id tie-breaks, so all distances are
@@ -36,7 +63,11 @@ object Wave29Queries {
 
   private val Nprobe = 2
   private val IvfFloor = 16
-  private val IvfCap = 32768
+  /** Coarse-cell cap: 2^20 cells. Under the √n adaptiveCodebook
+    * geometry this binds at n ≈ 10^12 vectors (≈ 0.25 PB of raw fp32
+    * at Dim 64) — past the 100 TB design point. The r12 cap of 32768
+    * existed only for the now-removed decimal ADC key packing. */
+  private[graft] val IvfCap = 1 << 20
   private val TopK = 10
   private val AudModFloor = 50L
   private val AudTargetLog2 = 5
@@ -51,14 +82,49 @@ object Wave29Queries {
         i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])
            * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))"""
 
-  /** Coarse-assign + residual projection, map-only: nearest centroid
-    * by exact integer L2 (ties to the lowest cid) against the ONE-row
-    * broadcast centroid array, residual = elementwise difference.
-    * Output: (vec_id, fqv = full milli vector, cid, qv = residual).
-    * SHARED between the batch index build and the s32 ingest stream —
-    * one kernel, so stream and batch can never disagree. */
-  private[graft] def assignResiduals(vecs: DataFrame, centsArr: DataFrame)
-      : DataFrame =
+  /** Coarse-assign + residual projection against the centroid RELATION
+    * (cid, cvec): broadcast-join every vector with the Bc centroids,
+    * nearest cell via a min_by aggregate keyed (dist, cid) — exact
+    * integer L2, ties to the lowest cid — then the vector and its
+    * winning centroid join BACK onto the slim (vec_id, cid) assignment
+    * for the residual = elementwise difference. Output: (vec_id,
+    * fqv = full milli vector, cid, qv = residual).
+    *
+    * Scale notes: the n·Bc expansion carries 24-BYTE rows only
+    * (vec_id, cid, dist — the distance is computed in the join
+    * projection and the vector dropped immediately), so the hot path
+    * moves ~40× less data than carrying the vector through the
+    * aggregate; the vector payload travels exactly once, through the
+    * n-row assignment join, and the winning centroid re-enters via a
+    * map-only broadcast hash join. The centroids stay a DataFrame end
+    * to end — no single-row array, no driver collect, no literal — so
+    * the only Bc bound is the broadcast size itself (Bc·Dim·8 bytes
+    * ≈ 0.5 GB at the 2^20 cap). Deterministic: the min_by key
+    * (dist, cid) is unique per candidate. */
+  private[graft] def assignResiduals(vecs: DataFrame, cents: DataFrame)
+      : DataFrame = {
+    val asg = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        l2(col("qv"), col("cvec")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+    asg.join(vecs, Seq("vec_id"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), col("qv").as("fqv"), col("cid"),
+        zip_with(col("qv"), col("cvec"), (a, b) => a - b).as("qv"))
+  }
+
+  /** Map-only serving-encoder variant of [[assignResiduals]] for the
+    * s32 ingest stream, against a ONE-row broadcast centroid array
+    * (streaming append mode cannot aggregate, so the min_by form is a
+    * batch-only shape): array_min over per-centroid (dist, cid, cvec)
+    * structs — identical semantics, StreamingSpec asserts the drained
+    * rows equal the batch index bit-for-bit. The array row bounds Bc at
+    * the serving encoder (~2^21 cells at Dim 64 under the 2 GB row
+    * limit); a stream encoder past that shards the centroid array by
+    * cid range — same kernel per shard, outside fixture scope. */
+  private[graft] def assignResidualsServing(vecs: DataFrame,
+      centsArr: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centsArr))
       .withColumn("best", array_min(transform(col("cents"), c =>
         struct(l2(col("qv"), c.getField("cvec")).as("dist"),
@@ -70,10 +136,9 @@ object Wave29Queries {
           (a, b) => a - b).as("qv"))
 
   /** Collapse a driver-held coarse codebook into the 1-row broadcastable
-    * `cents` array [[assignResiduals]] consumes (the VectorOps
-    * centroidArray shape, built from the published model — the s32
-    * ingest path, where the codebook arrives as a model artifact, not a
-    * corpus derivation). */
+    * `cents` array [[assignResidualsServing]] consumes (the s32 ingest
+    * path, where the codebook arrives as a published model artifact,
+    * not a corpus derivation). */
   private[graft] def centroidArrayDf(s: SparkSession,
       cents: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
     import s.implicits._
@@ -81,81 +146,121 @@ object Wave29Queries {
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
   }
 
-  /** The built index: the coded corpus plan (vec_id, fqv = full milli
+  /** The built index: the coded corpus (vec_id, fqv = full milli
     * vector, cid = coarse cell, qv = residual, codes), the residual PQ
-    * books, and the coarse centroids (driver copy — the codebook IS
-    * the model, Bc·Dim longs). */
+    * books (driver copy — M·K·S longs, the model), the coarse centroid
+    * RELATION (cid, cvec — stays distributed), and the cell count. */
   private[graft] final case class Index(
       coded: DataFrame,
       books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
-      cents: IndexedSeq[(Long, IndexedSeq[Long])])
+      cents: DataFrame,
+      bc: Int)
 
-  /** Build the IVFADC index plan: coarse centroids = the Bc md5-free
-    * first vectors (the q37 convention — B ≈ √n via adaptiveCodebook,
-    * so per-cell scan cost tracks √n at every scale), assignment
-    * map-only against the ONE-row broadcast centroid array (ties to
-    * the lowest cid), residual = exact integer elementwise difference,
-    * PQ books = the wave-24 Lloyd chain trained ON the residuals.
+  /** Build the IVFADC index: coarse centroids = the Bc first vectors
+    * (the q37 convention — Bc ≈ √n via adaptiveCodebook, so per-cell
+    * scan cost tracks √n at every scale; q211 audits the resulting
+    * occupancy), assignment via [[assignResiduals]], residual PQ books
+    * = the wave-24 Lloyd chain trained ON the residuals.
     *
-    * Scale notes: build = three corpus passes (assign+residual map-only;
-    * the Lloyd update's bounded-state aggregate; the encode map-only) —
-    * the q191 budget plus one subtraction; at 100 TB the coded index
-    * lands partitioned by cid, so a probed search reads nprobe
-    * partitions and nothing else. */
+    * Scale notes: the assignment output is materialized ONCE
+    * (localCheckpoint — the Lloyd train reads it twice and the encode
+    * once, and each re-read of the raw plan would repay the n·Bc
+    * distance pass); build = one assignment pass + the bounded-state
+    * Lloyd aggregate + the map-only encode. At 100 TB the coded index
+    * lands partitioned by cid ([[servingIndex]]), so a probed search
+    * reads nprobe partitions and nothing else. */
   private[graft] def buildIndex(s: SparkSession, d: String): Option[Index] = {
     val n = Tables.embeddings(s, d).count()
     if (n == 0) return None
     val bc = Geometry.adaptiveCodebook(n, IvfFloor, IvfCap)
     val vecs = Wave24Queries.qvecs(s, d)
-    val centsDf = vecs.filter(col("vec_id") < bc)
+    val cents = vecs.filter(col("vec_id") < bc)
       .select(col("vec_id").as("cid"), col("qv").as("cvec"))
-    val centsArr = centsDf
-      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-    val assigned = assignResiduals(vecs, centsArr)
+    val assigned = Io.materialize(assignResiduals(vecs, cents))
     val books = Wave24Queries.trainBooksOn(
       assigned.select(col("vec_id"), col("qv")))
     if (books.isEmpty) return None
-    // packed ADC keys below put cid in a 10^5 slot and (m, c) in 10^2
-    // slots — collisions corrupt distances silently, so guard the
-    // envelope (cap 32768 keeps cid inside it by construction)
-    require(bc <= 100000 && PqM <= 100 &&
-      books.forall(_.forall(b => b._1 >= 0 && b._1 < 100)),
-      "IVFADC key packing needs cid < 10^5, m < 100, 0 <= code < 100")
-    val cents = centsDf.collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
-      .sortBy(_._1).toIndexedSeq
-    Some(Index(Wave24Queries.withCodes(assigned, books), books, cents))
+    Some(Index(Wave24Queries.withCodes(assigned, books), books, cents, bc))
   }
 
-  /** nprobe nearest coarse cells to `q` by exact integer L2, ties to
-    * the lowest cid — driver-side over the model-sized centroid copy. */
-  private def probeCells(idx: Index, q: IndexedSeq[Long])
-      : IndexedSeq[(Long, IndexedSeq[Long])] =
-    idx.cents.sortBy { case (cid, cv) =>
-      (cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
-    }.take(Nprobe)
+  /** One standing index per (Spark application, scale dir): built once,
+    * repartitioned by cid (the production partitionBy(cid) parquet
+    * layout, single-JVM stand-in) and eagerly materialized; q203/q211
+    * consume it — the serving/audit side reads the artifact, it does
+    * not rebuild the index per query — while q202 keeps calling
+    * [[buildIndex]] directly so ONE query in the registry continues to
+    * price the full build honestly (r12 verdict task 2). */
+  private val cache =
+    scala.collection.mutable.Map.empty[String, Option[Index]]
+  private[graft] def servingIndex(s: SparkSession, d: String): Option[Index] =
+    cache.synchronized {
+      val key = s.sparkContext.applicationId + "|" + d
+      cache.getOrElseUpdate(key, buildIndex(s, d).map { idx =>
+        idx.copy(coded = Io.materialize(idx.coded.repartition(col("cid"))))
+      })
+    }
 
-  /** ADC table entries for query `q` against the probed cells: the
-    * query's per-cell RESIDUAL subvectors scored against the residual
-    * books — key = ((prefix·10^5 + cid)·10^2 + m)·10^2 + c. */
-  private def adcEntries(idx: Index, q: IndexedSeq[Long], prefix: Long,
-      probed: Seq[(Long, IndexedSeq[Long])]): Map[Long, Long] =
-    probed.flatMap { case (cid, cv) =>
-      val rq = q.zip(cv).map { case (a, b) => a - b }
-      (0 until PqM).flatMap { m =>
-        val qs = rq.slice(m * PqS, (m + 1) * PqS)
-        idx.books(m).map { case (c, bv) =>
-          (((prefix * 100000L + cid) * 100L + m) * 100L + c) ->
-            qs.zip(bv).map { case (a, b) => (a - b) * (a - b) }.sum
-        }
-      }
-    }.toMap
+  /** The residual PQ books as an M·K-row relation (m, c, bv) — the
+    * model sidecar in relational form, joined (not packed) into the
+    * per-query ADC tables. */
+  private def booksDf(s: SparkSession,
+      books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]]): DataFrame = {
+    import s.implicits._
+    books.zipWithIndex.flatMap { case (bk, m) =>
+      bk.map { case (c, bv) => (m, c, bv) }
+    }.toDF("m", "c", "bv")
+  }
 
-  private def adcDistCol(adcMap: Column, prefix: Column): Column =
+  /** Distributed query staging — the whole per-query search state in
+    * ONE relation, no driver probe loop (r12 verdict task 1): for each
+    * query (q_id, qqv),
+    *
+    *   1. probe: nprobe nearest cells by exact integer L2, ties to the
+    *      lowest cid — queries broadcast against the centroid relation,
+    *      rank ≤ nprobe via a literal-limit window (WindowGroupLimit
+    *      heap over the model-sized centroid relation);
+    *   2. ADC entries: the query's per-cell RESIDUAL subvectors scored
+    *      against the M·K book relation — one row per (q_id, cid, m, c);
+    *   3. bundle: per query, the sorted probed-cid array and ONE
+    *      struct-keyed map column (cid, m, c) → distance.
+    *
+    * Output: (q_id, qqv, pcids, qtab) — Q rows, each carrying its own
+    * nprobe·M·K-entry table, broadcast to the candidate scan. Struct
+    * keys replace the r12 packed-decimal keys, so NO component carries
+    * a magnitude cap (the r12 `require(bc <= 100000 …)` is deleted). */
+  private def qMeta(idx: Index, queries: DataFrame): DataFrame = {
+    val s = queries.sparkSession
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
+    val probed = idx.cents.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("qqv"), col("cid"), col("cvec"),
+        l2(col("cvec"), col("qqv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Nprobe)
+      .select(col("q_id"), col("qqv"), col("cid"), col("cvec"))
+    val qs = slice(col("qqv"), col("m") * PqS + 1, lit(PqS))
+    val cs = slice(col("cvec"), col("m") * PqS + 1, lit(PqS))
+    val rq = zip_with(qs, cs, (a, b) => a - b)
+    val ad = aggregate(zip_with(rq, col("bv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    probed.crossJoin(broadcast(booksDf(s, idx.books)))
+      .select(col("q_id"), col("qqv"), col("cid"), col("m"), col("c"),
+        ad.as("ad"))
+      .groupBy(col("q_id"))
+      .agg(first(col("qqv")).as("qqv"),
+        sort_array(collect_set(col("cid"))).as("pcids"),
+        map_from_entries(sort_array(collect_list(struct(
+          struct(col("cid").as("cid"), col("m").as("m"), col("c").as("c"))
+            .as("key"),
+          col("ad").as("value"))))).as("qtab"))
+  }
+
+  /** ADC distance of a coded candidate row under its query's staged
+    * table: M struct-keyed map lookups + a sum — no vector arithmetic
+    * in the scan (the q192 ADC contract). */
+  private def adcDist: Column =
     (0 until PqM).map { m =>
-      element_at(adcMap,
-        ((prefix * 100000L + col("cid")) * 100L + m) * 100L
-          + element_at(col("codes"), m + 1))
+      element_at(col("qtab"), struct(col("cid").as("cid"),
+        lit(m).as("m"), element_at(col("codes"), m + 1).as("c")))
     }.reduce(_ + _)
 
   /** Shared oracle prefix: milli grid `em` → adaptive codebook size →
@@ -165,8 +270,10 @@ object Wave29Queries {
     * projects ONLY (vec_id, cid): dragging the 512-byte cvec payload
     * through the n·Bc window intermediate is what OOM'd DuckDB on the
     * r12 sf1 pass — the centroid vector joins back from the Bc-row
-    * cents relation afterwards. */
-  private val IvfadcSql: String =
+    * cents relation afterwards. The coarse prefix (through a0g) is
+    * split out as [[CoarseSql]] so the q211 occupancy audit can reuse
+    * it without the PQ chain. */
+  private[graft] val CoarseSql: String =
     s"""WITH em AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                       x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
                     FROM embeddings),
@@ -178,8 +285,11 @@ object Wave29Queries {
                   SELECT em.vec_id, c.cid,
                          row_number() OVER (PARTITION BY em.vec_id
                            ORDER BY ${l2SeqSql("em.qv", "c.cvec", Dim)}, c.cid) AS rn
-                  FROM em, cents c) WHERE rn = 1),
-        asg AS MATERIALIZED (SELECT a.vec_id, a.cid, c.cvec
+                  FROM em, cents c) WHERE rn = 1)"""
+
+  private val IvfadcSql: String =
+    CoarseSql +
+      s""", asg AS MATERIALIZED (SELECT a.vec_id, a.cid, c.cvec
                 FROM a0g a JOIN cents c USING (cid)),
         e AS MATERIALIZED (SELECT a.vec_id, list_transform(range(1, ${Dim + 1}),
                 i -> a0.qv[CAST(i AS INT)] - a.cvec[CAST(i AS INT)]) AS qv
@@ -201,34 +311,34 @@ object Wave29Queries {
     * candidate row, no vector arithmetic in the scan — returning the
     * top-10 with the exact distance alongside (the q173/q192
     * price-the-approximation discipline: the quantization error of the
-    * ranking is visible on the sheet).
+    * ranking is visible on the sheet). This is the registry's honest
+    * BUILD price: it constructs the full index in-query (assignment +
+    * residual Lloyd + encode) before searching it.
     *
     * Scale notes (100 TB): the scan touches nprobe cells ≈ nprobe·n/Bc
     * rows (Bc ≈ √n), reads M bytes of codes per row instead of Dim·4,
-    * and the per-query state (nprobe·M·K ADC entries + the probed cell
-    * ids) is literal-sized; top-k merges per-partition heaps
-    * (TakeOrderedAndProject). Together: ~64× narrower rows × ~√n/2
-    * fewer of them than q192's flat ADC scan. */
+    * and the per-query state (one broadcast row: nprobe·M·K map
+    * entries + the probed cid array) is model-sized; top-k merges
+    * per-partition heaps (TakeOrderedAndProject). Together: ~64×
+    * narrower rows × ~√n/2 fewer of them than q192's flat ADC scan. */
   private val q202 = GQuery(
     "q202_ivfadc_search",
     (s, d) => {
-      val idxOpt = buildIndex(s, d)
-      val qrow = idxOpt.flatMap(_ => Wave24Queries.qvecs(s, d)
-        .filter(col("vec_id") === 0)
-        .collect().headOption.map(_.getSeq[Long](1).toIndexedSeq))
-      (idxOpt, qrow) match {
-        case (Some(idx), Some(q)) =>
-          val probed = probeCells(idx, q)
-          val adcMap = typedLit(adcEntries(idx, q, 0L, probed))
-          idx.coded
-            .filter(col("cid").isin(probed.map(_._1): _*)
-              && col("vec_id") =!= 0)
+      buildIndex(s, d) match {
+        case Some(idx) =>
+          val queries = Wave24Queries.qvecs(s, d)
+            .filter(col("vec_id") === 0)
+            .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+          val qm = qMeta(idx, queries)
+          idx.coded.join(broadcast(qm),
+              array_contains(col("pcids"), col("cid"))
+                && col("vec_id") =!= col("q_id"))
             .select(col("vec_id"), col("cid"),
-              adcDistCol(adcMap, lit(0L)).as("adc_dist"),
-              l2(col("fqv"), typedLit(q)).as("exact_dist"))
+              adcDist.as("adc_dist"),
+              l2(col("fqv"), col("qqv")).as("exact_dist"))
             .orderBy(col("adc_dist"), col("vec_id"))
             .limit(TopK)
-        case _ =>
+        case None =>
           Wave24Queries.qvecs(s, d).select(col("vec_id"),
             col("vec_id").as("cid"), col("vec_id").as("adc_dist"),
             col("vec_id").as("exact_dist")).limit(0)
@@ -265,19 +375,24 @@ object Wave29Queries {
     * alone, q201 the quantization alone; this is the composition a
     * production index actually serves, priced jointly.
     *
-    * Scale notes: every pass is a map-only broadcast crossJoin over
-    * the corpus that reduces immediately — the exact baseline and the
+    * Reads the STANDING index ([[servingIndex]] — built once per
+    * session/scale, cid-partitioned, materialized): an audit runs
+    * against the artifact the cluster serves, it does not rebuild the
+    * index per run (r12 verdict task 2; q202 keeps pricing the build).
+    *
+    * Scale notes: every pass is a map-only broadcast join over the
+    * corpus that reduces immediately — the exact baseline and the
     * candidate ranking both carry literal rank ≤ 10 filters (map-side
     * WindowGroupLimit heaps, the q201 discipline); candidate rows are
-    * pre-filtered to the query's probed cells by a Q-entry literal map
-    * BEFORE any scoring; nothing Q·n is ever materialized and the
-    * corpus never shuffles. Driver state: Q·nprobe·M·K ADC entries +
-    * Q probe lists — model-sized. */
+    * pre-filtered to the query's probed cells by each query's own
+    * pcids array BEFORE any scoring; nothing Q·n is ever materialized
+    * and the corpus never shuffles. Per-query state rides the Q-row
+    * [[qMeta]] broadcast — no driver loop, no packed keys, no
+    * Bc-dependent literals. */
   private val q203 = GQuery(
     "q203_ivfadc_recall",
     (s, d) => {
-      val idxOpt = buildIndex(s, d)
-      idxOpt match {
+      servingIndex(s, d) match {
         case Some(idx) =>
           val coded = idx.coded
           val n = Tables.embeddings(s, d).count()
@@ -285,39 +400,24 @@ object Wave29Queries {
           val queries = Wave24Queries.qvecs(s, d)
             .filter(col("vec_id") % mod === 0)
             .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
-          val qrows = queries.collect()
-            .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
-          require(qrows.length < 100000 && qrows.forall(_._1 >= 0),
-            "ADC key packing needs sample index < 10^5 and qid >= 0")
-          val probes = qrows.map { case (qid, q) => qid -> probeCells(idx, q) }
-          val idxOf = probes.map(_._1).zipWithIndex
-            .map { case (q, i) => q -> i.toLong }.toMap
-          val adcMap = typedLit(qrows.flatMap { case (qid, q) =>
-            adcEntries(idx, q, idxOf(qid),
-              probes.find(_._1 == qid).get._2)
-          }.toMap)
-          val idxLit = typedLit(idxOf)
-          val probeLit = typedLit(
-            probes.map { case (q, cs) => q -> cs.map(_._1) }.toMap)
-          val isCand = array_contains(
-            element_at(probeLit, col("q_id")), col("cid"))
+          val qm = broadcast(qMeta(idx, queries))
+          val isCand = array_contains(col("pcids"), col("cid"))
           // candidate pass: probed-cell rows only, ADC-scored, top-10
           // per query via group-limit heaps
-          val wAdc = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("q_id")).orderBy(col("adc"), col("nbr"))
-          val adcTop = coded.crossJoin(broadcast(queries))
-            .filter(col("vec_id") =!= col("q_id") && isCand)
+          val wAdc = Window.partitionBy(col("q_id"))
+            .orderBy(col("adc"), col("nbr"))
+          val adcTop = coded.join(qm,
+              isCand && col("vec_id") =!= col("q_id"))
             .select(col("q_id"), col("vec_id").as("nbr"),
-              adcDistCol(adcMap, element_at(idxLit, col("q_id"))).as("adc"))
+              adcDist.as("adc"))
             .withColumn("ark", row_number().over(wAdc))
             .filter(col("ark") <= TopK)
             .select(col("q_id"), col("nbr"))
           // exact baseline: full corpus, top-10 per query, each row
           // tagged with whether its cell was probed
-          val wEx = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("q_id")).orderBy(col("ex"), col("nbr"))
-          val exTop = coded.crossJoin(broadcast(queries))
-            .filter(col("vec_id") =!= col("q_id"))
+          val wEx = Window.partitionBy(col("q_id"))
+            .orderBy(col("ex"), col("nbr"))
+          val exTop = coded.join(qm, col("vec_id") =!= col("q_id"))
             .select(col("q_id"), col("vec_id").as("nbr"),
               l2(col("fqv"), col("qqv")).as("ex"),
               isCand.cast("long").as("in_probe"))

@@ -1433,13 +1433,14 @@ object StreamOps {
 
   /** s32 — streaming IVFADC ingest encoder: every arriving vector is
     * coarse-assigned to its nearest cell and residual-PQ-encoded in ONE
-    * map-only projection through the SAME kernels as the q202 batch
-    * index build (Wave29Queries.assignResiduals + Wave24Queries
-    * .withCodes — one kernel each, so the streamed index and the batch
-    * index can never disagree; drained rows are ScalaTest-asserted
-    * bit-identical to the batch build). This completes the family's
-    * serving loop: s32 ingests into the IVFADC layout, q202 searches
-    * it, q203 audits it.
+    * map-only projection (Wave29Queries.assignResidualsServing — the
+    * map-only twin of the batch build's min_by-join assignment, needed
+    * because streaming append mode cannot aggregate — + the SAME
+    * Wave24Queries.withCodes encoder; drained rows are ScalaTest-
+    * asserted bit-identical to the batch build, so the streamed index
+    * and the batch index can never disagree). This completes the
+    * family's serving loop: s32 ingests into the IVFADC layout, q202
+    * searches it, q203 audits it.
     *
     * ZERO streaming state (the s24/s29 pattern): the coarse codebook
     * arrives as a published model artifact (driver seq → one
@@ -1461,7 +1462,8 @@ object StreamOps {
       org.apache.spark.sql.functions.transform(col("embedding"),
         x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
     graft.operators.Wave24Queries.withCodes(
-      graft.operators.Wave29Queries.assignResiduals(milli, centsArr), books)
+      graft.operators.Wave29Queries.assignResidualsServing(milli, centsArr),
+      books)
       .select(col("vec_id"), col("cid"),
         concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
           .as("code_str"))

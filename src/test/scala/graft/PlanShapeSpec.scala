@@ -410,14 +410,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.collect { case j: logical.Join => j }.isEmpty, plan.toString)
     assert(plan.collect { case w: logical.Window => w }.isEmpty, plan.toString)
     assert(qe.executedPlan.toString.contains("partial_"), qe.executedPlan.toString)
-    // the per-key hash grid is O(shards) md5s by contract (scaladoc):
-    // exactly ONE sequence(0, ShardsNew-1) materializes it, and the
-    // shard-grid constant is what bounds the array length (asserted on
-    // the analyzed plan — the optimizer folds the literal sequence)
+    // the per-key hash grid is O(shards) md5s by contract (scaladoc),
+    // fused into exactly ONE native HrwPack call per key (r12 verdict
+    // task 4) — no per-shard expression chain, no materialized hash
+    // array, no second kernel invocation for the second argmax
     val analyzed = qe.analyzed.toString
-    val seqs = analyzed.split("sequence\\(0, ").length - 1
-    assert(seqs == 1, s"expected exactly one shard-grid sequence: $analyzed")
-    assert(analyzed.contains("sequence(0, 11"), analyzed)
+    val kernels = analyzed.split("hrwpack\\(").length - 1
+    assert(kernels == 1, s"expected exactly one hrwpack kernel: $analyzed")
+    assert(analyzed.contains("hrwpack(k#"), analyzed)
+    assert(!analyzed.contains("sequence("), analyzed)
   }
 
   test("q151 watermark prefix max is range-sliced, never one unpartitioned window") {

@@ -2057,6 +2057,11 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("s32").toString
     val in = s"$dir/in"
     val idx = graft.operators.Wave29Queries.buildIndex(spark, sfSmoke).get
+    // the published model artifact: the centroid relation, collected —
+    // exactly what an ingest tier receives as the coarse-codebook sidecar
+    val centsSeq = idx.cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+      .sortBy(_._1).toSeq
     val emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val rows = emb.collect()
@@ -2069,7 +2074,7 @@ class StreamingSpec extends SparkSpec {
     }
     val q = StreamOps.ivfadcEncodeStream(
       spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "1").parquet(in), idx.cents, idx.books)
+        .option("maxFilesPerTrigger", "1").parquet(in), centsSeq, idx.books)
       .writeStream.format("memory").queryName("s32_out")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()

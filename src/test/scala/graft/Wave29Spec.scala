@@ -34,7 +34,8 @@ class Wave29Spec extends SparkSpec {
         r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toIndexedSeq))
       .toSeq
-    val bc = graft.util.Geometry.adaptiveCodebook(vs.length.toLong, 16, 32768)
+    val bc = graft.util.Geometry.adaptiveCodebook(vs.length.toLong, 16,
+      graft.operators.Wave29Queries.IvfCap)
     val cents = vs.filter(_._1 < bc).sortBy(_._1)
     // coarse assignment: min (sqL2, cid)
     val assigned = vs.map { case (id, qv) =>
