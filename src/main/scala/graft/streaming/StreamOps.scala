@@ -38,7 +38,8 @@ object StreamOps {
     "s25" -> "tombstoneFilterStream", "s26" -> "blocklistGateStream",
     "s27" -> "decayedCountsStream", "s28" -> "mixRouterStream",
     "s29" -> "pqEncodeStream", "s30" -> "adcSearchStream",
-    "s31" -> "tvdMonitorStream", "s32" -> "ivfadcEncodeStream")
+    "s31" -> "tvdMonitorStream", "s32" -> "ivfadcEncodeStream",
+    "s33" -> "streamStreamFullOuter")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -166,6 +167,40 @@ object StreamOps {
       "left_outer")
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"))
+  }
+
+  /** s33 — stream-stream FULL OUTER interval join (round 13): completes
+    * the watermarked stream-join family (s05 inner, s17 left outer) with
+    * the one shape it lacked — BOTH unmatched populations emit. Matched
+    * click/purchase pairs emit as soon as both sides arrive; an
+    * unmatched CLICK emits with null purchase columns once the watermark
+    * passes its whole forward band (click_ts + 5 min — a purchase could
+    * arrive until then); an unmatched PURCHASE emits with null click
+    * columns once the watermark passes the purchase's own timestamp
+    * (its band looks BACKWARD: the latest click that can match a
+    * purchase is at the purchase itself, so nothing later can pair it).
+    * The attribution sheet this completes: s05 reports conversions,
+    * s17 adds clicks that never converted, THIS adds purchases with no
+    * attributable click — the unattributed-revenue population, usually
+    * the alarm column.
+    *
+    * Same state-eviction bound as s05/s17: the join carries both
+    * watermarks and the event-time band, so Spark's symmetric hash join
+    * drops each side's row once the OPPOSING watermark passes its band —
+    * state size tracks the in-flight window, not history. */
+  def streamStreamFullOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val a = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val b = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    a.join(b,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL '5' MINUTE"),
+      "full_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("p_user"), col("purchase_ts"))
   }
 
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,

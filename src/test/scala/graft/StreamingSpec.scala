@@ -266,6 +266,149 @@ class StreamingSpec extends SparkSpec {
       s"diff: stream-only=${(got -- expected).take(5)} batch-only=${(expected -- got).take(5)}")
   }
 
+  test("s33 full-outer stream-stream join releases BOTH unmatched sides on watermark") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = StreamOps.streamStreamFullOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("s33_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 10, user = 1L), ev(2, 40, user = 2L),
+        ev(3, 11, user = 3L))       // user 3 never purchases (band end 16)
+      purchases.addData(
+        ev(101, 12, user = 1L),     // in band for click 1 -> match
+        ev(102, 20, user = 9L),     // user 9 never clicks (ts 20)
+        ev(103, 41, user = 2L))     // in band for click 2 -> match
+      q.processAllAvailable()
+      val rows = spark.table("s33_out").collect()
+      val matched = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(matched == Set((1L, 101L), (2L, 103L)))
+      // watermark after batch 1 = min(40, 41) - 10min = minute 30 (the
+      // no-data batch applies it): click 3's band [11,16] is fully past
+      // -> its null-purchase row emits; purchase 102 (ts 20) can only
+      // match clicks at ts <= 20, all below the watermark -> its
+      // null-click row emits. Clicks 1/2 matched -> no null rows.
+      val nullPurch = rows.filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+      assert(nullPurch == Set(3L), s"unmatched clicks: $nullPurch")
+      val nullClick = rows.filter(_.isNullAt(0)).map(_.getLong(3)).toSet
+      assert(nullClick == Set(102L), s"unmatched purchases: $nullClick")
+    } finally q.stop()
+  }
+
+  /** The batch full-outer twin restricted to rows the final watermark can
+    * release (the s17 cut, extended to the purchase side): matches emit
+    * once both sides arrive; a null-purchase row once the watermark
+    * passes the click's forward band; a null-click row once it passes
+    * the purchase's own timestamp (the latest click that can match a
+    * purchase is at the purchase itself). */
+  private def s33BatchTwin(clicksB: org.apache.spark.sql.DataFrame,
+      purchB: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val maxTs = math.min(
+      clicksB.agg(max(unix_micros(col("ts")))).head().getLong(0),
+      purchB.agg(max(unix_micros(col("ts")))).head().getLong(0))
+    val wmUs = (maxTs / 1000 - 10L * 60 * 1000) * 1000
+    clicksB.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .join(purchB.select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts")),
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL '5' MINUTE"),
+        "full_outer")
+      .filter(
+        when(col("click_id").isNotNull && col("purchase_id").isNotNull,
+          lit(true))
+          .when(col("purchase_id").isNull,
+            unix_micros(col("click_ts")) + 5L * 60 * 1000000 < wmUs)
+          .otherwise(unix_micros(col("purchase_ts")) < wmUs))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (
+        if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+  }
+
+  test("s33 over the real fixture converges to the batch full-join twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.sources.Tables.events(spark, sfSmoke)
+    val expected = s33BatchTwin(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s33")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfSmoke/events.parquet"),
+      dir.resolve("part-00000.parquet"))
+    def side(t: String) = StreamOps.eventsFileStream(spark, dir.toString)
+      .filter(col("event_type") === t)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s33_ckpt").toString
+    val q = StreamOps.streamStreamFullOuter(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("s33_file")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.table("s33_file").collect()
+      .map(r => (
+        if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == expected,
+      s"diff: stream-only=${(got -- expected).take(5)} batch-only=${(expected -- got).take(5)}")
+    // the fixture exercises all three populations
+    assert(got.exists(p => p._1 >= 0 && p._2 >= 0), "no matches")
+    assert(got.exists(p => p._2 == -1L), "no unmatched clicks")
+    assert(got.exists(p => p._1 == -1L), "no unmatched purchases")
+  }
+
+  test("s33 crash-replay re-emits its lost batch without duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("s33_crash").toString
+    val in = s"$dir/in"
+    val events = graft.sources.Tables.events(spark, sfSmoke)
+    val expected = s33BatchTwin(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+    // time-ordered slices: every later slice sits above the watermark the
+    // earlier ones advanced, so the multi-batch feed drops nothing late
+    // and the drained result must still equal the single-cut batch twin
+    val ordered = events.orderBy(col("ts"), col("event_id"))
+    val n = ordered.count().toInt
+    val rows = ordered.collect()
+    rows.grouped(n / 3 + 1).zipWithIndex.foreach { case (slice, i) =>
+      feedFile(spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq), events.schema), in, s"f$i")
+    }
+    def side(t: String) = StreamOps.eventsFileStream(spark, in)
+      .filter(col("event_type") === t)
+    // append-mode foreachBatch sink, replay-idempotent via per-batch
+    // dynamic partition overwrite (the updateSink contract, append flavor
+    // — stream-stream joins only support Append output mode)
+    def start() = StreamOps.streamStreamFullOuter(side("click"), side("purchase"))
+      .writeStream
+      .option("checkpointLocation", s"$dir/out/_ckpt")
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch").parquet(s"$dir/out/rows")
+      }
+      .start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$dir/out/rows").collect()
+      .map(r => (
+        if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // multiset equality: the replayed batch overwrote its own partition —
+    // nothing lost, nothing duplicated
+    assert(got.sorted == expected.toSeq.sorted,
+      s"got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("s03 stateful sessionization closes sessions on >30min gaps") {
     val input = MemoryStream[Ev](spark)
     val q = StreamOps.sessionize(input.toDS())
