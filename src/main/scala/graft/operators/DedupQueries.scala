@@ -608,7 +608,7 @@ object DedupQueries {
     * non-negative, so the arithmetic is bit-identical. */
   private def prIterSql(k: Int): String = {
     val prev = if (k == 1) "r0" else s"r${k - 1}"
-    s""", r$k AS (SELECT nd.gu,
+    s""", r$k AS MATERIALIZED (SELECT nd.gu,
             ((15 * (1000000000000 // (SELECT n FROM np))) // 100)
             + ((85 * coalesce(s.s, 0)) // 100) AS rank
           FROM nodes nd LEFT JOIN (
@@ -631,13 +631,19 @@ object DedupQueries {
       Graph.pageRankScaled(minhashPairs(s, d), "doc1", "doc2", iters = 5)
         .select(col("vertex").as("doc_id"), col("rank_scaled"))
         .orderBy(col("doc_id")),
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs per reference,
+    // and the 5 chained iterations reference e/deg/nodes/np each — an
+    // inlined plan re-evaluates the whole LSH candidate chain ~16× and
+    // spilled >70 GB at sf1 (the r12 q203 oracle lesson, found by the
+    // r13 standing full-registry sf1 sweep). Hints only — values and
+    // the engine side are untouched.
     Some(CAND_SQL +
-      """, e AS (SELECT u AS gu, v AS gv FROM cand
+      """, e AS MATERIALIZED (SELECT u AS gu, v AS gv FROM cand
                  UNION SELECT v AS gu, u AS gv FROM cand),
-         deg AS (SELECT gu, count(*) AS deg FROM e GROUP BY gu),
-         nodes AS (SELECT DISTINCT gu FROM e),
-         np AS (SELECT count(*) AS n FROM nodes),
-         r0 AS (SELECT gu, (1000000000000 // (SELECT n FROM np)) AS rank FROM nodes)""" +
+         deg AS MATERIALIZED (SELECT gu, count(*) AS deg FROM e GROUP BY gu),
+         nodes AS MATERIALIZED (SELECT DISTINCT gu FROM e),
+         np AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         r0 AS MATERIALIZED (SELECT gu, (1000000000000 // (SELECT n FROM np)) AS rank FROM nodes)""" +
       (1 to 5).map(prIterSql).mkString +
       // CAST: DuckDB's sum() widens to HUGEINT and the width propagates
       // through the iterations; values stay < scale so BIGINT is exact
