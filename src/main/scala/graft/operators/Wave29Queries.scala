@@ -61,19 +61,19 @@ object Wave29Queries {
 
   import Wave24Queries.{Dim, PqM, PqS}
 
-  private val Nprobe = 2
+  private[operators] val Nprobe = 2
   private val IvfFloor = 16
   /** Coarse-cell cap: 2^20 cells. Under the √n adaptiveCodebook
     * geometry this binds at n ≈ 10^12 vectors (≈ 0.25 PB of raw fp32
     * at Dim 64) — past the 100 TB design point. The r12 cap of 32768
     * existed only for the now-removed decimal ADC key packing. */
   private[graft] val IvfCap = 1 << 20
-  private val TopK = 10
-  private val AudModFloor = 50L
-  private val AudTargetLog2 = 5
+  private[operators] val TopK = 10
+  private[operators] val AudModFloor = 50L
+  private[operators] val AudTargetLog2 = 5
 
   /** Exact integer squared L2 between two long-array columns. */
-  private def l2(a: Column, b: Column): Column =
+  private[operators] def l2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
@@ -228,7 +228,7 @@ object Wave29Queries {
     * nprobe·M·K-entry table, broadcast to the candidate scan. Struct
     * keys replace the r12 packed-decimal keys, so NO component carries
     * a magnitude cap (the r12 `require(bc <= 100000 …)` is deleted). */
-  private def qMeta(idx: Index, queries: DataFrame): DataFrame = {
+  private[operators] def qMeta(idx: Index, queries: DataFrame): DataFrame = {
     val s = queries.sparkSession
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
     val probed = idx.cents.crossJoin(broadcast(queries))
@@ -257,7 +257,7 @@ object Wave29Queries {
   /** ADC distance of a coded candidate row under its query's staged
     * table: M struct-keyed map lookups + a sum — no vector arithmetic
     * in the scan (the q192 ADC contract). */
-  private def adcDist: Column =
+  private[operators] def adcDist: Column =
     (0 until PqM).map { m =>
       element_at(col("qtab"), struct(col("cid").as("cid"),
         lit(m).as("m"), element_at(col("codes"), m + 1).as("c")))
@@ -287,7 +287,7 @@ object Wave29Queries {
                            ORDER BY ${l2SeqSql("em.qv", "c.cvec", Dim)}, c.cid) AS rn
                   FROM em, cents c) WHERE rn = 1)"""
 
-  private val IvfadcSql: String =
+  private[operators] val IvfadcSql: String =
     CoarseSql +
       s""", asg AS MATERIALIZED (SELECT a.vec_id, a.cid, c.cvec
                 FROM a0g a JOIN cents c USING (cid)),
@@ -304,6 +304,48 @@ object Wave29Queries {
                - c1.cv[CAST(i AS INT)])
            * (($qqv[CAST(c1.m*$PqS + i AS INT)] - $cvec[CAST(c1.m*$PqS + i AS INT)])
                - c1.cv[CAST(i AS INT)])))"""
+
+  /** Shared audit CTE block, appended after [[IvfadcSql]]: the sampled
+    * query relation (qmod/qs), per-query probe cells (qprobe) + ADC
+    * tables (adct), the ADC-scored candidates (scored), and BOTH capped
+    * top-10 rankings with their rank columns retained — `ar` (q_id,
+    * nbr, ark) and `xt` (q_id, nbr, cid, xrk). q203 consumes the
+    * membership and cells; q212 (wave 34) the ranks. One text, so the
+    * two audits can never diverge on the ranking definition. */
+  private[operators] val AuditRankSql: String =
+    s""", qmod AS (SELECT ${Geometry.adaptiveSampleModSql("count(*)",
+           AudModFloor, AudTargetLog2)} AS m FROM embeddings),
+        qs AS MATERIALIZED (SELECT vec_id AS q_id, qv AS qqv
+               FROM em, qmod WHERE vec_id % qmod.m = 0),
+        qprobe AS (SELECT q_id, cid, cvec FROM (
+                     SELECT qs.q_id, c.cid, c.cvec,
+                            row_number() OVER (PARTITION BY qs.q_id
+                              ORDER BY ${l2SeqSql("c.cvec", "qs.qqv", Dim)},
+                                       c.cid) AS rn
+                     FROM cents c, qs) WHERE rn <= $Nprobe),
+        adct AS (SELECT p.q_id, p.cid, c1.m, c1.c,
+                   ${adctSql("qs.qqv", "p.cvec")} AS ad
+                 FROM c1, qprobe p JOIN qs USING (q_id)),
+        scored AS MATERIALIZED (SELECT t.q_id, a2.vec_id AS nbr,
+                     CAST(sum(t.ad) AS BIGINT) AS adc
+                   FROM a2 JOIN asg g USING (vec_id)
+                   JOIN adct t ON t.cid = g.cid AND t.m = a2.m AND t.c = a2.c
+                   WHERE a2.vec_id <> t.q_id
+                   GROUP BY t.q_id, a2.vec_id),
+        ar AS (SELECT q_id, nbr, ark FROM (
+                 SELECT q_id, nbr,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY adc, nbr) AS ark
+                 FROM scored) WHERE ark <= $TopK),
+        exd AS MATERIALIZED (SELECT qs.q_id, em2.vec_id AS nbr, g.cid,
+                  CAST(${l2SeqSql("em2.qv", "qs.qqv", Dim)} AS BIGINT) AS ex
+                FROM em em2 JOIN asg g ON em2.vec_id = g.vec_id, qs
+                WHERE em2.vec_id <> qs.q_id),
+        xt AS (SELECT q_id, nbr, cid, xrk FROM (
+                 SELECT q_id, nbr, cid,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY ex, nbr) AS xrk
+                 FROM exd) WHERE xrk <= $TopK)"""
 
   /** q202 — IVFADC probed search: the query (vec_id 0, the family's
     * fixed probe) walks nprobe = 2 nearest coarse cells and ADC-scores
@@ -449,41 +491,8 @@ object Wave29Queries {
             .limit(0)
       }
     },
-    Some(IvfadcSql +
-      s""", qmod AS (SELECT ${Geometry.adaptiveSampleModSql("count(*)",
-             AudModFloor, AudTargetLog2)} AS m FROM embeddings),
-          qs AS MATERIALIZED (SELECT vec_id AS q_id, qv AS qqv
-                 FROM em, qmod WHERE vec_id % qmod.m = 0),
-          qprobe AS (SELECT q_id, cid, cvec FROM (
-                       SELECT qs.q_id, c.cid, c.cvec,
-                              row_number() OVER (PARTITION BY qs.q_id
-                                ORDER BY ${l2SeqSql("c.cvec", "qs.qqv", Dim)},
-                                         c.cid) AS rn
-                       FROM cents c, qs) WHERE rn <= $Nprobe),
-          adct AS (SELECT p.q_id, p.cid, c1.m, c1.c,
-                     ${adctSql("qs.qqv", "p.cvec")} AS ad
-                   FROM c1, qprobe p JOIN qs USING (q_id)),
-          scored AS MATERIALIZED (SELECT t.q_id, a2.vec_id AS nbr,
-                       CAST(sum(t.ad) AS BIGINT) AS adc
-                     FROM a2 JOIN asg g USING (vec_id)
-                     JOIN adct t ON t.cid = g.cid AND t.m = a2.m AND t.c = a2.c
-                     WHERE a2.vec_id <> t.q_id
-                     GROUP BY t.q_id, a2.vec_id),
-          ar AS (SELECT q_id, nbr FROM (
-                   SELECT q_id, nbr,
-                          row_number() OVER (PARTITION BY q_id
-                            ORDER BY adc, nbr) AS ark
-                   FROM scored) WHERE ark <= $TopK),
-          exd AS MATERIALIZED (SELECT qs.q_id, em2.vec_id AS nbr, g.cid,
-                    CAST(${l2SeqSql("em2.qv", "qs.qqv", Dim)} AS BIGINT) AS ex
-                  FROM em em2 JOIN asg g ON em2.vec_id = g.vec_id, qs
-                  WHERE em2.vec_id <> qs.q_id),
-          xt AS (SELECT q_id, nbr, cid FROM (
-                   SELECT q_id, nbr, cid,
-                          row_number() OVER (PARTITION BY q_id
-                            ORDER BY ex, nbr) AS xrk
-                   FROM exd) WHERE xrk <= $TopK),
-          xc AS (SELECT xt.q_id, xt.nbr,
+    Some(IvfadcSql + AuditRankSql +
+      s""", xc AS (SELECT xt.q_id, xt.nbr,
                    CASE WHEN EXISTS (SELECT 1 FROM qprobe p
                      WHERE p.q_id = xt.q_id AND p.cid = xt.cid)
                      THEN 1 ELSE 0 END AS in_probe
