@@ -62,7 +62,7 @@ object Wave29Queries {
   import Wave24Queries.{Dim, PqM, PqS}
 
   private[operators] val Nprobe = 2
-  private val IvfFloor = 16
+  private[operators] val IvfFloor = 16
   /** Coarse-cell cap: 2^20 cells. Under the √n adaptiveCodebook
     * geometry this binds at n ≈ 10^12 vectors (≈ 0.25 PB of raw fp32
     * at Dim 64) — past the 100 TB design point. The r12 cap of 32768

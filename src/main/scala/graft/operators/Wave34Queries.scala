@@ -41,7 +41,7 @@ object Wave34Queries {
 
   /** DCG position weights, ppm: w(i) = round(10^6 / log2(i+1)) for
     * ranks 1..10 — the single source both engines read as literals. */
-  private val W: IndexedSeq[Long] = (1 to TopK).map(i =>
+  private[operators] val W: IndexedSeq[Long] = (1 to TopK).map(i =>
     math.round(1000000.0 * math.log(2.0) / math.log(i + 1.0)))
 
   private val q212 = GQuery(

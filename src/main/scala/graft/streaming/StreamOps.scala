@@ -39,7 +39,7 @@ object StreamOps {
     "s27" -> "decayedCountsStream", "s28" -> "mixRouterStream",
     "s29" -> "pqEncodeStream", "s30" -> "adcSearchStream",
     "s31" -> "tvdMonitorStream", "s32" -> "ivfadcEncodeStream",
-    "s33" -> "streamStreamFullOuter")
+    "s33" -> "streamStreamFullOuter", "s34" -> "fileStatsStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1502,5 +1502,63 @@ object StreamOps {
       .select(col("vec_id"), col("cid"),
         concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
           .as("code_str"))
+  }
+
+  final case class FileRow(file_id: Long, ds: Long, ts: Timestamp)
+  final case class FileStatsState(minDs: Long, maxDs: Long, n: Long,
+      lastMs: Long)
+  final case class FileStatsOut(file_id: Long, f_min: Long, f_max: Long,
+      n_rows: Long)
+
+  private val FileCloseMs = 30L * 60 * 1000
+
+  /** s34 — streaming footer-stats publisher (round 13; the ingest half
+    * of batch q214's zone-map audit): while a writer streams rows into
+    * files, maintain each open file's min/max/count over the stats
+    * column and PUBLISH the footer exactly once, when the file closes —
+    * when the event-time watermark proves no row for it can still
+    * arrive (30 event-time minutes past its last row, the s03
+    * gap-close recipe). Zone-map skipping only works if footer stats
+    * are exact over ALL of a file's rows, so the row must be final the
+    * moment it is published — hence append mode + close-on-timeout,
+    * not an update-mode running aggregate.
+    *
+    * State per open file: 4 longs — bounded by the number of files
+    * being written concurrently, never by history. Contract: a writer
+    * writes each file contiguously; a row arriving after its file
+    * closed re-opens it and publishes a SECOND partial footer, which
+    * downstream detects as a duplicate file_id (within-watermark
+    * reordering is absorbed exactly — min/max/count are
+    * order-insensitive). StreamingSpec asserts the drained footers
+    * equal the batch per-file stats on the same rows. */
+  def fileStatsStream(rows: Dataset[FileRow]): Dataset[FileStatsOut] = {
+    import rows.sparkSession.implicits._
+    rows.withWatermark("ts", "10 minutes")
+      .groupByKey(_.file_id)
+      .flatMapGroupsWithState[FileStatsState, FileStatsOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fid: Long, it: Iterator[FileRow],
+            state: GroupState[FileStatsState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FileStatsOut(fid, s.minDs, s.maxDs, s.n))
+          } else {
+            var s = state.getOption.getOrElse(
+              FileStatsState(Long.MaxValue, Long.MinValue, 0L, Long.MinValue))
+            it.foreach { r =>
+              s = FileStatsState(math.min(s.minDs, r.ds),
+                math.max(s.maxDs, r.ds), s.n + 1,
+                math.max(s.lastMs, r.ts.getTime))
+            }
+            state.update(s)
+            // the natural close time can already be behind the watermark
+            // (late batch) — clamp so the file closes on the next
+            // watermark advance (the s03 clamp)
+            state.setTimeoutTimestamp(math.max(s.lastMs + FileCloseMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
   }
 }

@@ -2317,4 +2317,74 @@ class StreamingSpec extends SparkSpec {
     finally q2.stop()
     assert(tvdDrained(s"$dir/out") == tvdReplay(rows, reference))
   }
+
+  test("s34 footer stats publish once at close and equal the batch twin") {
+    val input = MemoryStream[StreamOps.FileRow](spark)
+    val q = StreamOps.fileStatsStream(input.toDS())
+      .writeStream.format("memory").queryName("s34_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two files interleaved, within-watermark disorder in file 1
+      input.addData(
+        StreamOps.FileRow(1L, 731L, ts(2)), StreamOps.FileRow(2L, 900L, ts(1)),
+        StreamOps.FileRow(1L, 735L, ts(3)), StreamOps.FileRow(1L, 729L, ts(1)),
+        StreamOps.FileRow(2L, 890L, ts(4)))
+      q.processAllAvailable()
+      // nothing may publish before the watermark proves the files closed
+      assert(spark.table("s34_out").count() == 0L)
+      // advance the watermark far past both files' close times; the
+      // timeout fires on the batch AFTER the one that advances it
+      input.addData(StreamOps.FileRow(9L, 1L, ts(300)))
+      q.processAllAvailable()
+      input.addData(StreamOps.FileRow(9L, 2L, ts(301)))
+      q.processAllAvailable()
+      val got = spark.table("s34_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch twin: groupBy(file_id).agg(min, max, count) on the same
+      // rows — file 9 is still open (its close time is past the final
+      // watermark), so exactly files 1 and 2 publish
+      assert(got == Set((1L, 729L, 735L, 3L), (2L, 890L, 900L, 2L)))
+    } finally q.stop()
+  }
+
+  test("s34 footer stats crash-replay publishes each footer exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("s34_crash").toString
+    val in = s"$dir/in"
+    val slices = Seq(
+      Seq(StreamOps.FileRow(1L, 731L, ts(2)), StreamOps.FileRow(2L, 900L, ts(1))),
+      Seq(StreamOps.FileRow(1L, 729L, ts(1)), StreamOps.FileRow(9L, 1L, ts(300))),
+      Seq(StreamOps.FileRow(9L, 2L, ts(301))))
+    def feed(i: Int): Unit = feedFile(slices(i).toDF(), in, s"f$i")
+    // append-mode replay-idempotent sink (flatMapGroupsWithState(Append)
+    // requires an Append-mode query — the s33 sink, not updateSink)
+    def start() = StreamOps.fileStatsStream(
+      spark.readStream.schema(slices.head.toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamOps.FileRow])
+      .toDF().writeStream
+      .option("checkpointLocation", s"$dir/out/_ckpt")
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch").parquet(s"$dir/out/rows")
+      }
+      .start()
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(s"$dir/out/rows")
+      .select("file_id", "f_min", "f_max", "n_rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == Seq((1L, 729L, 731L, 2L), (2L, 900L, 900L, 1L)))
+  }
 }
