@@ -120,12 +120,12 @@ object Wave27Queries {
     * 3.7–5.3 there); the symbol and numeric rules are tripwires the
     * symbol- and digit-free synthetic corpus passes — their zero
     * columns ARE the assertion (a real crawl fails them constantly). */
-  private val SymPerTokTenths = 1L   // > 0.1 symbols/token fails
-  private val MeanWlMilliLo = 4100L  // mean word length < 4.1 fails
-  private val MeanWlMilliHi = 4900L  // mean word length > 4.9 fails
-  private val MaxWl = 10L            // any token longer than 10 fails
-  private val NumPerTokTenths = 1L   // > 0.1 numeric tokens/token fails
-  private val MinTok = 12L           // docs under 12 tokens fail
+  private[operators] val SymPerTokTenths = 1L // > 0.1 symbols/token fails
+  private[operators] val MeanWlMilliLo = 4100L // mean word length < 4.1 fails
+  private[operators] val MeanWlMilliHi = 4900L // mean word length > 4.9 fails
+  private[operators] val MaxWl = 10L          // any token longer than 10 fails
+  private[operators] val NumPerTokTenths = 1L // > 0.1 numeric tokens/token fails
+  private[operators] val MinTok = 12L         // docs under 12 tokens fail
 
   /** q200 — Gopher-style quality-rule battery: four INDEPENDENT
     * document rules — symbol density, mean word length out of range
