@@ -102,33 +102,42 @@ object VectorQueries {
     * reconstructs the same B from count(*) via the exact integer SQL
     * mirror. */
   private val IvfFloor = 16
-  private val IvfCap = 32768
+  /** Coarse-cell cap: 2^20 cells, matching Wave29Queries.IvfCap — under
+    * the √n geometry this binds at n ≈ 10^12 vectors, past the 100 TB
+    * design point. The r13 cap of 32768 existed only for the now-removed
+    * collapsed single-row codebook (r13 verdict task 1); the batch
+    * assignment is relation-based ([[VectorOps.assignCellsRelation]])
+    * and bounded only by the Bc·Dim·8 ≈ 0.5 GB centroid broadcast. */
+  private val IvfCap = 1 << 20
   private def codebookSize(s: SparkSession, d: String): Int =
     Geometry.adaptiveCodebook(emb(s, d).count(), IvfFloor, IvfCap)
   private val codebookSql: String =
-    s"bsz AS (SELECT ${Geometry.adaptiveCodebookSql("count(*)", 16, 32768)} AS b FROM embeddings)"
+    s"bsz AS (SELECT ${Geometry.adaptiveCodebookSql("count(*)", IvfFloor, IvfCap)} AS b FROM embeddings)"
 
   /** q37 — IVF-style approximate nearest neighbour: codebook = vectors
     * 0..B-1 (B ≈ √n, see codebookSize), every vector assigned to its
     * nearest centroid (deterministic tie-break), query probes the 2
     * closest buckets and brute-forces only inside them.
     *
-    * Centroid assignment is MAP-ONLY via the shared VectorOps.assignCells
-    * kernel (also the streaming s24 assigner — one kernel, no drift):
-    * codebook collapsed to a single broadcast row, per-row argmax as one
-    * projection — `array_max` over (similarity, -cid) structs, so ties
-    * resolve to the smallest cid exactly like the SQL `row_number` oracle.
-    * No ×B row expansion and no vec_id shuffle: at B=4096 centroids ×
-    * 10^10 rows this stays a single pass over the data (the round-1
-    * crossJoin+window formulation did not — VERDICT r1 #3). */
+    * Centroid assignment is the shared RELATION-based kernel
+    * [[VectorOps.assignCellsRelation]] (r13 verdict task 1 — the Wave29
+    * assignResiduals architecture): broadcast-join against the (cid,
+    * cvec) centroid relation, winning cell via a max-struct aggregate
+    * over (round(cosine, 6), -cid) — ties to the smallest cid exactly
+    * like the SQL `row_number` oracle — with the n·Bc expansion carrying
+    * slim ~24-byte rows (the vector drops in the join projection and
+    * re-enters once via the n-row assignment join). No single-row
+    * collapsed codebook, so Bc is bounded only by the centroid broadcast
+    * (~0.5 GB at the 2^20 cap); the streaming s24 assigner keeps the
+    * map-only array shape (append mode cannot aggregate) and VectorSpec
+    * pins the two shapes equal. */
   private val q37 = GQuery(
     "q37_ann_ivf",
     (s, d) => {
       CosineSim.register(s)
       val cents = emb(s, d).filter(col("vec_id") < codebookSize(s, d))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val centsArr = VectorOps.centroidArray(cents)
-      val assigned = VectorOps.assignCells(femb(s, d), centsArr)
+      val assigned = VectorOps.assignCellsRelation(femb(s, d), cents)
         .select(col("vec_id"), col("embedding"), col("cid"))
       val qv = queryVec(s, d)
       val probeBuckets = cents.crossJoin(broadcast(qv))
@@ -308,18 +317,20 @@ object VectorQueries {
   )
 
   /** q76 — SemDedup-style cluster pruning (wave 3): assign every
-    * non-codebook vector to its nearest centroid (the q37 map-only argmax
-    * over the broadcast codebook), then keep only the top 3
+    * non-codebook vector to its nearest centroid (the q37 relation-based
+    * argmax over the broadcast centroid relation), then keep only the top 3
     * representatives per cluster by similarity-to-centroid — the
     * embedding-clustering curation step that prunes semantically
     * redundant documents before training.
     *
-    * Scale notes: assignment is the q37 single-pass projection (no ×B
-    * expansion, no shuffle); the per-cluster rank-≤3 filter is a window
-    * WITH a rank predicate, so Spark's WindowGroupLimit keeps only ~3
-    * rows per (task, cluster) ahead of the cluster shuffle — per-cluster
-    * data volume never aggregates anywhere. Ties break on vec_id; sims
-    * rounded to 6 before ranking so engine ulps cannot flip an order. */
+    * Scale notes: assignment is the shared relation-based kernel
+    * ([[VectorOps.assignCellsRelation]] — slim-row broadcast-join +
+    * max-struct aggregate, no collapsed-codebook ceiling); the
+    * per-cluster rank-≤3 filter is a window WITH a rank predicate, so
+    * Spark's WindowGroupLimit keeps only ~3 rows per (task, cluster)
+    * ahead of the cluster shuffle — per-cluster data volume never
+    * aggregates anywhere. Ties break on vec_id; sims rounded to 6
+    * before ranking so engine ulps cannot flip an order. */
   private val q76 = GQuery(
     "q76_semdedup",
     (s, d) => {
@@ -328,16 +339,8 @@ object VectorQueries {
       val b = codebookSize(s, d)
       val cents = emb(s, d).filter(col("vec_id") < b)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val centsArr = cents
-        .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      femb(s, d).filter(col("vec_id") >= b)
-        .crossJoin(broadcast(centsArr))
-        .withColumn("best", array_max(transform(col("cents"), c =>
-          struct(round(CosineSim(col("embedding"), c.getField("cvec")), 6).as("csim"),
-            (-c.getField("cid")).as("ncid")))))
-        .select(col("vec_id"),
-          (-col("best").getField("ncid")).as("cid"),
-          col("best").getField("csim").as("sim"))
+      VectorOps.assignCellsRelation(femb(s, d).filter(col("vec_id") >= b), cents)
+        .select(col("vec_id"), col("cid"), col("csim").as("sim"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("vec_id"))))
         .filter(col("rk") <= 3)
@@ -379,8 +382,10 @@ object VectorQueries {
     * the retrieval join of a RAG/embedding-dedup pipeline as ONE
     * relational operator, not a per-query loop.
     *
-    * Scale notes (100 TB): assignment is the q37 map-only argmax (zero
-    * expansion, plan-locked family); the join carries vectors only into
+    * Scale notes (100 TB): assignment is the shared relation-based
+    * kernel ([[VectorOps.assignCellsRelation]] — slim-row broadcast-join
+    * + max-struct aggregate, Bc bounded only by the 0.5 GB centroid
+    * broadcast at the 2^20 cap); the join carries vectors only into
     * the LSH-reduced cell-candidate relation (queries are the broadcast
     * side); per-query top-3 is a rank filter over sim rounded BEFORE
     * ranking (rank sees exactly what the oracle sees — 1-ulp cosine
@@ -393,15 +398,9 @@ object VectorQueries {
       CosineSim.register(s)
       val cents = emb(s, d).filter(col("vec_id") < codebookSize(s, d))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val centsArr = cents
-        .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
       def assign(df: DataFrame): DataFrame =
-        df.crossJoin(broadcast(centsArr))
-          .withColumn("best", array_max(transform(col("cents"), c =>
-            struct(round(CosineSim(col("embedding"), c.getField("cvec")), 6).as("csim"),
-              (-c.getField("cid")).as("ncid")))))
-          .select(col("vec_id"), col("embedding"),
-            (-col("best").getField("ncid")).as("cid"))
+        VectorOps.assignCellsRelation(df, cents)
+          .select(col("vec_id"), col("embedding"), col("cid"))
       val corpus = assign(femb(s, d))
       val queries = assign(emb(s, d).filter(col("vec_id") % 50 === 0))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cid"))
@@ -705,15 +704,16 @@ object VectorQueries {
     * audit baseline (Q·n kernels; the rank filter keeps per-group heaps
     * map-side via WindowGroupLimit, so it is memory-bounded even though
     * it is the expensive path — that cost is the point of an audit).
-    * IVF side: the same shared assignCells kernel as q37/s24, probe
+    * IVF side: the same shared assignCellsRelation kernel as q37/q94
+    * (s24 keeps the map-only array twin), probe
     * ranks computed once to depth 4 and sliced per probe count.
     *
     * Determinism: similarities round to 6 BEFORE ranking with (sim,
     * vec_id) tie-break everywhere (the q94 contract); recall numerators
     * are exact integer hit counts; two guarded divisions per row.
     *
-    * Scale notes: the IVF path is the production shape (map-only
-    * assignment, cell-bounded candidates); the exact path exists ONLY
+    * Scale notes: the IVF path is the production shape (relation-based
+    * slim-row assignment, cell-bounded candidates); the exact path exists ONLY
     * as the audit baseline and its cost is controlled by the query
     * sample, not the corpus. Queries with empty probe cells contribute
     * zero hits through the left join — recall_min catches them. */
@@ -723,8 +723,7 @@ object VectorQueries {
       CosineSim.register(s)
       val cents = emb(s, d).filter(col("vec_id") < codebookSize(s, d))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val centsArr = VectorOps.centroidArray(cents)
-      val corpus = VectorOps.assignCells(femb(s, d), centsArr)
+      val corpus = VectorOps.assignCellsRelation(femb(s, d), cents)
         .select(col("vec_id"), col("embedding"), col("cid"))
       val queries = emb(s, d).filter(col("vec_id") % recMod(s, d) === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

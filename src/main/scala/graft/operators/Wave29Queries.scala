@@ -59,7 +59,7 @@ import org.apache.spark.sql.functions._
   */
 object Wave29Queries {
 
-  import Wave24Queries.{Dim, PqM, PqS}
+  import Wave24Queries.{Dim, PqK, PqM, PqS}
 
   private[operators] val Nprobe = 2
   private[operators] val IvfFloor = 16
@@ -221,15 +221,23 @@ object Wave29Queries {
     *      heap over the model-sized centroid relation);
     *   2. ADC entries: the query's per-cell RESIDUAL subvectors scored
     *      against the M·K book relation — one row per (q_id, cid, m, c);
-    *   3. bundle: per query, the sorted probed-cid array and ONE
-    *      struct-keyed map column (cid, m, c) → distance.
+    *   3. bundle: per query, the sorted probed-cid array and ONE map
+    *      column cid → the cell's ADC table FLATTENED to M·K longs
+    *      (slot m·K + c, codes 1-based; a book slot emptied by Lloyd
+    *      drop-out fills 0 and is never referenced — withCodes only
+    *      emits present codes).
     *
     * Output: (q_id, qqv, pcids, qtab) — Q rows, each carrying its own
-    * nprobe·M·K-entry table, broadcast to the candidate scan. Struct
-    * keys replace the r12 packed-decimal keys, so NO component carries
-    * a magnitude cap (the r12 `require(bc <= 100000 …)` is deleted). */
+    * nprobe-entry cid → flat-table map, broadcast to the candidate
+    * scan. The flat layout replaces the r13 struct-keyed (cid, m, c)
+    * map (r13 verdict task 3): Spark map lookups are linear scans, so
+    * the old shape paid ~M²·K·nprobe struct comparisons per candidate
+    * row; now the scan probes the nprobe-entry outer map ONCE per row
+    * and the fused [[graft.functions.AdcSum]] kernel does M direct
+    * long loads. No key component carries a magnitude cap. */
   private[operators] def qMeta(idx: Index, queries: DataFrame): DataFrame = {
     val s = queries.sparkSession
+    graft.functions.AdcSum.register(s, PqK)
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
     val probed = idx.cents.crossJoin(broadcast(queries))
       .select(col("q_id"), col("qqv"), col("cid"), col("cvec"),
@@ -245,23 +253,29 @@ object Wave29Queries {
     probed.crossJoin(broadcast(booksDf(s, idx.books)))
       .select(col("q_id"), col("qqv"), col("cid"), col("m"), col("c"),
         ad.as("ad"))
+      .groupBy(col("q_id"), col("cid"))
+      .agg(first(col("qqv")).as("qqv"),
+        map_from_entries(collect_list(struct(
+          (col("m") * PqK + col("c")).cast("int").as("key"),
+          col("ad").as("value")))).as("pm"))
+      .select(col("q_id"), col("qqv"), col("cid"),
+        transform(sequence(lit(1), lit(PqM * PqK)),
+          i => coalesce(element_at(col("pm"), i), lit(0L))).as("flat"))
       .groupBy(col("q_id"))
       .agg(first(col("qqv")).as("qqv"),
         sort_array(collect_set(col("cid"))).as("pcids"),
         map_from_entries(sort_array(collect_list(struct(
-          struct(col("cid").as("cid"), col("m").as("m"), col("c").as("c"))
-            .as("key"),
-          col("ad").as("value"))))).as("qtab"))
+          col("cid").as("key"), col("flat").as("value"))))).as("qtab"))
   }
 
   /** ADC distance of a coded candidate row under its query's staged
-    * table: M struct-keyed map lookups + a sum — no vector arithmetic
-    * in the scan (the q192 ADC contract). */
+    * table: one nprobe-entry map probe for the row's cell table, then
+    * the fused [[graft.functions.AdcSum]] kernel — M direct long loads
+    * + a sum inside whole-stage codegen, no vector arithmetic in the
+    * scan (the q192 ADC contract). Callers must AdcSum.register (qMeta
+    * does). */
   private[operators] def adcDist: Column =
-    (0 until PqM).map { m =>
-      element_at(col("qtab"), struct(col("cid").as("cid"),
-        lit(m).as("m"), element_at(col("codes"), m + 1).as("c")))
-    }.reduce(_ + _)
+    graft.functions.AdcSum(element_at(col("qtab"), col("cid")), col("codes"))
 
   /** Shared oracle prefix: milli grid `em` → adaptive codebook size →
     * coarse cells → assignment (lowest-cid ties) → residual relation

@@ -163,7 +163,8 @@ object Wave35Queries {
                  (SELECT count(*) FROM cents) - o0.ne0 AS empty0,
                  o0.ne0 - o1.ne1 AS empty1,
                  o0.max_occ0, o1.max_occ1
-          FROM s0, s1, o0, o1"""
+          FROM s0, s1, o0, o1
+          WHERE EXISTS (SELECT 1 FROM embeddings)"""
     }
   )
 

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * column is the difference between touching 1% and 100% of the data.
   *
   * The audit: rows land in files under two layouts — `natural`
-  * (clustered by arrival order: file = l_orderkey DIV 2048, the
+  * (clustered by arrival order: file = l_orderkey DIV 256, the
   * ingest-order proxy) and `shipdate` (clustered by the predicate
   * column: file = shipdate-day DIV 91) — each file publishing min/max
   * shipdate stats (what a parquet footer carries). Against a fixed
@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   * skip_ppm (fraction of rows zone-maps eliminate) and read_amp_ppm
   * (rows read per matching row — the false-positive price of a bad
   * layout). All date arithmetic happens in integer DAY space (days
-  * since 1992-01-01, the corpus epoch) so the two engines can never
-  * disagree on calendars; predicate bounds are Scala-generated
-  * literals embedded in both.
+  * since 1995-01-01, the fixture epoch — SURVEY.md's corpus date
+  * floor) so the two engines can never disagree on calendars;
+  * predicate bounds are Scala-generated literals embedded in both.
   *
   * Scale notes (100 TB): one union-read over the fact table into a
   * file-count-sized min/max/count aggregate (map-side combine — this

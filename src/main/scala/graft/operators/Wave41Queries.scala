@@ -55,7 +55,12 @@ object Wave41Queries {
         "aggregate(split(text, ' '), 0L, (a, w) -> greatest(a, length(w)))")
       val nNum = expr(
         "aggregate(split(text, ' '), 0L, (a, w) -> " +
-          "a + CASE WHEN w rlike '^[0-9]+$' THEN 1 ELSE 0 END)")
+          // \\A..\\z (absolute anchors), not ^..$: Spark's rlike uses Java
+          // find semantics where $ also matches before a trailing line
+          // terminator, but DuckDB's regexp_full_match does not — a token
+          // like "123\n" must count as numeric in NEITHER engine (ADVICE
+          // r13). Doubled backslashes survive the SQL string literal.
+          "a + CASE WHEN w rlike '\\\\A[0-9]+\\\\z' THEN 1 ELSE 0 END)")
       val bits = Io.fanOut(Tables.documents(s, d).select(col("text")))
         .select(nTok.as("nt"), nSym.as("ns"), sumWl.as("swl"),
           maxWl.as("mwl"), nNum.as("nn"))

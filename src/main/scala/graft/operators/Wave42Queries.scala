@@ -151,7 +151,8 @@ object Wave42Queries {
                ELSE 0 END AS recall_ppm,
                (SELECT count(*) FROM xf a JOIN sq$b p
                   ON a.q_id = p.q_id AND a.nbr = p.nbr
-                  AND a.rn = 1 AND p.rn = 1) AS nn1_hits"""
+                  AND a.rn = 1 AND p.rn = 1) AS nn1_hits
+            WHERE EXISTS (SELECT 1 FROM embeddings)"""
       }
       s"""WITH em AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv

@@ -1033,10 +1033,19 @@ object StreamOps {
     * sink), ready for q94-style in-cell probes.
     *
     * ZERO streaming state (the s06 pattern): assignment is a stateless
-    * projection through the SAME VectorOps.assignCells kernel the batch
-    * path uses — one kernel, so stream and batch can never disagree
-    * (StreamingSpec asserts drained-fixture equality against q37's batch
-    * assignment and an independent driver-side argmax replay). The
+    * projection through VectorOps.assignCells — the STREAMING shape of
+    * the shared assignment semantics (append mode cannot run the batch
+    * path's max aggregate, so the codebook collapses to one broadcast
+    * array row here; the batch q37/q94/q173 path is the relation-based
+    * VectorOps.assignCellsRelation with no single-row ceiling — the
+    * Wave29 assignResiduals/assignResidualsServing split). The two
+    * shapes share the (round(cosine,6), -cid) argmax contract and
+    * VectorSpec pins them row-for-row equal, so stream and batch cannot
+    * disagree (StreamingSpec additionally asserts drained-fixture
+    * equality against q37's batch assignment and an independent
+    * driver-side argmax replay). The 1-row array bounds Bc at ~2^21
+    * cells (Dim 64, 2 GB row limit) — past the 2^20 IvfCap, so the
+    * stream twin has headroom over the whole supported cell range. The
     * codebook joins stream-static as one broadcast row; it is
     * MATERIALIZED here, before the stream starts, because Structured
     * Streaming re-evaluates the static side every micro-batch — an

@@ -54,12 +54,15 @@ class PlanShapeSpec extends SparkSpec {
     (qe.optimizedPlan.collect { case w: logical.Window => w }, qe.optimizedPlan.toString)
   }
 
-  test("q37 centroid assignment is map-only: no Window, no row expansion") {
+  test("q37 centroid assignment is relation-based: no Window, partial map-side argmax") {
     val (ws, p) = windows("q37_ann_ivf")
     assert(ws.isEmpty, p)
-    // the codebook reaches the scan as a broadcast, the top-k as a heap
     val phys = plan("q37_ann_ivf")
+    // the centroid relation reaches the scan as a broadcast, the winning
+    // cell collapses map-side (partial max over the (csim,-cid) struct)
+    // before the slim vec_id shuffle, and the top-k is a heap
     assert(phys.contains("BroadcastNestedLoopJoin") || phys.contains("BroadcastExchange"), phys)
+    assert(phys.contains("partial_max"), phys)
     assert(phys.contains("TakeOrderedAndProject"), phys)
   }
 

@@ -63,4 +63,20 @@ class VectorSpec extends SparkSpec {
     val bruteIds = brute.map(_.getLong(0)).toSet
     assert(ann.map(_.getLong(0)).count(bruteIds) >= 3)
   }
+
+  test("batch (relation) and streaming (array) IVF assignment shapes agree row-for-row") {
+    // r13 verdict task 1: q37/q94/q173 ride assignCellsRelation (no
+    // collapsed-codebook ceiling) while s24 keeps the map-only array
+    // twin — this pin is what lets the two shapes share one contract.
+    import graft.operators.VectorOps
+    val emb = graft.sources.Tables.embeddings(spark, sfSmoke)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cid"), col("csim")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rel = asMap(VectorOps.assignCellsRelation(emb, cents))
+    val arr = asMap(VectorOps.assignCells(emb, VectorOps.centroidArray(cents)))
+    assert(rel.nonEmpty && rel == arr)
+  }
 }

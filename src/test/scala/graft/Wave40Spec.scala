@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * md5-60 PRF buckets, same adaptive width, same min-over-rows
   * estimate — plus the sketch's structural guarantee (never
   * underestimates) and the discrimination check (real collisions at
-  * the fixture's vocab/8 width). */
+  * the fixture's vocab/4 width — CmsOccLog2 = 2). */
 class Wave40Spec extends SparkSpec {
 
   private def md5Hex(s: String): String =
