@@ -24,6 +24,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * interference only ever ADDS time, so the fastest observed run is the
   * closest to the code's true cost (the standard microbenchmark
   * argument, and explicitly sanctioned as "best-of-3" by the r3 review).
+  *
+  * Drift adjudication convention (r13 verdict task 4): the OFFICIAL
+  * figure for any HEAD is min-of-3 pass-interleaved as above; a
+  * suspected regression on UNTOUCHED queries is confirmed only if a
+  * re-run at the same HEAD reproduces it outside ±3% on the common-set
+  * total — otherwise it is host noise and the faster run stands.
+  * Session memory held by standing artifacts (the IVFADC serving
+  * index's checkpoint blocks) is reported as cached_rdd_kb in
+  * BENCH_DETAIL so artifact growth is attributable, and is releasable
+  * via Wave29Queries.releaseServingIndex.
   */
 object Bench {
   private def force(df: DataFrame): Unit =
@@ -126,6 +136,13 @@ object Bench {
     val results = benched.map(q => q.key -> best.getOrElse(q.key, -1.0))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val peakKb = graft.util.PeakRss.kb()
+    // Session-held RDD blocks at end of run — dominated by the standing
+    // IVFADC serving index (localCheckpoint). Reported so the artifact's
+    // memory is visible in the record instead of masquerading as
+    // unexplained RSS growth (r13 verdict task 4: the r13 common-set
+    // drift correlated with +1.2 GB peak RSS from exactly these blocks).
+    val cachedRddKb = spark.sparkContext.getRDDStorageInfo
+      .map(_.memSize).sum / 1024
 
     // Full-precision, full-key detail for the judge — written to repo
     // files because the driver's stdout capture truncates long lines
@@ -136,7 +153,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","phases":${phases.report},"peak_rss_kb":$peakKb}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"sf":"$sfDir","phases":${phases.report},"peak_rss_kb":$peakKb,"cached_rdd_kb":$cachedRddKb}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

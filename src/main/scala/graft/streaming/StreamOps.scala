@@ -16,6 +16,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * partial-aggregated before the state store; sessionization keeps one
   * small state row per active (user, session) and emits on event-time
   * timeout — state size tracks active users, not history.
+  *
+  * ==State-schema versioning convention (r13 verdict task 7)==
+  *
+  * flatMapGroupsWithState state is not schema-evolvable: a checkpoint
+  * written under one state case class cannot be restored under a
+  * structurally different one. Two failure classes, two defenses:
+  *
+  *   1. STRUCTURAL change (field added/removed/retyped): Spark's state
+  *      store schema checker rejects the restore with a state schema
+  *      error before user code runs — loud by construction. Each such
+  *      change must bump the op's schema history note (the s28
+  *      template) so the error is attributable to a release.
+  *   2. SEMANTIC change (same shape, different meaning — the dangerous
+  *      one, a silent misread): every NEW stateful op's state class
+  *      carries a `schema_v: Int` FIRST field pinned to the op's
+  *      `SchemaV` constant, checked on every restore and failed loudly
+  *      on mismatch. Same-shape reinterpretations must bump SchemaV.
+  *
+  * [[MixState]] / [[mixRouterStream]] (s28) is the worked template:
+  * schema_v field, SchemaV constant, restore guard, and a version
+  * history in the op's scaladoc. Pre-existing state classes keep their
+  * shape (their checkpoints are live); the convention binds new ops and
+  * any op whose state must change anyway.
   */
 object StreamOps {
 
@@ -1213,8 +1236,15 @@ object StreamOps {
   }
 
   final case class MixDoc(doc_id: Long, source: String, n_tokens: Long)
-  final case class MixState(admitted_docs: Long, admitted_tokens: Long,
-      seen_docs: Long, max_doc_id: Long)
+  /** s28 state-schema version (the object-scaladoc convention's worked
+    * template). History: v1 (r11) 3 fields; v2 (r12) +max_doc_id —
+    * structural, caught by the state-store schema checker; v3 (r14)
+    * +schema_v itself — structural. Bump on any same-shape semantic
+    * reinterpretation; the restore guard in mixRouterStream fails loud
+    * on mismatch. */
+  private[streaming] val MixSchemaV = 3
+  final case class MixState(schema_v: Int, admitted_docs: Long,
+      admitted_tokens: Long, seen_docs: Long, max_doc_id: Long)
   final case class MixOut(doc_id: Long, source: String, admitted: Boolean,
       admitted_tokens_after: Long)
 
@@ -1249,14 +1279,16 @@ object StreamOps {
     * (deny-by-default). Output: one decision row per arriving doc
     * (Update mode; replays overwrite their own batch partition).
     *
-    * Checkpoint compatibility: adding max_doc_id in round 12 CHANGED the
-    * state encoder schema, and flatMapGroupsWithState state is not
-    * schema-evolvable — a checkpoint written by the 3-field MixState
-    * cannot be restored by this version (the restore fails with a state
-    * schema error, it does not silently misread). Restarting from such a
-    * checkpoint requires a fresh checkpoint dir + source replay (the
-    * family's documented checkpoint-loss recovery path); noted here so a
-    * restored-from-old-checkpoint failure is diagnosable (ADVICE r12). */
+    * Checkpoint compatibility: this op is the WORKED TEMPLATE for the
+    * object-scaladoc state-versioning convention. Structural history:
+    * v1 (r11, 3 fields) → v2 (r12, +max_doc_id) → v3 (r14, +schema_v);
+    * each structural change makes old checkpoints unrestorable — the
+    * restore fails with a state schema error, it does not silently
+    * misread — and requires a fresh checkpoint dir + source replay (the
+    * family's documented checkpoint-loss recovery path). The schema_v
+    * field guards the OTHER failure class: a same-shape semantic
+    * reinterpretation is rejected by the in-code version check instead
+    * of being silently misread (ADVICE r12 / r13 verdict task 7). */
   def mixRouterStream(docs: Dataset[MixDoc], budgets: Map[String, Long])
       : Dataset[MixOut] = {
     import docs.sparkSession.implicits._
@@ -1266,7 +1298,15 @@ object StreamOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (src: String, rows: Iterator[MixDoc], state: GroupState[MixState]) =>
           val budget = budgets.getOrElse(src, 0L)
-          var st = state.getOption.getOrElse(MixState(0L, 0L, 0L, Long.MinValue))
+          var st = state.getOption.getOrElse(
+            MixState(MixSchemaV, 0L, 0L, 0L, Long.MinValue))
+          // semantic-version guard (object scaladoc convention): a
+          // same-shape state written under a different meaning must not
+          // be silently reinterpreted
+          if (st.schema_v != MixSchemaV) throw new IllegalStateException(
+            s"mixRouterStream: state schema_v ${st.schema_v} != $MixSchemaV —" +
+              " restore from an incompatible checkpoint; start a fresh" +
+              " checkpoint dir and replay the source")
           val sorted = rows.toSeq.sortBy(_.doc_id)
           // the equivalence contract REQUIRES doc_id non-decreasing per
           // source across micro-batches; a violating feed used to
@@ -1281,7 +1321,7 @@ object StreamOps {
           val out = sorted.map { doc =>
             val admit = st.admitted_tokens < budget
             st =
-              if (admit) MixState(st.admitted_docs + 1L,
+              if (admit) MixState(MixSchemaV, st.admitted_docs + 1L,
                 st.admitted_tokens + doc.n_tokens, st.seen_docs + 1L,
                 math.max(st.max_doc_id, doc.doc_id))
               else st.copy(seen_docs = st.seen_docs + 1L,

@@ -510,6 +510,108 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p)
   }
 
+  test("q212/q215/q216 rankings ride WindowGroupLimit heaps") {
+    // r13 verdict task 2: the round-13 serving-eval sheets claimed
+    // map-side heap rankings but carried no plan lock. Every rank<=k
+    // filter over a corpus-sized candidate relation must rewrite to
+    // WindowGroupLimit so per-group state stays bounded. (q217/q220's
+    // heap rankings run inside eager materializations and are locked by
+    // the ExistingRDD assertion below instead — the consuming plan
+    // cannot show them.)
+    Seq("q212_retrieval_ndcg", "q215_rerank_lift", "q216_mmr_diversify")
+      .foreach { key =>
+        val p = plan(key)
+        assert(p.contains("WindowGroupLimit"), s"$key lost its heap:\n$p")
+      }
+  }
+
+  test("q217/q220 consume materialized heap rankings, no corpus window survives") {
+    Seq("q217_dim_truncation", "q220_sq_recall").foreach { key =>
+      val qe = SparkEntry.queries(key)(spark, sfSmoke).queryExecution
+      assert(qe.executedPlan.toString.contains("Scan ExistingRDD"),
+        s"$key:\n${qe.executedPlan}")
+      // the per-variant rankings are heap-limited INSIDE the eager
+      // materializations; nothing window-shaped may remain in the
+      // consuming plan (a reappearing window = the materialization lost)
+      assert(qe.optimizedPlan.collect { case w: logical.Window => w }.isEmpty,
+        s"$key:\n${qe.optimizedPlan}")
+    }
+  }
+
+  test("q214/q218/q219 corpus passes are map-only into bounded aggregates") {
+    // the zone-map audit, CMS audit, and filter-ordering planner each
+    // make ONE pass over the fact/corpus table that must partial-combine
+    // map-side; no window may touch raw data, and every JOIN must have
+    // at least one aggregate-reduced (broadcastable) side — a raw scan
+    // may enrich against the tiny grid map-side, but two unbounded
+    // relations must never shuffle-join
+    def joinSideOk(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.Aggregate => true
+      case _: logical.GlobalLimit | _: logical.LocalLimit => true
+      case leaf if leaf.children.isEmpty =>
+        leaf.nodeName != "Relation" && leaf.nodeName != "LogicalRelation"
+      case other => other.children.forall(joinSideOk)
+    }
+    Seq("q214_skipping_audit", "q218_cms_audit", "q219_filter_ordering")
+      .foreach { key =>
+        val qe = SparkEntry.queries(key)(spark, sfSmoke).queryExecution
+        val p = qe.executedPlan.toString
+        assert(p.contains("partial_"), s"$key lost map-side combine:\n$p")
+        qe.optimizedPlan.foreach {
+          case j: logical.Join =>
+            assert(j.children.exists(joinSideOk),
+              s"$key joins two unbounded relations:\n${qe.optimizedPlan}")
+          case w: logical.Window =>
+            assert(boundedBelow(w.child),
+              s"$key windows over unbounded input:\n${qe.optimizedPlan}")
+          case _ =>
+        }
+      }
+  }
+
+  test("q203/q211/q212/q215/q216 read the standing index, never rebuild it") {
+    // the serving/audit family consumes servingIndex (one materialized
+    // artifact per session/scale); a rebuild would show the coded corpus
+    // derived from a parquet scan instead of the checkpointed RDD
+    Seq("q203_ivfadc_recall", "q211_ivf_occupancy", "q212_retrieval_ndcg",
+        "q215_rerank_lift", "q216_mmr_diversify").foreach { key =>
+      val p = plan(key)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$key does not read the materialized serving index:\n$p")
+    }
+  }
+
+  /** Bounded-input judgment for an unpartitioned/constant window: the
+    * subtree must reduce to model- or aggregate-sized data on EVERY
+    * path to a leaf — an Aggregate, Limit, or literal relation cuts a
+    * path; a raw table scan without one above it does not. Generate /
+    * Project / Filter / Join / Union pass through (fan-out over an
+    * aggregate stays aggregate-sized). */
+  private def boundedBelow(p: logical.LogicalPlan): Boolean = p match {
+    case _: logical.Aggregate => true
+    case _: logical.GlobalLimit | _: logical.LocalLimit => true
+    case _: logical.LocalRelation => true
+    case _: logical.Range => true
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(boundedBelow)
+  }
+
+  test("tripwire: every unpartitioned window in the registry sits over bounded input") {
+    // r13 verdict task 6: 112 `WindowExec: No Partition Defined` WARNs
+    // were each adjudicated window-over-aggregate by hand; this makes
+    // the adjudication structural. A future corpus-sized unpartitioned
+    // window fails here instead of in production.
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val qe = q.run(spark, sfSmoke).queryExecution
+      qe.optimizedPlan.collect {
+        case w: logical.Window
+            if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+          s"${q.key}: ${w.windowExpressions.map(_.name).mkString(",")}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {
     // r9 verdict task 1: the tokenize→explode→md5 chain must NOT appear
     // in the consuming plan — it ran exactly once into the materialized
