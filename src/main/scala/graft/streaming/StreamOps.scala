@@ -62,7 +62,8 @@ object StreamOps {
     "s27" -> "decayedCountsStream", "s28" -> "mixRouterStream",
     "s29" -> "pqEncodeStream", "s30" -> "adcSearchStream",
     "s31" -> "tvdMonitorStream", "s32" -> "ivfadcEncodeStream",
-    "s33" -> "streamStreamFullOuter", "s34" -> "fileStatsStream")
+    "s33" -> "streamStreamFullOuter", "s34" -> "fileStatsStream",
+    "s35" -> "hllSketchStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1607,6 +1608,69 @@ object StreamOps {
             state.setTimeoutTimestamp(math.max(s.lastMs + FileCloseMs,
               state.getCurrentWatermarkMs() + 1))
             Iterator.empty
+          }
+      }
+  }
+
+  /** s35 state-schema version — the FIRST op born under the object-
+    * scaladoc versioning convention (v1, r14). Bump on any same-shape
+    * semantic reinterpretation of regs. */
+  private[streaming] val HllSchemaV = 1
+  final case class HllState(schema_v: Int, regs: Vector[Long], version: Long)
+  final case class HllOut(grp: String, version: Long, est: Long,
+      zeros: Long, max_rho: Long)
+
+  /** s35 — streaming HyperLogLog register maintenance (streaming twin of
+    * batch q221's sketch side): per-group state is the m = 64 HLL
+    * registers — max(rho) per register over every key ever seen —
+    * updated by the SAME md5-60 → (idx, rho) rule as the batch audit
+    * (Wave43Queries.hllRegs; StreamingSpec asserts drained state equals
+    * the batch register relation bit-for-bit, the s24 discipline).
+    * Because max-merge is commutative/associative/idempotent, the
+    * drained sketch equals the batch sketch regardless of batching,
+    * replays included — the monotone-state family (s12/s16).
+    *
+    * State per group: m longs + the schema_v/version words, constant in
+    * ingest history. Update mode with versions: a batch that changes
+    * any register re-emits the group's current integer estimate (the
+    * q221 scaled-integer estimator, identical literals) under an
+    * incremented version; max version per group = current estimate. */
+  def hllSketchStream(rows: Dataset[(String, Long)]): Dataset[HllOut] = {
+    import rows.sparkSession.implicits._
+    val m = graft.operators.Wave43Queries.HllM
+    val wbits = graft.operators.Wave43Queries.HllWBits
+    val estNum = graft.operators.Wave43Queries.EstNum
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[HllState, HllOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[(String, Long)],
+            state: GroupState[HllState]) =>
+          val cur = state.getOption.getOrElse(
+            HllState(HllSchemaV, Vector.fill(m)(0L), 0L))
+          if (cur.schema_v != HllSchemaV) throw new IllegalStateException(
+            s"hllSketchStream: state schema_v ${cur.schema_v} != " +
+              s"$HllSchemaV — restore from an incompatible checkpoint")
+          val regs = cur.regs.toArray
+          var changed = false
+          it.foreach { case (_, key) =>
+            val h = java.lang.Long.parseLong(
+              md5Hex("hll:" + key.toString).substring(0, 15), 16)
+            val idx = (h % m).toInt
+            val hw = (h >>> graft.operators.Wave43Queries.HllB) % (1L << wbits)
+            val rho =
+              if (hw == 0) (wbits + 1).toLong
+              else (wbits + 1).toLong - (64 - java.lang.Long.numberOfLeadingZeros(hw))
+            if (rho > regs(idx)) { regs(idx) = rho; changed = true }
+          }
+          if (!changed) Iterator.empty
+          else {
+            val next = HllState(HllSchemaV, regs.toVector, cur.version + 1)
+            state.update(next)
+            val sAll = regs.map(r => 1L << (wbits + 1 - r)).sum
+            Iterator.single(HllOut(grp, next.version,
+              (estNum / sAll) / 1000000L,
+              regs.count(_ == 0L).toLong,
+              regs.max))
           }
       }
   }

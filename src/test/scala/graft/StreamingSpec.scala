@@ -1212,6 +1212,76 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("s16out").collect().forall(_.getInt(2) <= 256))
   }
 
+  test("s35 streaming HLL registers converge to exactly the batch q221 sketch") {
+    val input = MemoryStream[(String, Long)](spark)
+    val out = StreamOps.hllSketchStream(input.toDS())
+    val q = out.writeStream.format("memory").queryName("s35out")
+      .outputMode("update").start()
+    try {
+      // the full (event_type, user_id) relation, reversed slices — the
+      // register max-fixpoint must not depend on arrival order
+      val keys = graft.sources.Tables.events(spark, sfSmoke)
+        .select(col("event_type"), col("user_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).reverse
+      keys.grouped(keys.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("s35out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1).map { case (grp, rows) =>
+        val last = rows.maxBy(_._2); grp -> ((last._3, last._4, last._5))
+      }
+    val want = SparkEntry.queries("q221_hll_audit")(spark, sfSmoke)
+      .collect().map { r =>
+        // (event_type, .., hll_est, .., zeros, max_rho, m)
+        r.getString(0) -> ((r.getLong(2), r.getLong(4), r.getLong(5)))
+      }.toMap
+    assert(got == want)
+  }
+
+  test("s35 HLL crash-replay converges to the same registers (versioned state)") {
+    val dir = java.nio.file.Files.createTempDirectory("s35_crash").toString
+    val in = s"$dir/in"
+    val keys = graft.sources.Tables.events(spark, sfSmoke)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val slices = keys.grouped(keys.length / 3 + 1).toSeq
+    def feed(i: Int): Unit =
+      feedFile(slices(i).toSeq.toDF("grp", "k"), in, s"f$i")
+    def start() = updateSink(StreamOps.hllSketchStream(
+      spark.readStream.schema("grp STRING, k LONG")
+        .option("maxFilesPerTrigger", "1").parquet(in).as[(String, Long)]),
+      s"$dir/out")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val rows = spark.read.parquet(s"$dir/out/rows")
+      .select("grp", "version", "est", "zeros", "max_rho").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // a replayed version must reproduce its pre-crash emission exactly
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, vs) =>
+      assert(vs.map(v => (v._3, v._4, v._5)).distinct.length == 1,
+        s"divergent replay at $k")
+    }
+    val got = rows.groupBy(_._1).map { case (grp, rs) =>
+      val last = rs.maxBy(_._2); grp -> ((last._3, last._4, last._5))
+    }
+    val want = SparkEntry.queries("q221_hll_audit")(spark, sfSmoke)
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(2), r.getLong(4), r.getLong(5)))
+      }.toMap
+    assert(got == want)
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {
