@@ -28,7 +28,9 @@ object SparkEntry {
       Wave36Queries.all ++ Wave37Queries.all ++ Wave38Queries.all ++
       Wave39Queries.all ++ Wave40Queries.all ++ Wave41Queries.all ++
       Wave42Queries.all ++ Wave43Queries.all ++ Wave44Queries.all ++
-      Wave45Queries.all ++ Wave46Queries.all ++ Wave47Queries.all
+      Wave45Queries.all ++ Wave46Queries.all ++ Wave47Queries.all ++
+      Wave48Queries.all ++ Wave49Queries.all ++ Wave50Queries.all ++
+      Wave51Queries.all ++ Wave52Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped aggregation — the reference's map/reduce aggregation

@@ -36,8 +36,8 @@ import org.apache.spark.sql.functions._
   * predicate, exactly like a bitmap probe. */
 object Wave47Queries {
 
-  private val KeysPerFile = 256
-  private val DelMod = 20
+  private[graft] val KeysPerFile = 256
+  private[graft] val DelMod = 20
   private val ThresholdsPpm = Seq(30000L, 60000L, 90000L)
 
   private val q225 = GQuery(

@@ -63,7 +63,7 @@ object StreamOps {
     "s29" -> "pqEncodeStream", "s30" -> "adcSearchStream",
     "s31" -> "tvdMonitorStream", "s32" -> "ivfadcEncodeStream",
     "s33" -> "streamStreamFullOuter", "s34" -> "fileStatsStream",
-    "s35" -> "hllSketchStream")
+    "s35" -> "hllSketchStream", "s36" -> "deletionVectorStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1671,6 +1671,66 @@ object StreamOps {
               (estNum / sAll) / 1000000L,
               regs.count(_ == 0L).toLong,
               regs.max))
+          }
+      }
+  }
+
+  /** s36 state-schema version (v1, r14). Bump on any same-shape semantic
+    * reinterpretation of the bitmap words. */
+  private[streaming] val DelVecSchemaV = 1
+  final case class DelVecState(schema_v: Int, bits: Vector[Long],
+      version: Long)
+  final case class DelVecOut(file_id: Long, version: Long, rows_del: Long)
+
+  /** s36 — streaming deletion-vector maintainer (streaming twin of batch
+    * q225's per-file deletion census): the ingest half of merge-on-read.
+    * Deletes arrive as a stream of row keys; per FILE (key div
+    * KeysPerFile, the q214/q225 layout convention) the state is the
+    * deletion BITMAP itself — KeysPerFile bits packed into
+    * ⌈KeysPerFile/64⌉ longs, exactly the position-delete vector a
+    * Delta/Iceberg v2 writer persists. Bit-set is idempotent, so the
+    * drained vector equals the batch census regardless of batching or
+    * replays (the monotone-state family: s12/s16/s35); StreamingSpec
+    * asserts the drained per-file counts equal a q225-rule driver
+    * replay, plus crash-replay determinism under the versioned state.
+    *
+    * State per file: 4 longs + the schema_v/version words — constant in
+    * delete history (the bitmap IS the state, not a key list). Update
+    * mode with versions: a batch that sets any new bit re-emits the
+    * file's deleted-row count under an incremented version; max version
+    * per file = the current vector. A downstream rewrite planner joins
+    * these counts against the static file census to apply the q225
+    * threshold policy — the batch sheet prices the policy, this op
+    * maintains its input. */
+  def deletionVectorStream(deletes: Dataset[Long]): Dataset[DelVecOut] = {
+    import deletes.sparkSession.implicits._
+    val kpf = graft.operators.Wave47Queries.KeysPerFile
+    val words = (kpf + 63) / 64
+    deletes.groupByKey(_ / kpf)
+      .flatMapGroupsWithState[DelVecState, DelVecOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (fid: Long, it: Iterator[Long], state: GroupState[DelVecState]) =>
+          val cur = state.getOption.getOrElse(
+            DelVecState(DelVecSchemaV, Vector.fill(words)(0L), 0L))
+          if (cur.schema_v != DelVecSchemaV) throw new IllegalStateException(
+            s"deletionVectorStream: state schema_v ${cur.schema_v} != " +
+              s"$DelVecSchemaV — restore from an incompatible checkpoint")
+          val bits = cur.bits.toArray
+          var changed = false
+          it.foreach { k =>
+            val off = (k % kpf).toInt
+            val m = 1L << (off & 63)
+            if ((bits(off >> 6) & m) == 0L) {
+              bits(off >> 6) |= m; changed = true
+            }
+          }
+          if (!changed) Iterator.empty
+          else {
+            val next = DelVecState(DelVecSchemaV, bits.toVector,
+              cur.version + 1)
+            state.update(next)
+            Iterator.single(DelVecOut(fid, next.version,
+              bits.map(w => java.lang.Long.bitCount(w).toLong).sum))
           }
       }
   }

@@ -1282,6 +1282,90 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** q225's deletion rule replayed in driver Scala: per-file deleted-row
+    * counts under the md5-60 "key:del" mod-20 sample. */
+  private def q225FileDels(): Map[Long, Long] =
+    graft.sources.Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+      .filter(k => java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$k:del".getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.substring(0, 15), 16) % 20 == 0)
+      .groupBy(_ / graft.operators.Wave47Queries.KeysPerFile)
+      .map { case (f, ks) => f -> ks.length.toLong }
+
+  test("s36 deletion vectors converge to the batch q225 deletion census") {
+    val input = MemoryStream[Long](spark)
+    val out = StreamOps.deletionVectorStream(input.toDS())
+    val q = out.writeStream.format("memory").queryName("s36out")
+      .outputMode("update").start()
+    val want = q225FileDels()
+    try {
+      // every delete twice, reversed slices: bit-set idempotence means
+      // the drained vector must ignore both replays and arrival order
+      val dels = want.keySet.toSeq.sorted.reverse.flatMap { f =>
+        graft.sources.Tables.orders(spark, sfSmoke)
+          .select(col("o_orderkey")).collect().map(_.getLong(0))
+          .filter(k => k / graft.operators.Wave47Queries.KeysPerFile == f)
+          .filter(k => java.lang.Long.parseLong(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$k:del".getBytes("UTF-8")).map("%02x".format(_))
+              .mkString.substring(0, 15), 16) % 20 == 0)
+      }
+      (dels ++ dels).grouped(dels.length / 2 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("s36out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (f, rows) => f -> rows.maxBy(_._2)._3 }
+    assert(got == want)
+    // counts only ever grow across versions (monotone bitmap)
+    spark.table("s36out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).foreach { case (_, rows) =>
+        val byV = rows.sortBy(_._2).map(_._3).toSeq
+        assert(byV == byV.sorted, "rows_del not monotone in version")
+      }
+  }
+
+  test("s36 crash-replay re-emits identical vectors (versioned state)") {
+    val dir = java.nio.file.Files.createTempDirectory("s36_crash").toString
+    val in = s"$dir/in"
+    val want = q225FileDels()
+    val dels = graft.sources.Tables.orders(spark, sfSmoke)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+      .filter(k => java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$k:del".getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.substring(0, 15), 16) % 20 == 0)
+    val slices = dels.grouped(dels.length / 3 + 1).toSeq
+    def feed(i: Int): Unit =
+      feedFile(slices(i).toSeq.toDF("k"), in, s"f$i")
+    def start() = updateSink(StreamOps.deletionVectorStream(
+      spark.readStream.schema("k LONG")
+        .option("maxFilesPerTrigger", "1").parquet(in).as[Long]),
+      s"$dir/out")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val rows = spark.read.parquet(s"$dir/out/rows")
+      .select("file_id", "version", "rows_del").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, vs) =>
+      assert(vs.map(_._3).distinct.length == 1, s"divergent replay at $k")
+    }
+    val got = rows.groupBy(_._1).map { case (f, rs) =>
+      f -> rs.maxBy(_._2)._3 }
+    assert(got == want)
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {

@@ -44,7 +44,7 @@ class Wave40Spec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got == want)
     // structural: CMS never underestimates; discriminating: at the
-    // vocab/8 width, at least one top token shares a cell in every row
+    // vocab/4 width, at least one top token shares a cell in every row
     assert(got.forall(_._4 >= 0), "CMS underestimated")
     assert(got.map(_._4).sum > 0, "no collisions — sheet discriminates nothing")
   }
