@@ -62,7 +62,7 @@ object Wave50Queries {
         concat(col("l_orderkey").cast("string"), lit(":"),
           col("l_linenumber").cast("string"), lit(":qs"))),
         lit(SampleMod)) === 0), "m", "est_cents")
-      exact.join(est, "p")
+      exact.join(broadcast(est), "p")
         .select(col("p"), col("n"), col("exact_cents"), col("m"),
           col("est_cents"),
           abs(col("est_cents") - col("exact_cents")).as("abs_err"),

@@ -612,6 +612,74 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q226 chunks form map-side: partial counts, no window, no data-sized join") {
+    val (ws, lp) = windows("q226_cdc_chunks")
+    assert(ws.isEmpty, lp)
+    val p = plan("q226_cdc_chunks")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q227 KN marginals broadcast back onto the type relation; heap head") {
+    val p = plan("q227_kn_bigram")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q228 both quantile passes are range-sliced ranks, targets broadcast") {
+    val p = plan("q228_sample_quantile")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q229 skyline is a prefix scan + broadcast join-back, never a self-join") {
+    val p = plan("q229_skyline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the dominance pass runs on the per-cents aggregate (map-side combine)
+    assert(p.contains("partial_max"), p)
+  }
+
+  test("q230 IVM maintains via partial aggregates; no base-table sort-merge") {
+    val p = plan("q230_ivm_delta")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q231 attribution is one user-keyed window pass: no join anywhere") {
+    val (ws, lp) = windows("q231_attribution")
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), lp)
+    val p = plan("q231_attribution")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q232 prices the cross join without ever executing one") {
+    val p = plan("q232_join_order")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two key-relation probes stay hash joins; the n_o*n_p row is
+    // arithmetic over 1-row broadcasts
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q233 windows are file-keyed; the size join-back broadcasts") {
+    val (ws, lp) = windows("q233_bitmap_layout")
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), lp)
+    val p = plan("q233_bitmap_layout")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q234 calibration rank is range-sliced; model and targets broadcast") {
+    val p = plan("q234_conformal")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {
     // r9 verdict task 1: the tokenize→explode→md5 chain must NOT appear
     // in the consuming plan — it ran exactly once into the materialized
