@@ -30,52 +30,43 @@ import org.apache.spark.sql.functions._
   * is real: B=4 saves ~18% of tokens, B=16 almost nothing — exactly
   * the granularity trade the modulus buys.
   *
-  * Scale notes (100 TB): chunking is per-row higher-order-function
-  * arithmetic over the token array (boundary positions via filter,
-  * chunk slices via transform — whole-stage codegen, NO token-keyed
-  * shuffle to form chunks). One corpus pass emits the 3·(chunks/doc)
-  * (B, chunk-hash, len) rows map-side; the only shuffle is the
-  * (B, hash) count with map-side combine, whose cardinality is the
-  * number of DISTINCT chunks — a high-duplication corpus shuffles
-  * LESS, the same property q223's prefix buckets have. The rollup is
-  * a 3-group aggregate. Chunks travel as md5 hashes (the q66
-  * discipline), never as text. */
+  * Hashing discipline (the r14 sf1 lesson, twice over): the
+  * md5-per-chunk first cut ran 9.3×/decade on string rebuilds, and a
+  * higher-order-function rewrite (filter + indexed transform +
+  * per-chunk slice/aggregate folds) was SLOWER still — interpreted
+  * lambda evaluation per token per modulus. The shipped form is one
+  * native codegen kernel ([[graft.functions.CdcChunks]]): each token
+  * md5-hashed ONCE, all three chunkers fed from the same long, chunks
+  * travelling as a packed double 31-bit polynomial rolling hash —
+  * integer arithmetic both engines reproduce exactly (intermediates
+  * < 2^39, prime mods < 2^31), 2^−62 per-pair collision rate (the q74
+  * passages-as-hashes discipline). Fixed-width keys keep the count
+  * aggregate on HashAggregate's fast path. 43 s → ~3 s at sf1.
+  *
+  * Scale notes (100 TB): chunking is one map-only kernel call per
+  * document (O(tokens) total; NO token-keyed shuffle to form chunks).
+  * One corpus pass emits the 3·(chunks/doc) (B, chunk-key, len) rows;
+  * the only shuffle is the (B, key) count with map-side combine, whose
+  * cardinality is the number of DISTINCT chunks — a high-duplication
+  * corpus shuffles LESS, the same property q223's prefix buckets have.
+  * The rollup is a 3-group aggregate. */
 object Wave48Queries {
 
-  private val Bs = Seq(4, 8, 16)
-
-  /** Chunk list of a token array under boundary modulus b: array of
-    * (h = md5 of the space-joined chunk, l = token length). Boundary
-    * tokens CLOSE their chunk (inclusive); trailing tokens after the
-    * last boundary form a final partial chunk. All element_at calls
-    * are guarded by lazily-evaluated CASE branches (ANSI-safe). */
-  private def chunks(toks: Column, b: Int): Column = {
-    val n = size(toks)
-    val bps = filter(sequence(lit(1), n),
-      p => pmod(TextOps.shingleHash60(element_at(toks, p)), lit(b)) === 0)
-    val ends = when(size(bps) === 0, array(n)).otherwise(
-      when(element_at(bps, size(bps)) === n, bps)
-        .otherwise(concat(bps, array(n))))
-    transform(ends, (e, i) => {
-      val start = when(i === 0, lit(1)).otherwise(element_at(ends, i) + 1)
-      val len = e - start + 1
-      struct(md5(concat_ws(" ", slice(toks, start, len))).as("h"),
-        len.cast("long").as("l"))
-    })
-  }
+  // one definition of the chunk-key geometry: the kernel's
+  private val Bs = graft.functions.CdcChunks.Bs.toSeq
+  private val M31 = graft.functions.CdcChunks.M31
+  private val P1 = graft.functions.CdcChunks.P1
+  private val P2 = graft.functions.CdcChunks.P2
 
   private val q226 = GQuery(
     "q226_cdc_chunks",
     (s, d) => {
-      val base = Io.fanOut(Tables.documents(s, d).select(col("text")))
-        .select(TextOps.tokens(col("text")).as("toks"))
-      val inst = base
-        .select(explode(array(Bs.map(b =>
-          struct(lit(b.toLong).as("bmod"), chunks(col("toks"), b).as("cs"))): _*))
-          .as("x"))
-        .select(col("x.bmod").as("bmod"), explode(col("x.cs")).as("c"))
-        .select(col("bmod"), col("c.h").as("h"), col("c.l").as("l"))
-      val perChunk = inst.groupBy(col("bmod"), col("h"))
+      graft.functions.CdcChunks.register(s)
+      val inst = Io.fanOut(Tables.documents(s, d).select(col("text")))
+        .select(explode(graft.functions.CdcChunks(col("text"))).as("c"))
+        .select(col("c.bmod").as("bmod"), col("c.k").as("k"),
+          col("c.l").as("l"))
+      val perChunk = inst.groupBy(col("bmod"), col("k"))
         .agg(count(lit(1)).as("cnt"), max(col("l")).as("l"))
       perChunk.groupBy(col("bmod"))
         .agg(sum(col("cnt")).as("chunks"),
@@ -101,33 +92,40 @@ object Wave48Queries {
                  AS BIGINT) AS savings_ppm,
                CAST(max(cnt) AS BIGINT) AS hottest
             FROM (
-              SELECT h, count(*) AS cnt, max(l) AS l
+              SELECT k, count(*) AS cnt, max(l) AS l
               FROM (
-                SELECT doc_id, grp,
-                       md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
-                       count(*) AS l
+                SELECT c.k AS k, c.l AS l
                 FROM (
-                  SELECT doc_id, tok, pos,
-                         coalesce(sum(bnd) OVER (
-                           PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                           0) AS grp
-                  FROM (SELECT doc_id, pos, tok,
-                               CASE WHEN CAST(concat('0x', substr(md5(tok),
-                                 1, 15)) AS BIGINT) % $b = 0
-                                 THEN 1 ELSE 0 END AS bnd
-                        FROM tt))
-                GROUP BY 1, 2)
+                  SELECT unnest(list_transform(ends, (e, i) ->
+                           struct_pack(
+                             k := list_reduce(list_prepend(0::BIGINT,
+                                    hs[CASE WHEN i = 1 THEN 1
+                                       ELSE ends[i - 1] + 1 END : e]),
+                                    (a, x) -> (a * 131 + x % $M31) % $P1)
+                                  * $M31
+                                + list_reduce(list_prepend(0::BIGINT,
+                                    hs[CASE WHEN i = 1 THEN 1
+                                       ELSE ends[i - 1] + 1 END : e]),
+                                    (a, x) -> (a * 137 + x % $M31) % $P2),
+                             l := CAST(e - (CASE WHEN i = 1 THEN 1
+                                            ELSE ends[i - 1] + 1 END) + 1
+                                       AS BIGINT)))) AS c
+                  FROM (
+                    SELECT hs,
+                           CASE WHEN len(bps) > 0 AND bps[-1] = len(hs)
+                                THEN bps
+                                ELSE list_append(bps, len(hs)) END AS ends
+                    FROM (SELECT hs,
+                                 list_filter(range(1, len(hs) + 1),
+                                   p -> hs[p] % $b = 0) AS bps
+                          FROM h))))
               GROUP BY 1)"""
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-                     FROM documents),
-              u AS (SELECT doc_id,
-                           unnest(list_transform(range(1, len(toks) + 1),
-                             p -> struct_pack(pos := p, tok := toks[p]))) AS x
-                    FROM d),
-              tt AS MATERIALIZED (
-                SELECT doc_id, CAST(x.pos AS BIGINT) AS pos, x.tok AS tok
-                FROM u)
+      s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+              h AS MATERIALIZED (
+                SELECT list_transform(toks, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 15))
+                           AS BIGINT)) AS hs
+                FROM d)
           ${Bs.map(perB).mkString(" UNION ALL ")}
           ORDER BY bmod"""
     }

@@ -14,22 +14,26 @@ class Wave48Spec extends SparkSpec {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       .substring(0, 15), 16)
 
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  /** Packed double 31-bit polynomial rolling hash of a token-hash run —
+    * the Wave48 chunk key, replayed. */
+  private def key(run: Seq[Long]): Long = {
+    val h1 = run.foldLeft(0L)((a, x) => (a * 131 + (x % 2147483648L)) % 2147483629L)
+    val h2 = run.foldLeft(0L)((a, x) => (a * 137 + (x % 2147483648L)) % 2147483647L)
+    h1 * 2147483648L + h2
+  }
 
-  private def chunksOf(toks: Array[String], b: Int): Seq[(String, Long)] = {
-    val out = Seq.newBuilder[(String, Long)]
-    var cur = List.empty[String]
+  private def chunksOf(toks: Array[String], b: Int): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var cur = List.empty[Long]
     toks.foreach { t =>
-      cur ::= t
-      if (h60(t) % b == 0) {
-        out += ((md5hex(cur.reverse.mkString(" ")), cur.length.toLong))
+      val h = h60(t)
+      cur ::= h
+      if (h % b == 0) {
+        out += ((key(cur.reverse), cur.length.toLong))
         cur = Nil
       }
     }
-    if (cur.nonEmpty)
-      out += ((md5hex(cur.reverse.mkString(" ")), cur.length.toLong))
+    if (cur.nonEmpty) out += ((key(cur.reverse), cur.length.toLong))
     out.result()
   }
 
