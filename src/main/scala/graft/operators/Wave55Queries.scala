@@ -17,28 +17,34 @@ import org.apache.spark.sql.functions._
   * clustered). Which container wins is a LAYOUT property: this sheet
   * prices the o_orderdate MONTH column under the arrival-order layout
   * (file = orderkey div 256 — months scatter, runs ≈ rows) vs the
-  * date-clustered layout (file = day div 91 — a file holds ~3 months,
-  * runs collapse toward |values|), reporting per layout: files, rows,
-  * runs, total words under each uniform container choice, the
+  * date-CLUSTERED layout a size-capped writer produces: sort by
+  * (day, orderkey), cut a file every 256 rows (file = (rank−1) div
+  * 256 — a real writer caps file SIZE, so file count scales with
+  * data; a days-per-file grid would grow files unboundedly at 100 TB
+  * and was rejected by the window tripwire). In a clustered file,
+  * consecutive rows share months, so runs collapse toward
+  * |months-in-file|. Reported per layout: containers, rows, runs,
+  * total words under each uniform container choice, the
   * best-per-(file,value) total (the index a Roaring writer actually
   * builds), and per-container win counts (ties break RLE > ARRAY >
   * BITMAP, the compressed-first convention, identically in both
   * engines). The fixture shows the clustered layout's RLE total
-  * collapsing ~20× below arrival-order — the number that justifies
+  * collapsing far below arrival-order — the number that justifies
   * sorting before indexing.
   *
-  * Scale notes (100 TB): per layout, one shuffle by file id (the
-  * window key — files are bounded at 256 keys / 91 days, so every
-  * window partition is file-sized), a lag-based run-start flag, then
-  * a (file, value)-grained aggregate (map-side combine) joined to the
-  * |files|-row size relation (aggregate-sized, AQE-broadcast) and a
-  * 1-row rollup. The two layouts union; nothing data-sized crosses a
-  * single task. */
+  * Scale notes (100 TB): the clustered layout's file assignment is
+  * one Ranks.rowNumber pass (range-sliced — the true price of
+  * sorting before writing, stated honestly); per layout, one shuffle
+  * by file id (window partitions are ≤256 rows BY CONSTRUCTION on
+  * both layouts, and file count scales ∝ n/256), a lag-based
+  * run-start flag, then a (file, value)-grained aggregate (map-side
+  * combine) joined to the |files|-row size relation (aggregate-sized,
+  * AQE-broadcast) and a 1-row rollup. The two layouts union; nothing
+  * data-sized crosses a single task. */
 object Wave55Queries {
 
   private val Epoch = "1995-01-01"
   private val KeysPerFile = 256
-  private val DaysPerFile = 91
 
   /** Per-layout container sheet: fid = file id, pos = in-file order. */
   private def sheet(name: String, df: DataFrame, fid: Column,
@@ -84,8 +90,10 @@ object Wave55Queries {
           " AS BIGINT)").as("day"))
       val arrival = sheet("arrival", o,
         expr(s"o_orderkey div $KeysPerFile"), Seq(col("o_orderkey")))
-      val clustered = sheet("clustered", o,
-        expr(s"day div $DaysPerFile"), Seq(col("day"), col("o_orderkey")))
+      val ranked = Ranks.rowNumber(o.withColumn("_g", lit(0)), "_g",
+        Seq(col("day"), col("o_orderkey")), "rn")
+      val clustered = sheet("clustered", ranked,
+        expr(s"(CAST(rn AS BIGINT) - 1) div $KeysPerFile"), Seq(col("rn")))
       arrival.unionAll(clustered).orderBy(col("layout"))
     },
     Some {
@@ -121,7 +129,7 @@ object Wave55Queries {
                                    THEN 1 ELSE 0 END AS start
                             FROM (SELECT $fid AS fid,
                                     month(o_orderdate) AS m,
-                                    day, o_orderkey FROM ob))
+                                    day, o_orderkey, rn FROM ob))
                       GROUP BY 1, 2) fv
                 JOIN (SELECT $fid AS fid, CAST(count(*) AS BIGINT) AS frows
                       FROM ob GROUP BY 1) pf
@@ -129,11 +137,14 @@ object Wave55Queries {
       s"""WITH ob AS MATERIALIZED (
                SELECT o_orderkey, o_orderdate,
                       CAST(CAST(o_orderdate AS DATE) - DATE '$Epoch'
-                        AS BIGINT) AS day
+                        AS BIGINT) AS day,
+                      row_number() OVER (ORDER BY
+                        CAST(o_orderdate AS DATE) - DATE '$Epoch',
+                        o_orderkey) AS rn
                FROM orders)
           ${layout("arrival", s"o_orderkey // $KeysPerFile", "o_orderkey")}
           UNION ALL
-          ${layout("clustered", s"day // $DaysPerFile", "day, o_orderkey")}
+          ${layout("clustered", s"(rn - 1) // $KeysPerFile", "rn")}
           ORDER BY layout"""
     }
   )

@@ -261,7 +261,11 @@ class PlanShapeSpec extends SparkSpec {
 
   private val scalesWithData = Set(
     "user_id", "doc_id", "vec_id", "c_custkey", "o_custkey", "o_orderkey",
-    "l_orderkey", "ps", "psh", "token", "sig", "bucket", "cluster_id")
+    "l_orderkey", "ps", "psh", "token", "sig", "bucket", "cluster_id",
+    // file ids under the repo's size-capped layouts (q214/q225/q233
+    // convention: key div 256 or rank div 256) — file COUNT scales with
+    // data and every file partition is ≤256 rows by construction
+    "fid")
 
   /** The per-window scale-safety predicate behind the registry sweep.
     * WindowGroupLimit is attributed to the SPECIFIC window it bounds —
@@ -665,9 +669,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
-  test("q233 windows are file-keyed; the size join-back broadcasts") {
+  test("q233 run counting is file-keyed; the size join-back broadcasts") {
+    // both layouts' lag windows partition by fid (≤256-row partitions);
+    // the remaining unpartitioned windows are Ranks slice offsets over
+    // aggregates, which the registry tripwire adjudicates
     val (ws, lp) = windows("q233_bitmap_layout")
-    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), lp)
+    assert(ws.count(w => w.partitionSpec.exists(
+      _.references.exists(_.name == "fid"))) >= 2, lp)
     val p = plan("q233_bitmap_layout")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
@@ -678,6 +686,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q235 sketches heap-limit per source; pair grid broadcasts") {
+    val p = plan("q235_kmv_jaccard")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q236 builds both histograms from one rank pass; grids broadcast") {
+    val p = plan("q236_hist_quality")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q237 CUPED is two aggregates and 1-row broadcast arithmetic") {
+    val p = plan("q237_cuped")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {

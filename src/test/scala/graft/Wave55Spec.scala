@@ -13,11 +13,11 @@ class Wave55Spec extends SparkSpec {
         "CAST(o_orderdate AS DATE)")
       .collect().map(r => (r.getLong(0), r.getInt(1),
         r.getDate(2).toLocalDate.toEpochDay - epoch))
-    def sheet(name: String, fid: ((Long, Int, Long)) => Long,
-        ord: ((Long, Int, Long)) => (Long, Long)) = {
-      val files = rows.groupBy(fid)
-      val conts = files.toSeq.flatMap { case (_, fr) =>
-        val sorted = fr.sortBy(ord)
+    def sheet(name: String,
+        assigned: Seq[(Long, (Long, Int, Long))]) = {
+      val files = assigned.groupBy(_._1)
+      val conts = files.toSeq.flatMap { case (_, frk) =>
+        val sorted = frk.map(_._2)
         val frows = sorted.length.toLong
         val starts = sorted.zipWithIndex.map { case (r, i) =>
           (r._2, i == 0 || sorted(i - 1)._2 != r._2) }
@@ -38,9 +38,16 @@ class Wave55Spec extends SparkSpec {
         conts.count(_._7 == "array").toLong,
         conts.count(_._7 == "bitmap").toLong)
     }
+    // arrival: file = orderkey div 256, in-file order by orderkey;
+    // clustered: sort by (day, orderkey), cut a file every 256 rows
+    val arrivalAssigned = rows.toSeq.sortBy(_._1)
+      .map(r => (r._1 / 256, r))
+      .sortBy { case (f, r) => (f, r._1) }
+    val clusteredAssigned = rows.toSeq.sortBy(r => (r._3, r._1))
+      .zipWithIndex.map { case (r, i) => (i.toLong / 256, r) }
     val want = Seq(
-      sheet("arrival", r => r._1 / 256, r => (r._1, 0L)),
-      sheet("clustered", r => r._3 / 91, r => (r._3, r._1)))
+      sheet("arrival", arrivalAssigned),
+      sheet("clustered", clusteredAssigned))
     val got = SparkEntry.queries("q233_bitmap_layout")(spark, sfSmoke)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
