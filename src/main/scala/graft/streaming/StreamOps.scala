@@ -63,7 +63,8 @@ object StreamOps {
     "s29" -> "pqEncodeStream", "s30" -> "adcSearchStream",
     "s31" -> "tvdMonitorStream", "s32" -> "ivfadcEncodeStream",
     "s33" -> "streamStreamFullOuter", "s34" -> "fileStatsStream",
-    "s35" -> "hllSketchStream", "s36" -> "deletionVectorStream")
+    "s35" -> "hllSketchStream", "s36" -> "deletionVectorStream",
+    "s37" -> "cdcChunkStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -1733,5 +1734,27 @@ object StreamOps {
               bits.map(w => java.lang.Long.bitCount(w).toLong).sum))
           }
       }
+  }
+
+  final case class CdcOut(doc_id: Long, bmod: Long, k: Long, l: Long)
+
+  /** s37 — ingest-time content-defined chunking (streaming twin of batch
+    * q226's chunk formation): every arriving document runs the SAME
+    * native CdcChunks kernel as the batch curve — one md5 per token,
+    * all three boundary moduli, packed rolling-hash chunk keys — and
+    * emits its (bmod, chunk-key, len) rows. Stateless (chunk boundaries
+    * are per-document facts), so drained rows equal the batch kernel's
+    * output bit-for-bit under any batching; a downstream keyed count
+    * (the s01 shape) or the standing dedup index (s15) turns them into
+    * the live savings curve. StreamingSpec asserts stream ≡ batch. */
+  def cdcChunkStream(docs: Dataset[(Long, String)]): Dataset[CdcOut] = {
+    import docs.sparkSession.implicits._
+    graft.functions.CdcChunks.register(docs.sparkSession)
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.bmod").as("bmod"), col("c.k").as("k"),
+        col("c.l").as("l"))
+      .as[CdcOut]
   }
 }

@@ -709,6 +709,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q238 stump planner is one flag aggregate; grid arithmetic only") {
+    val p = plan("q238_gini_split")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q239 noisy histogram is 64 rows; exact rank is range-sliced") {
+    val p = plan("q239_dp_quantile")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {
     // r9 verdict task 1: the tokenize→explode→md5 chain must NOT appear
     // in the consuming plan — it ran exactly once into the materialized

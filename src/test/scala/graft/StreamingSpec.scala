@@ -1366,6 +1366,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("s37 streaming CDC chunks equal the batch kernel bit-for-bit") {
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.cdcChunkStream(input.toDS())
+      .writeStream.format("memory").queryName("s37out")
+      .outputMode("append").start()
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("s37out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    graft.functions.CdcChunks.register(spark)
+    val want = graft.sources.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.bmod"), col("c.k"), col("c.l"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == want)
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {
