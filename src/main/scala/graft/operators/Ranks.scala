@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Range-slice and PIN: one evaluation, one boundary set (see the
+    * object scaladoc — the two downstream reads must agree). */
+  private def pinSliced(df: DataFrame, keys: Seq[Column]): DataFrame =
+    graft.sources.Io.materialize(
+      df.repartitionByRange(keys: _*)
+        .withColumn("_slice", spark_partition_id()))
+
   /** Exact interpolated p-quantile per group (quantile_cont semantics:
     * value at position (n−1)p, linear interpolation between the two
     * straddling rows). Built on rowNumber, so the per-group sort runs as
@@ -106,9 +113,7 @@ object Ranks {
       values: Seq[(Column, String)]): DataFrame = {
     require(values.nonEmpty)
     val keys = col(group) +: orderCols
-    val sliced = values.zipWithIndex.foldLeft(
-      df.repartitionByRange(keys: _*)
-        .withColumn("_slice", spark_partition_id())) {
+    val sliced = values.zipWithIndex.foldLeft(pinSliced(df, keys)) {
       case (acc, ((v, _), i)) => acc.withColumn(s"_v$i", v)
     }
     val w = Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
@@ -152,10 +157,7 @@ object Ranks {
   def runningMax(df: DataFrame, group: String, orderCols: Seq[Column],
       value: Column, as: String): DataFrame = {
     val keys = col(group) +: orderCols
-    val sliced = df
-      .repartitionByRange(keys: _*)
-      .withColumn("_slice", spark_partition_id())
-      .withColumn("_v", value)
+    val sliced = pinSliced(df, keys).withColumn("_v", value)
     val local = sliced.withColumn("_run", max(col("_v")).over(
       Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -179,10 +181,7 @@ object Ranks {
       orderCols: Seq[Column], value: Column, rnAs: String,
       runAs: String): DataFrame = {
     val keys = col(group) +: orderCols
-    val sliced = df
-      .repartitionByRange(keys: _*)
-      .withColumn("_slice", spark_partition_id())
-      .withColumn("_v", value)
+    val sliced = pinSliced(df, keys).withColumn("_v", value)
     val w = Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
     val local = sliced
       .withColumn("_lrn", row_number().over(w))
@@ -207,9 +206,7 @@ object Ranks {
   def rowNumber(df: DataFrame, group: String, orderCols: Seq[Column],
       as: String): DataFrame = {
     val keys = col(group) +: orderCols
-    val sliced = df
-      .repartitionByRange(keys: _*)
-      .withColumn("_slice", spark_partition_id())
+    val sliced = pinSliced(df, keys)
     // rank within (slice, group): slices are bounded by the range
     // partitioner, so no window partition ever exceeds a slice
     val local = sliced.withColumn("_lrn", row_number().over(

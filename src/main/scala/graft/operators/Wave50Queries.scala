@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GQuery
 import graft.functions.TextOps
-import graft.sources.Tables
+import graft.sources.{Io, Tables}
 import org.apache.spark.sql.functions._
 
 /** Round-14 wave 50: q228 — hash-sample quantile accuracy audit.
@@ -43,9 +43,12 @@ object Wave50Queries {
       val li = Tables.lineitem(s, d).select(
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         col("l_orderkey"), col("l_linenumber"))
-      def ranked(df: org.apache.spark.sql.DataFrame) = Ranks.rowNumber(
-        df.withColumn("_g", lit(0)), "_g",
-        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), "rn")
+      // ranked output feeds TWO subtrees (the count aggregate and the
+      // rank probe) — materialize per the Ranks multi-consumer rule
+      // (WindowQueries q03 precedent; q233's sf1 row-loss lesson)
+      def ranked(df: org.apache.spark.sql.DataFrame) = Io.materialize(
+        Ranks.rowNumber(df.withColumn("_g", lit(0)), "_g",
+          Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), "rn"))
       def pick(df: org.apache.spark.sql.DataFrame, nAs: String,
           vAs: String) = {
         val r = ranked(df)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.GQuery
-import graft.sources.Tables
+import graft.sources.{Io, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,8 +90,13 @@ object Wave55Queries {
           " AS BIGINT)").as("day"))
       val arrival = sheet("arrival", o,
         expr(s"o_orderkey div $KeysPerFile"), Seq(col("o_orderkey")))
-      val ranked = Ranks.rowNumber(o.withColumn("_g", lit(0)), "_g",
-        Seq(col("day"), col("o_orderkey")), "rn")
+      // the ranked relation feeds BOTH the lag window and the per-file
+      // size aggregate — materialize, or the two evaluations of the
+      // range-slice decomposition can disagree (measured at sf1: rows
+      // dropped at the _slice join and parallelism-unstable runs)
+      val ranked = Io.materialize(
+        Ranks.rowNumber(o.withColumn("_g", lit(0)), "_g",
+          Seq(col("day"), col("o_orderkey")), "rn"))
       val clustered = sheet("clustered", ranked,
         expr(s"(CAST(rn AS BIGINT) - 1) div $KeysPerFile"), Seq(col("rn")))
       arrival.unionAll(clustered).orderBy(col("layout"))

@@ -52,8 +52,11 @@ object Wave58Queries {
       val li = Tables.lineitem(s, d).select(
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
         col("l_orderkey"), col("l_linenumber"))
-      val ranked = Ranks.rowNumber(li.withColumn("_g", lit(0)), "_g",
-        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rn")
+      // ranked feeds both histogram branches — materialize per the
+      // Ranks multi-consumer rule (the q233 sf1 lesson)
+      val ranked = graft.sources.Io.materialize(
+        Ranks.rowNumber(li.withColumn("_g", lit(0)), "_g",
+          Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rn"))
       val stats = li.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
         max(col("v")).as("hi"))
       val withStats = ranked.crossJoin(broadcast(stats))

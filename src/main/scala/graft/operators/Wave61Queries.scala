@@ -74,8 +74,11 @@ object Wave61Queries {
         .groupBy(col("x.p").as("p")).agg(min(col("b")).as("db"))
         .select(col("p"),
           (col("db") * Width + Width / 2).as("dp_cents"))
-      val ranked = Ranks.rowNumber(li.withColumn("_g", lit(0)), "_g",
-        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rn")
+      // ranked feeds the count aggregate and the rank probe —
+      // materialize per the Ranks multi-consumer rule (the q233 lesson)
+      val ranked = graft.sources.Io.materialize(
+        Ranks.rowNumber(li.withColumn("_g", lit(0)), "_g",
+          Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rn"))
       val ks = ranked.agg(count(lit(1)).as("n"))
         .select(explode(array(Ps.map(p => struct(lit(p).as("p"),
           expr(s"($p * n + 99) div 100").as("k"))): _*)).as("x"))
