@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop this query's transient materialization blocks (its write
+      // has completed; standing published artifacts are pinned and
+      // survive) — without this a full-registry sweep accumulates every
+      // query's checkpoint blocks for the whole session
+      graft.sources.Io.releaseTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

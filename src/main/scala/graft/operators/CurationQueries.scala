@@ -23,7 +23,7 @@ object CurationQueries {
   /** doc_id + token array as ATTRIBUTES (lambda bodies re-evaluate
     * non-attribute expressions per element — the split must be
     * materialized before any transform references it). */
-  private def withToks(s: SparkSession, d: String): DataFrame =
+  private[operators] def withToks(s: SparkSession, d: String): DataFrame =
     // fanOut before tokenize: every consumer runs a per-token kernel next
     graft.sources.Io.fanOut(
       Tables.documents(s, d).select(col("doc_id"), col("text")))
@@ -31,7 +31,7 @@ object CurationQueries {
 
   /** Non-distinct token trigrams (repetition counting needs occurrences,
     * unlike TextOps.shingles which dedups for set semantics). */
-  private def trigrams(toks: Column): Column =
+  private[operators] def trigrams(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i, lit(3)))))
@@ -40,7 +40,7 @@ object CurationQueries {
   /** Shared by q67/q70: doc_id, n_tokens, diversity (distinct/total
     * tokens), rep (duplicate-trigram fraction). All map-only — three
     * narrow projections, no shuffle. */
-  private def repetitionFeatures(s: SparkSession, d: String): DataFrame =
+  private[operators] def repetitionFeatures(s: SparkSession, d: String): DataFrame =
     withToks(s, d)
       .select(col("doc_id"), col("toks"), trigrams(col("toks")).as("tri"))
       .select(col("doc_id"),
@@ -536,8 +536,9 @@ object CurationQueries {
     *
     * Scale notes: features are map-only; the global prefix sum runs
     * through Ranks.runningSum (bounded range slices + broadcast offsets
-    * — never a single-task window; the feature relation is materialized
-    * first per the Ranks input contract); the phase aggregate is
+    * — never a single-task window; the decomposition pins its own slice
+    * boundaries internally, so the single-consumer feature relation
+    * needs no pre-materialization); the phase aggregate is
     * budget-bounded. Descending score order is encoded as an ascending
     * sort on the negated score (range partitioning samples ascending
     * bounds). */
@@ -546,13 +547,13 @@ object CurationQueries {
     "q108_curriculum_pack",
     (s, d) => {
       val t = tokens(col("text"))
-      val feats = Io.materialize(Io.fanOut(Tables.documents(s, d)).select(
+      val feats = Io.fanOut(Tables.documents(s, d)).select(
         col("doc_id"),
         size(t).cast("bigint").as("n_tokens"),
         round(lit(0.5) * (size(array_distinct(t)).cast("double") / size(t)) +
           lit(0.5) * least(size(t) / lit(200.0), lit(1.0)), 6).as("score"))
         .withColumn("neg_score", -col("score"))
-        .withColumn("g", lit("all")))
+        .withColumn("g", lit("all"))
       Ranks.runningSum(feats, "g", Seq(col("neg_score"), col("doc_id")),
           col("n_tokens"), "cum_tokens")
         .select(col("doc_id"), col("n_tokens"), col("score"),

@@ -65,8 +65,15 @@ object DedupQueries {
     kind + "|" + s.sparkContext.applicationId + "|" + d
   private def publishIndex(kind: String, s: SparkSession, d: String)
       (build: => DataFrame): DataFrame = {
-    val rel = Io.materialize(build)
-    publishedIndex.put(indexKey(kind, s, d), rel)
+    // pinned: the published relation outlives the producing query (the
+    // whole point of the family). Re-publishing unpersists the DISPLACED
+    // relation's blocks immediately — producers re-publish every bench
+    // rep, and before this the stale corpus-sized postings/bands/pairs
+    // of every prior rep sat in the block manager until a driver GC
+    // cycle that a bench session never reaches (r14 drift root cause).
+    val rel = Io.materializePinned(build)
+    val old = publishedIndex.put(indexKey(kind, s, d), rel)
+    if (old != null) Io.unpersistMaterialized(old)
     rel
   }
   private def indexFor(kind: String, s: SparkSession, d: String)
@@ -77,8 +84,11 @@ object DedupQueries {
     // callers both materialize, first wins) costs one duplicate build.
     val key = indexKey(kind, s, d)
     Option(publishedIndex.get(key)).getOrElse {
-      val rel = Io.materialize(build)
-      Option(publishedIndex.putIfAbsent(key, rel)).getOrElse(rel)
+      val rel = Io.materializePinned(build)
+      Option(publishedIndex.putIfAbsent(key, rel)) match {
+        case Some(winner) => Io.unpersistMaterialized(rel); winner
+        case None => rel
+      }
     }
   }
 
@@ -352,11 +362,14 @@ object DedupQueries {
     Graph.connectedComponents(minhashPairs(s, d), "doc1", "doc2",
       vertexOut = "doc_id", componentOut = "cluster_id")
   private def publishLabels(s: SparkSession, d: String): DataFrame = {
-    // materialize: the published relation is vertex-sized (16 bytes/row)
-    // and must be a block scan for consumers — re-deriving it would rerun
-    // the whole CC loop, the exact duplication this cache removes
-    val labels = graft.sources.Io.materialize(computeLabels(s, d))
-    publishedLabels.put(labelKey(s, d), labels)
+    // materializePinned: the published relation is vertex-sized (16
+    // bytes/row), must be a block scan for consumers — re-deriving would
+    // rerun the whole CC loop — and outlives the producing query. The
+    // displaced prior publication's blocks are released on replace
+    // (q60 re-publishes every bench rep).
+    val labels = graft.sources.Io.materializePinned(computeLabels(s, d))
+    val old = publishedLabels.put(labelKey(s, d), labels)
+    if (old != null) graft.sources.Io.unpersistMaterialized(old)
     labels
   }
   private def labelsFor(s: SparkSession, d: String): DataFrame =

@@ -98,6 +98,12 @@ object Graph {
     var labels = cached
     var changed = 1L
     var rounds = 0
+    // previous round's checkpoint: once a NEWER checkpoint completes
+    // (self-contained by construction) and the round's cache swap is
+    // done, nothing live references the older blocks — release them
+    // instead of letting every iteration's vertex-sized relation pile
+    // up in the block manager for the query's lifetime
+    var prevCkpt: Option[DataFrame] = None
     while (changed > 0 && rounds < maxRounds) {
       // label edges both ways: (v -> l(v)) makes the neighbor-min include
       // the pointer jump l(l(v)); (l(v) -> v) hooks a label vertex onto
@@ -116,13 +122,18 @@ object Graph {
       rounds += 1
       // eager truncation: without it the plan for round N contains every
       // prior round's join tree and planning time grows superlinearly
-      if (rounds % ckptEvery == 0)
+      val ckptThisRound = rounds % ckptEvery == 0
+      if (ckptThisRound)
         updated = graft.sources.Io.materialize(updated)
       val mat = updated.persist()
       changed = mat.filter(col("chg")).count()
       cached.unpersist()
       cached = mat
       labels = mat.select(col("gv"), col("gl"))
+      if (ckptThisRound) {
+        prevCkpt.foreach(graft.sources.Io.unpersistMaterialized)
+        prevCkpt = Some(updated)
+      }
     }
     if (changed > 0) sys.error(
       s"Graph.connectedComponents: no fixpoint after $maxRounds rounds — " +
@@ -190,6 +201,10 @@ object Graph {
     val r0 = scale / n
     val teleport = 15L * r0 / 100L
     var rank = nodes.select(col("gu"), lit(r0).as("rank"))
+    // release each rank checkpoint once a newer self-contained one
+    // exists (the CC-loop discipline): intermediate iterations derive
+    // only from the latest checkpoint, never an older one
+    var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = rank.join(deg, "gu")
         .select(col("gu"), expr("rank div deg").as("c"))
@@ -200,8 +215,12 @@ object Graph {
           (lit(teleport) +
             expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
       rank =
-        if (i % matEvery == 0 || i == iters) graft.sources.Io.materialize(next)
-        else next
+        if (i % matEvery == 0 || i == iters) {
+          val m = graft.sources.Io.materialize(next)
+          prevCkpt.foreach(graft.sources.Io.unpersistMaterialized)
+          prevCkpt = if (i == iters) None else Some(m)
+          m
+        } else next
     }
     rank.select(col("gu").as("vertex"), col("rank").as("rank_scaled"))
   }

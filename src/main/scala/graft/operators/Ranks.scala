@@ -19,16 +19,23 @@ import org.apache.spark.sql.functions._
   * `orderCols` is a total order within each group (the same requirement
   * any deterministic row_number has).
   *
-  * INPUT CONTRACT: `df` must evaluate deterministically INCLUDING
-  * per-partition row order — a file scan (possibly projected/filtered)
-  * qualifies; the output of a shuffle (aggregate/join) does not. The
-  * decomposition references the range-sliced relation twice (local ranks
-  * and slice offsets), exchange reuse does not fire for the two branches,
-  * and `_slice` labels come from spark_partition_id() over a sampled
-  * range exchange — re-evaluating a relation whose row order is unstable
-  * can slice the two branches differently and silently drop rows at the
-  * `_slice` join. For shuffled inputs, materialize first (persist /
-  * write) or compute on a bounded derived relation instead (see q71).
+  * EVALUATION: the decomposition references the range-sliced relation
+  * twice (local ranks and slice offsets), exchange reuse does not fire
+  * for the two branches, and `_slice` labels come from
+  * spark_partition_id() over a SAMPLED range exchange — two independent
+  * evaluations could sample different boundaries and silently drop rows
+  * at the `_slice` join. The decomposition therefore PINS its own slice
+  * boundaries: pinSliced materializes the sliced relation
+  * (Io.materialize) so both branches read one block-backed evaluation.
+  * Callers need no input pre-materialization for correctness — any
+  * deterministic-or-not input is safe.
+  *
+  * MULTI-CONSUMER OUTPUT: what callers still own is the ranked OUTPUT's
+  * reuse — a query that feeds the SAME ranked relation to several
+  * downstream consumers re-runs the rank per consumer unless it
+  * materializes the output once (the q233 lesson: its first layout
+  * re-derived a data-sized rank per consumer; the rebuilt version
+  * materializes one bounded relation).
   */
 object Ranks {
 
@@ -151,9 +158,9 @@ object Ranks {
     * the k-row offsets relation and rejoins broadcast. The first slice
     * of each group has no predecessor — its offset is null and the
     * coalesce falls back to the local value, so no sentinel minimum is
-    * ever invented (which would have to be type-dependent). Same input
-    * contract as runningSum (deterministic per-partition row order —
-    * materialize shuffled inputs first). */
+    * ever invented (which would have to be type-dependent). Slice
+    * boundaries are pinned internally like every other entry point —
+    * no caller-side pre-materialization needed. */
   def runningMax(df: DataFrame, group: String, orderCols: Seq[Column],
       value: Column, as: String): DataFrame = {
     val keys = col(group) +: orderCols

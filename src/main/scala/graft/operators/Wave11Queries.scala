@@ -198,19 +198,18 @@ object Wave11Queries {
     * single-tasking the whole relation — ADVICE r7). Both running sums
     * ride ONE Ranks.runningSums pass instead: range-sliced local prefix
     * sums + a k-row broadcast offset relation, the same decomposition as
-    * q65, materialized first per the Ranks input contract (the aggregate
-    * output is shuffled, and the decomposition reads it twice). Then a
+    * q65 (the decomposition pins its own slice boundaries internally —
+    * no pre-materialization needed for its single consumer). Then a
     * 1-row (n_a, n_b) broadcast and two 1-row reductions. */
   private val q141 = GQuery(
     "q141_ks_test",
     (s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
-      val counts = graft.sources.Io.materialize(
-        ev.groupBy(col("value"))
-          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
-            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
-          .withColumn("_g", lit(0)))
+      val counts = ev.groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+        .withColumn("_g", lit(0))
       val perValue = Ranks.runningSums(counts, "_g", Seq(col("value")),
         Seq(col("ca") -> "cuma", col("cb") -> "cumb")).drop("_g")
       val totals = ev.agg(

@@ -201,8 +201,12 @@ object Wave29Queries {
         // task 4 — the standing artifact's memory must be accountable
         // and releasable, not a session-lifetime leak)
         val before = s.sparkContext.getPersistentRDDs.keySet
+        // pinned: the serving index outlives the building query by
+        // design (q203/q211 consume it across the whole session);
+        // releaseServingIndex drops exactly these ids when retired
         val built = buildIndex(s, d).map { idx =>
-          idx.copy(coded = Io.materialize(idx.coded.repartition(col("cid"))))
+          idx.copy(coded =
+            Io.materializePinned(idx.coded.repartition(col("cid"))))
         }
         val ids = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
         (built, ids)

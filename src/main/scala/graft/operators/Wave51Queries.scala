@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): one groupBy(cents) aggregate (map-side
   * combine) — the relation the scan walks is price-DOMAIN-sized, not
   * row-sized; the prefix max rides Ranks.runningMax (range-sliced
-  * local maxima + k-row broadcast offsets — never one task), with the
-  * aggregate MATERIALIZED first per the Ranks input contract (shuffled
-  * inputs must pin their row order). The surviving frontier is
+  * local maxima + k-row broadcast offsets — never one task; the
+  * decomposition pins its own slice boundaries internally, so the
+  * single-consumer aggregate needs no pre-materialization). The
+  * surviving frontier is
   * strictly decreasing in day, so its size is bounded by the DAY
   * domain (a calendar constant, ~10^3) — broadcast back to orders is
   * safe by construction, not by luck. */
@@ -51,9 +52,8 @@ object Wave51Queries {
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
         expr(s"CAST(datediff(CAST(o_orderdate AS DATE), date'$Epoch')" +
           " AS BIGINT)").as("day"))
-      val perC = Io.materialize(
-        o.groupBy(col("cents")).agg(max(col("day")).as("maxd"))
-          .withColumn("_g", lit(0)))
+      val perC = o.groupBy(col("cents")).agg(max(col("day")).as("maxd"))
+        .withColumn("_g", lit(0))
       val run = Ranks.runningMax(perC, "_g", Seq(col("cents").desc),
         col("maxd") * Pack + col("cents"), "pmax")
       val reps = run

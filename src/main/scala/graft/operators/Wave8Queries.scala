@@ -285,9 +285,11 @@ object Wave8Queries {
     * runs on identical values in both engines.
     *
     * Scale notes: one user-keyed aggregate (map-side combine), two rank
-    * passes over the |users|-sized relation (materialized once — the
-    * Ranks input contract), and a 1-row broadcast of (med, mad) back to
-    * the relation. Nothing data-sized in any reduce task. */
+    * passes over the |users|-sized relation — materialized once because
+    * it has MULTIPLE consumers (the quantile pass and the later join;
+    * Ranks itself pins its slice boundaries internally) — and a 1-row
+    * broadcast of (med, mad) back to the relation. Nothing data-sized in
+    * any reduce task. */
   private val q130 = GQuery(
     "q130_mad_outliers",
     (s, d) => {

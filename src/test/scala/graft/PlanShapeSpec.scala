@@ -616,6 +616,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q221 HLL registers max-combine map-side; no window anywhere") {
+    // the register relation is the production merge unit: max(rho) must
+    // partial-aggregate before the (grp, idx) shuffle, and nothing in
+    // the sketch side may plan a window (a rank-based register fold
+    // would single-task each group)
+    val (ws, lp) = windows("q221_hll_audit")
+    assert(ws.isEmpty, lp)
+    val p = plan("q221_hll_audit")
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q222 caps attempts at rank 16 via WindowGroupLimit, user-partitioned") {
+    val (ws, lp) = windows("q222_passk")
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), lp)
+    val p = plan("q222_passk")
+    // the rn <= 16 filter must push into the window as a group limit so
+    // each task keeps 16 rows per user map-side
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q223 prefix buckets are map-only into aggregates: no join, no window") {
+    val (ws, lp) = windows("q223_prefix_cache")
+    assert(ws.isEmpty, lp)
+    val p = plan("q223_prefix_cache")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q224 ring/HRW assignment stays fused: one scan, no join of any kind") {
+    val (ws, lp) = windows("q224_ring_rebalance")
+    assert(ws.isEmpty, lp)
+    val p = plan("q224_ring_rebalance")
+    // both owner computations are per-row expressions over the one
+    // orders scan (typedLit ring + native HrwPack) — a point-relation
+    // join formulation would plan a CartesianProduct/BNLJ here
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q225 deletion census is map-only into a |files|-row aggregate") {
+    val (ws, lp) = windows("q225_deletion_vectors")
+    assert(ws.isEmpty, lp)
+    val p = plan("q225_deletion_vectors")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q226 chunks form map-side: partial counts, no window, no data-sized join") {
     val (ws, lp) = windows("q226_cdc_chunks")
     assert(ws.isEmpty, lp)
@@ -720,6 +769,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q240 pipeline tokenizes once (materialized), shingle probes broadcast") {
+    val (ws, lp) = windows("q240_curation_e2e")
+    assert(ws.isEmpty, lp)
+    val p = plan("q240_curation_e2e")
+    // the five consumers read the one materialized feature relation,
+    // not five re-tokenizations of the corpus scan
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {

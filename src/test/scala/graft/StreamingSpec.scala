@@ -1394,6 +1394,132 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  private def tusOf(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  test("s38 attribution emits once the watermark passes the purchase") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("s38_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 0), ev(2, 10),
+        ev(3, 20, typ = "purchase", value = 5.0),
+        ev(4, 25, typ = "purchase", value = 2.0),
+        ev(5, 30, user = 9L, typ = "purchase", value = 1.0))
+      q.processAllAvailable()
+      // nothing can emit yet: the watermark has not passed any purchase
+      assert(spark.table("s38_out").isEmpty)
+      input.addData(ev(6, 1200, user = -1L, typ = "noop"))
+      q.processAllAvailable()
+      val rows = spark.table("s38_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getDouble(5))).toSet
+      assert(rows == Set(
+        (1L, 3L, Some(tusOf(ts(0))), Some(tusOf(ts(10))), 5.0),
+        (1L, 4L, Some(tusOf(ts(0))), Some(tusOf(ts(10))), 2.0),
+        (9L, 5L, None, None, 1.0)), rows.mkString(", "))
+    } finally q.stop()
+  }
+
+  test("s38 drained attribution equals the batch q231 window relation") {
+    val evs = graft.sources.Tables.events(spark, sfSmoke)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (tusOf(e.ts), e.event_id))
+    val L = 7L * 86400L * 1000000L
+    val clicksBy = evs.filter(_.event_type == "click")
+      .groupBy(_.user_id).map { case (u, es) => u -> es.map(e => tusOf(e.ts)) }
+    val want = evs.filter(_.event_type == "purchase").map { p =>
+      val pt = tusOf(p.ts)
+      val in = clicksBy.getOrElse(p.user_id, Array.empty[Long])
+        .filter(c => c >= pt - L && c <= pt)
+      (p.user_id, p.event_id, pt,
+        if (in.isEmpty) None else Some(in.min),
+        if (in.isEmpty) None else Some(in.max), p.value)
+    }.toSet
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("s38_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // time-ordered slices: by the time the watermark passes a purchase,
+      // every lookback click has arrived — the op's stated contract
+      evs.grouped(evs.length / 3 + 1).foreach { slice =>
+        input.addData(slice.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val far = new Timestamp(evs.last.ts.getTime + 86400L * 1000L)
+      input.addData(Ev(-1L, far, -1L, "noop", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s38_twin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getDouble(5))).toSet
+    assert(got == want)
+  }
+
+  test("s38 crash-replay re-emits identical attributions (versioned state)") {
+    val dir = java.nio.file.Files.createTempDirectory("s38_crash").toString
+    val in = s"$dir/in"
+    val evs = graft.sources.Tables.events(spark, sfSmoke)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (tusOf(e._2), e._1))
+    val far = new Timestamp(evs.last._2.getTime + 86400L * 1000L)
+    val slices = evs.grouped(evs.length / 2 + 1).toSeq :+
+      Array((-1L, far, -1L, "noop", 0.0))
+    def feed(i: Int): Unit = feedFile(
+      slices(i).toSeq.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      in, s"f$i")
+    // append-mode sink (attributionStream is an Append fMGWS op;
+    // updateSink's update mode is rejected by the analyzer)
+    def appendSink(ds: org.apache.spark.sql.Dataset[_], outDir: String) =
+      ds.toDF().writeStream
+        .option("checkpointLocation", s"$outDir/_ckpt")
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          batch.withColumn("_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch").parquet(s"$outDir/rows")
+        }
+        .start()
+    def start() = appendSink(StreamOps.attributionStream(
+      spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(in).as[Ev]),
+      s"$dir/out")
+    feed(0)
+    val q1 = start()
+    try { q1.processAllAvailable(); feed(1); q1.processAllAvailable() }
+    finally q1.stop()
+    dropLastCommit(s"$dir/out/_ckpt")
+    val q2 = start()
+    try { q2.processAllAvailable(); feed(2); q2.processAllAvailable() }
+    finally q2.stop()
+    val rows = spark.read.parquet(s"$dir/out/rows")
+      .select("user_id", "event_id", "p_tus", "first_click", "last_click")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    // exactly one attribution per purchase, crash or no crash
+    rows.groupBy(_._2).foreach { case (id, vs) =>
+      assert(vs.distinct.length == 1, s"divergent replay for purchase $id")
+    }
+    val purchases = evs.count(_._4 == "purchase")
+    assert(rows.map(_._2).distinct.length == purchases,
+      s"${rows.map(_._2).distinct.length} attributed != $purchases purchases")
+  }
+
   test("streaming sinks -> Io.compact -> latestSnapshot: end-to-end maintenance") {
     import graft.sources.Io
     def files(p: String): Seq[java.io.File] = {

@@ -41,7 +41,11 @@ class Wave48Spec extends SparkSpec {
     val texts = graft.sources.Tables.documents(spark, sfSmoke)
       .select("text").collect().map(_.getString(0))
     val want = Seq(4, 8, 16).map { b =>
-      val inst = texts.toSeq.flatMap(t => chunksOf(t.split(" "), b))
+      // limit -1: keep trailing empty tokens, matching the CdcChunks
+      // kernel's documented split semantics (Spark split / DuckDB
+      // string_split keep them too; Java's default limit 0 drops them,
+      // which would falsely fail the kernel on a space-terminated doc)
+      val inst = texts.toSeq.flatMap(t => chunksOf(t.split(" ", -1), b))
       val perChunk = inst.groupBy(_._1).toSeq.map { case (_, xs) =>
         (xs.size.toLong, xs.head._2) }
       val total = perChunk.map(x => x._1 * x._2).sum
