@@ -782,6 +782,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q241 alpha is explode -> small-group aggregate: no join, no window") {
+    val (ws, lp) = windows("q241_krippendorff")
+    assert(ws.isEmpty, lp)
+    val p = plan("q241_krippendorff")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {
     // r9 verdict task 1: the tokenize→explode→md5 chain must NOT appear
     // in the consuming plan — it ran exactly once into the materialized
