@@ -37,6 +37,9 @@ import org.apache.spark.sql.functions._
 object Wave47Queries {
 
   private[graft] val KeysPerFile = 256
+  // file_id = floorDiv(k, KeysPerFile) computed as an arithmetic shift
+  private val FileShift = 8
+  assert(KeysPerFile == (1 << FileShift))
   private[graft] val DelMod = 20
   private val ThresholdsPpm = Seq(30000L, 60000L, 90000L)
 
@@ -45,7 +48,13 @@ object Wave47Queries {
     (s, d) => {
       val files = Tables.orders(s, d)
         .select(col("o_orderkey").as("k"))
-        .select(expr(s"k div $KeysPerFile").as("file_id"),
+        // floor semantics, matching s36 deletionVectorStream's
+        // floorDiv(k, KeysPerFile): an arithmetic right shift IS
+        // floorDiv for the power-of-two file size, so batch and stream
+        // agree on (file, offset) for any key sign — `div` truncates
+        // and would diverge on negative keys (fixture keys are
+        // positive; the contract shouldn't depend on that)
+        .select(shiftright(col("k"), FileShift).as("file_id"),
           (pmod(TextOps.shingleHash60(
             concat(col("k").cast("string"), lit(":del"))), lit(DelMod))
             === 0).cast("long").as("del"))

@@ -68,7 +68,12 @@ object Wave63Queries {
           sum(expr("(2 * n1 * (m - n1)) div (m - 1)")).as("d_sum"))
         .select(col("n_items"), col("n_vals"), col("n_pos"), col("d_sum"),
           when(col("n_pos") > 0 && col("n_pos") < col("n_vals"),
-            round(lit(1.0) - (col("d_sum") * (col("n_vals") - 1))
+            // numerator in double: a long*long product here silently
+            // wraps in Spark (non-ANSI) at very large corpora where
+            // DuckDB would raise — casting d_sum first keeps the one-
+            // double-division discipline overflow-free on both engines
+            // (exact in double at any fixture scale, < 2^53)
+            round(lit(1.0) - (col("d_sum").cast("double") * (col("n_vals") - 1))
               / (lit(2.0) * col("n_pos") * (col("n_vals") - col("n_pos"))),
               6))
             .as("alpha"))
@@ -91,7 +96,7 @@ object Wave63Queries {
                   FROM it)
           SELECT n_items, n_vals, n_pos, d_sum,
                  CASE WHEN n_pos > 0 AND n_pos < n_vals
-                      THEN round(1.0 - (d_sum * (n_vals - 1))
+                      THEN round(1.0 - (CAST(d_sum AS DOUBLE) * (n_vals - 1))
                              / (2.0 * n_pos * (n_vals - n_pos)), 6)
                  END AS alpha
           FROM agg""")

@@ -51,7 +51,11 @@ object Io {
     * serving index, streaming static relations) use
     * [[materializePinned]], which is identical but exempt; a replaced
     * standing artifact is released precisely via
-    * [[unpersistMaterialized]].
+    * [[unpersistMaterialized]]. The accounting covers BOTH checkpoint
+    * modes: local mode tracks the persisted RDD id, reliable mode
+    * tracks the relation's checkpoint directory (df.checkpoint
+    * registers no persistent RDD — its blocks are files), and release
+    * drops whichever the relation owns.
     *
     * Safety: unpersisting a checkpointed relation makes it
     * UNRECOMPUTABLE (lineage is truncated by design), so release sites
@@ -68,57 +72,121 @@ object Io {
   def materializePinned(df: DataFrame): DataFrame =
     materialize0(df, pinned = true)
 
-  // Accounting state. The monitor is held across the eager checkpoint
-  // job so concurrent materialize calls cannot interleave their
-  // persistent-RDD-id before/after snapshots (the id diff is how the new
-  // blocks are attributed — the proven Wave29 servingIndex pattern,
-  // centralized). Reentrant (nested materialize inside a pinned build is
-  // fine); all call sites are driver-side operator construction.
+  // Accounting state (r16 rework, closing three r15 advisories):
+  //  - attribution is EXACT: the Dataset returned by checkpoint /
+  //    localCheckpoint scans a LogicalRDD whose `rdd` IS the relation
+  //    Spark persisted (local mode) or wrote to the checkpoint dir
+  //    (reliable mode) — so we read that id/path directly instead of
+  //    diffing getPersistentRDDs around the job. A user cache that
+  //    happens to populate during the checkpoint job can no longer be
+  //    misattributed as a transient block, and the monitor now guards
+  //    only registry mutation (concurrent materializations run their
+  //    checkpoint jobs unserialized).
+  //  - registries are scoped to the SparkContext: RDD ids restart at 0
+  //    in a fresh context, so a stale registry from a stopped context
+  //    could release an unrelated (unrecomputable) block. Any entrypoint
+  //    observing a different applicationId clears the registries first.
+  //  - reliable mode is tracked by CHECKPOINT PATH: df.checkpoint
+  //    registers no persistent RDD (the blocks are files under
+  //    <dir>/rdd-<id>), so release deletes those directories. The
+  //    release contract is identical to local mode — the relation is
+  //    unreadable afterwards — and without it a long session under
+  //    reliableCheckpoint=true accumulates every transient's files.
   private val lock = new Object
+  private var appIdSeen: String = null
   private val transientIds = scala.collection.mutable.LinkedHashSet.empty[Int]
-  private val idsByDf = new java.util.WeakHashMap[DataFrame, Set[Int]]()
+  private val transientCkpts = scala.collection.mutable.LinkedHashSet.empty[String]
+  private val trackByDf =
+    new java.util.WeakHashMap[DataFrame, (Set[Int], Set[String])]()
 
-  private def materialize0(df: DataFrame, pinned: Boolean): DataFrame =
+  // Under `lock`: forget a stopped context's bookkeeping before touching
+  // a new one (ids/paths from the old context must never be released
+  // against the new one).
+  private def resetIfNewApp(sc: org.apache.spark.SparkContext): Unit = {
+    val app = sc.applicationId
+    if (appIdSeen != app) {
+      transientIds.clear(); transientCkpts.clear(); trackByDf.clear()
+      appIdSeen = app
+    }
+  }
+
+  private def materialize0(df: DataFrame, pinned: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val reliable =
+      spark.conf.getOption(ReliableCheckpointKey).exists(_.toBoolean)
+    if (reliable && sc.getCheckpointDir.isEmpty)
+      spark.conf.getOption(CheckpointDirKey) match {
+        case Some(dir) => sc.setCheckpointDir(dir)
+        case None => sys.error(
+          s"$ReliableCheckpointKey=true requires a checkpoint dir: set " +
+            s"$CheckpointDirKey or call sparkContext.setCheckpointDir")
+      }
+    val out =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val rdd = out.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.getOrElse(throw new IllegalStateException(
+      "materialize: checkpoint did not return a LogicalRDD scan — " +
+        "block accounting cannot attribute the new relation " +
+        s"(plan: ${out.queryExecution.analyzed.nodeName})"))
+    val ids: Set[Int] = if (reliable) Set.empty else Set(rdd.id)
+    val paths: Set[String] =
+      if (reliable) rdd.getCheckpointFile.toSet else Set.empty
     lock.synchronized {
-      val spark = df.sparkSession
-      val sc = spark.sparkContext
-      val reliable =
-        spark.conf.getOption(ReliableCheckpointKey).exists(_.toBoolean)
-      if (reliable && sc.getCheckpointDir.isEmpty)
-        spark.conf.getOption(CheckpointDirKey) match {
-          case Some(dir) => sc.setCheckpointDir(dir)
-          case None => sys.error(
-            s"$ReliableCheckpointKey=true requires a checkpoint dir: set " +
-              s"$CheckpointDirKey or call sparkContext.setCheckpointDir")
-        }
-      val before = sc.getPersistentRDDs.keySet
-      val out =
-        if (reliable) df.checkpoint(eager = true)
-        else df.localCheckpoint(eager = true)
-      val ids = (sc.getPersistentRDDs.keySet -- before).toSet
-      idsByDf.put(out, ids)
-      if (!pinned) transientIds ++= ids
-      out
+      resetIfNewApp(sc)
+      trackByDf.put(out, (ids, paths))
+      if (!pinned) { transientIds ++= ids; transientCkpts ++= paths }
+    }
+    out
+  }
+
+  // Delete reliable-checkpoint directories (<ckptDir>/rdd-<id>) through
+  // the Hadoop FS API so the path scheme (local, HDFS, object store)
+  // resolves the same way the writer's did.
+  private def deleteCkptDirs(spark: SparkSession, paths: Iterable[String]): Unit =
+    paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
     }
 
   /** Drop every TRANSIENT materialization's blocks (everything created
     * by [[materialize]] since the last release; pinned artifacts are
-    * untouched). Call at a point where no live plan references them —
-    * Bench and Verify call this after each query completes. */
-  def releaseTransient(spark: SparkSession): Unit = lock.synchronized {
+    * untouched). In reliable-checkpoint mode the "blocks" are the
+    * relation's checkpoint files, which are deleted the same way. Call
+    * at a point where no live plan references them — Bench and Verify
+    * call this after each query completes. */
+  def releaseTransient(spark: SparkSession): Unit = {
+    val (ids, paths) = lock.synchronized {
+      resetIfNewApp(spark.sparkContext)
+      val snap = (transientIds.toList, transientCkpts.toList)
+      transientIds.clear(); transientCkpts.clear()
+      snap
+    }
     val live = spark.sparkContext.getPersistentRDDs
-    transientIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-    transientIds.clear()
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    deleteCkptDirs(spark, paths)
   }
 
   /** Release the blocks of ONE materialized relation (pinned or not) —
     * the replace path for standing artifacts: publish the rebuilt
-    * relation first, then unpersist the one it displaced. */
-  def unpersistMaterialized(df: DataFrame): Unit = lock.synchronized {
-    Option(idsByDf.remove(df)).foreach { ids =>
+    * relation first, then unpersist the one it displaced. Deletes the
+    * relation's checkpoint directory in reliable mode. */
+  def unpersistMaterialized(df: DataFrame): Unit = {
+    val tracked = lock.synchronized {
+      resetIfNewApp(df.sparkSession.sparkContext)
+      val t = Option(trackByDf.remove(df))
+      t.foreach { case (ids, paths) =>
+        transientIds --= ids; transientCkpts --= paths
+      }
+      t
+    }
+    tracked.foreach { case (ids, paths) =>
       val live = df.sparkSession.sparkContext.getPersistentRDDs
       ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-      transientIds --= ids
+      deleteCkptDirs(df.sparkSession, paths)
     }
   }
 

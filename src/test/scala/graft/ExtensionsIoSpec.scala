@@ -96,15 +96,34 @@ class ExtensionsIoSpec extends SparkSpec {
   }
 
   test("bucketed tables join and aggregate with zero exchange") {
+    // suite-unique table names: JoinSemanticsSpec writes its own bucketed
+    // tables, and under parallel forked test groups the two suites share
+    // the on-disk warehouse but NOT the in-memory catalog — a shared name
+    // hits LOCATION_ALREADY_EXISTS across JVMs. Pre-clean stale managed
+    // locations a crashed prior run may have left (same JVM-split reason:
+    // DROP TABLE in another JVM's catalog never deletes this dir).
+    spark.sql("DROP TABLE IF EXISTS b_io_orders")
+    spark.sql("DROP TABLE IF EXISTS b_io_lineitem")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_io_orders", "b_io_lineitem").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     val orders = graft.sources.Tables.orders(spark, sfSmoke)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val lineitem = graft.sources.Tables.lineitem(spark, sfSmoke)
       .select(col("l_orderkey"), col("l_quantity"))
-    Io.writeBucketed(orders, "b_orders", "o_orderkey", 8)
-    Io.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 8)
+    Io.writeBucketed(orders, "b_io_orders", "o_orderkey", 8)
+    Io.writeBucketed(lineitem, "b_io_lineitem", "l_orderkey", 8)
     try {
-      val bo = spark.table("b_orders")
-      val bl = spark.table("b_lineitem")
+      val bo = spark.table("b_io_orders")
+      val bl = spark.table("b_io_lineitem")
       // co-located join: the write-time clustering replaces the per-query
       // shuffle on both sides (broadcast suppressed to prove it)
       val joined = bo.hint("merge")
@@ -121,8 +140,8 @@ class ExtensionsIoSpec extends SparkSpec {
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
         agg.queryExecution.executedPlan.toString)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_io_orders")
+      spark.sql("DROP TABLE IF EXISTS b_io_lineitem")
       ()
     }
   }
@@ -293,5 +312,63 @@ class ExtensionsIoSpec extends SparkSpec {
       assert(mapStages >= 1, r)       // the scan/partial-agg stage
       assert(reduceStages >= 1, r)    // the final-agg stage after shuffle
     } finally spark.sparkContext.removeSparkListener(pt)
+  }
+
+  test("attribution is exact: a user cache populated during a checkpoint " +
+      "job is not claimed as transient") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def liveIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    Io.releaseTransient(spark) // quiesce earlier suites' transients
+    // lazy cache whose InMemoryRelation populates (and so registers its
+    // persistent RDD) INSIDE the eager checkpoint job below — the r15
+    // misattribution scenario for before/after id diffing
+    val cached = (1 to 1000).toDF("x").cache()
+    val m = Io.materialize(cached.groupBy((col("x") % 10).as("g")).count())
+    val afterMat = liveIds
+    Io.releaseTransient(spark)
+    val released = afterMat -- liveIds
+    val ckptId = m.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.get
+    assert(released == Set(ckptId),
+      s"releaseTransient dropped $released; expected exactly the " +
+        s"checkpoint RDD $ckptId (user cache must be spared)")
+    assert(cached.count() == 1000)
+    cached.unpersist()
+  }
+
+  test("reliable-mode release deletes transient checkpoint dirs, spares " +
+      "pinned until replaced") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_rel").toString
+    def rddDirs: Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles().toSeq.flatMap(walk) :+ f
+        else Seq(f)
+      walk(new java.io.File(ckptDir)).filter(f =>
+        f.isDirectory && f.getName.startsWith("rdd-"))
+    }
+    try {
+      spark.conf.set(Io.ReliableCheckpointKey, "true")
+      spark.sparkContext.setCheckpointDir(ckptDir)
+      Io.releaseTransient(spark) // quiesce (earlier local-mode transients)
+      val t = Io.materialize((1 to 100).toDF("a"))
+      val p = Io.materializePinned((1 to 200).toDF("b"))
+      assert(t.count() == 100 && p.count() == 200)
+      assert(rddDirs.size == 2, s"expected 2 checkpoint dirs, got $rddDirs")
+      Io.releaseTransient(spark)
+      assert(rddDirs.size == 1,
+        "transient checkpoint dir not deleted (or pinned dir deleted)")
+      // pinned relation still readable from its checkpoint files
+      assert(p.count() == 200)
+      Io.unpersistMaterialized(p)
+      assert(rddDirs.isEmpty,
+        "replaced pinned relation's checkpoint dir not deleted")
+    } finally {
+      spark.conf.unset(Io.ReliableCheckpointKey)
+      spark.conf.unset(Io.CheckpointDirKey)
+    }
   }
 }
