@@ -11,6 +11,35 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r16 (verdict task 4): the 91-suite suite ran sequentially in ONE forked
+// JVM (17-22 min wall). Suites are parallelized by FORKED GROUP — each
+// group is its own JVM with its own SparkSession and its own copy of every
+// JVM-global registry (Io's block accounting, the shared test session's
+// SQLConf), so the shared-state discipline inside a group stays exactly
+// what sequential execution always guaranteed, while groups overlap on the
+// 32-core box. Known-heavy suites are pinned first so they land in
+// distinct groups (the longest pole sets the wall clock).
+val testGroupCount = 6
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value
+    // one sequential 91-suite JVM needed 24g; a ~15-suite group does not
+    .filterNot(_.startsWith("-Xmx")) :+ "-Xmx12g"
+  val heavy = Seq("graft.StreamingSpec", "graft.PlanShapeSpec",
+    "graft.QueriesSmokeSpec", "graft.ExtensionsIoSpec", "graft.SkewSpec",
+    "graft.PropertiesSpec")
+  val ordered = tests.sortBy(t =>
+    (heavy.indexOf(t.name) match { case -1 => heavy.size; case i => i },
+      t.name))
+  ordered.zipWithIndex.groupBy(_._2 % testGroupCount).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"g$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts.toVector)))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.limitAll(testGroupCount + 2))
 // Forked JVM writes straight to the console (no sbt log-level routing) so
 // Bench's single JSON stdout line survives `sbt --error "runMain ..."`.
 outputStrategy := Some(StdoutOutput)

@@ -59,6 +59,19 @@ class DocsCountsSpec extends AnyFunSuite {
         s"stale entries: ${(entries.toSet -- reg.toSet).toSeq.sorted.mkString(", ")}")
   }
 
+  test("round narratives live in HISTORY.md, not SURVEY.md (r15 task 6)") {
+    // SURVEY is the contract, HISTORY the log: per-round status/bench
+    // narratives were moved out in r16 so a fresh-context reader loads
+    // only the inventory. Lock the split by its markers, not a line
+    // count (the §2-B table legitimately grows with the registry).
+    val history = slurp("HISTORY.md")
+    val marker = """\*\*(Round[- ]\d+|Engine numbers recorded)""".r
+    assert(marker.findFirstIn(survey).isEmpty,
+      "per-round narrative leaked back into SURVEY.md — move it to HISTORY.md")
+    assert(marker.findAllMatchIn(history).size >= 10,
+      "HISTORY.md lost its round narratives")
+  }
+
   test("StreamOps.registry names resolve to real methods, s-keys dense") {
     val methods = streaming.StreamOps.getClass.getMethods.map(_.getName).toSet
     streaming.StreamOps.registry.foreach { case (k, m) =>
