@@ -34,7 +34,7 @@ object SparkEntry {
       Wave54Queries.all ++ Wave55Queries.all ++ Wave56Queries.all ++
       Wave57Queries.all ++ Wave58Queries.all ++ Wave59Queries.all ++
       Wave60Queries.all ++ Wave61Queries.all ++ Wave62Queries.all ++
-      Wave63Queries.all
+      Wave63Queries.all ++ Wave64Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped aggregation — the reference's map/reduce aggregation

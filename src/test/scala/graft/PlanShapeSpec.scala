@@ -585,20 +585,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  /** Bounded-input judgment for an unpartitioned/constant window: the
-    * subtree must reduce to model- or aggregate-sized data on EVERY
-    * path to a leaf — an Aggregate, Limit, or literal relation cuts a
-    * path; a raw table scan without one above it does not. Generate /
-    * Project / Filter / Join / Union pass through (fan-out over an
-    * aggregate stays aggregate-sized). */
-  private def boundedBelow(p: logical.LogicalPlan): Boolean = p match {
-    case _: logical.Aggregate => true
-    case _: logical.GlobalLimit | _: logical.LocalLimit => true
-    case _: logical.LocalRelation => true
-    case _: logical.Range => true
-    case leaf if leaf.children.isEmpty => false
-    case other => other.children.forall(boundedBelow)
-  }
+  /** Bounded-input judgment for an unpartitioned/constant window —
+    * shared with the test-session-wide execution tripwire so both
+    * gates adjudicate identically (see [[WindowTripwire.boundedBelow]]). */
+  private def boundedBelow(p: logical.LogicalPlan): Boolean =
+    WindowTripwire.boundedBelow(p)
 
   test("tripwire: every unpartitioned window in the registry sits over bounded input") {
     // r13 verdict task 6: 112 `WindowExec: No Partition Defined` WARNs
@@ -788,6 +779,20 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q241_krippendorff")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("Join"), p)
+  }
+
+  test("q242 serves from one materialized artifact; per-query top-k is heap-bounded") {
+    val p = plan("q242_vector_e2e")
+    // the five sheet consumers read the one materialized
+    // (vec_id, embedding, m, codes, rv, cid) artifact, not five
+    // re-assignments of the corpus scan
+    assert(p.contains("Scan ExistingRDD"), p)
+    // exact baseline + probe + quantized serve: every per-qid rank<=k
+    // window carries WindowGroupLimit map-side heaps
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 3, p)
+    // query batch and probed-cell relations broadcast; nothing
+    // corpus-sized meets a shuffle join or cartesian product
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("q159 DSIR: the bigram lineage runs once (materialized pre-aggregate)") {
