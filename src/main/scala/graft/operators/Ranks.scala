@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed ranking for LOW-CARDINALITY window partitions.
   *
@@ -10,8 +11,9 @@ import org.apache.spark.sql.functions._
   * group through one task — with a 3-value group key the whole table runs
   * on 3 tasks at any cluster size. This utility decomposes the same rank
   * the way q04 decomposes the sortedness check: range-partition on
-  * (g, o) so every task holds a bounded, contiguous, locally-sorted slice;
-  * rank within each slice; then add per-slice offsets (a slice-count
+  * (g, o) so every task holds a bounded, contiguous slice, SORT WITHIN
+  * the slice once, rank/accumulate within each slice by one streaming
+  * partition-local pass; then add per-slice offsets (a slice-count
   * relation of k×|groups| rows, k = partition count — independent of data
   * volume) broadcast back.
   *
@@ -30,6 +32,23 @@ import org.apache.spark.sql.functions._
   * Callers need no input pre-materialization for correctness — any
   * deterministic-or-not input is safe.
   *
+  * EXECUTION SHAPE (r16 optimization, guide §2.4 "remove shuffles
+  * outright"): the r15 form computed the slice-local rank with
+  * `Window.partitionBy(_slice, group)`, whose required distribution is
+  * hash(_slice, group) — Catalyst cannot see that the range exchange
+  * already co-located every (_slice, group), so WindowExec re-shuffled
+  * and re-sorted the ENTIRE relation a second time. The r16 form sorts
+  * once inside the range exchange (sortWithinPartitions — the same sort
+  * WindowExec used to do after its redundant exchange) and computes the
+  * slice-local rank / prefix aggregate with a zero-shuffle streaming
+  * mapPartitions pass over the pinned, sorted blocks: per-group state
+  * resets on group change (groups are contiguous — the slice is sorted
+  * with `group` leading). Measured at sf0.1 this removes one full-data
+  * Exchange + Sort from every entry point (plan diff in plans/r16);
+  * at cluster scale it halves the decomposition's shuffled bytes.
+  * Decimal-typed running aggregates keep the windowed form (fallback
+  * below) so Spark's decimal sum semantics stay bit-identical.
+  *
   * MULTI-CONSUMER OUTPUT: what callers still own is the ranked OUTPUT's
   * reuse — a query that feeds the SAME ranked relation to several
   * downstream consumers re-runs the rank per consumer unless it
@@ -39,19 +58,105 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
-  /** Range-slice and PIN: one evaluation, one boundary set (see the
-    * object scaladoc — the two downstream reads must agree). */
+  /** Range-slice, sort within the slice, and PIN: one evaluation, one
+    * boundary set (see the object scaladoc — the downstream reads must
+    * agree). The slice sort keys lead with `group`, so each group's rows
+    * are contiguous inside a slice — the property the streaming local
+    * pass relies on. */
   private def pinSliced(df: DataFrame, keys: Seq[Column]): DataFrame =
     graft.sources.Io.materialize(
       df.repartitionByRange(keys: _*)
+        .sortWithinPartitions(keys: _*)
         .withColumn("_slice", spark_partition_id()))
+
+  /** One zero-shuffle streaming pass over the pinned sorted slices:
+    * appends `extra` columns computed by a per-group accumulator that is
+    * re-created whenever the group value changes (groups are contiguous
+    * within a sorted slice; a slice boundary is a partition boundary, so
+    * state never crosses it). `mk` builds the per-group row function. */
+  private def streamPass(sliced: DataFrame, group: String,
+      extra: Seq[StructField])(mk: () => Row => Seq[Any]): DataFrame = {
+    val schema = StructType(sliced.schema.fields ++ extra)
+    val gi = sliced.schema.fieldIndex(group)
+    sliced.mapPartitions { it =>
+      var cur: Any = null
+      var started = false
+      var f: Row => Seq[Any] = null
+      it.map { r =>
+        val g = r.get(gi)
+        if (!started || !java.util.Objects.equals(g, cur)) {
+          f = mk(); cur = g; started = true
+        }
+        Row.fromSeq(r.toSeq ++ f(r))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Streaming accumulators cover exactly the types whose Spark window
+    * `sum`/`max` semantics a sequential in-order Long/Double fold
+    * reproduces bit-for-bit (integral sums wrap like non-ANSI Spark;
+    * double sums add in the same slice order the window would). Decimal
+    * and everything else take the windowed fallback. */
+  private def streamableSum(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType => true
+    case _ => false
+  }
+
+  /** Spark's `sum` result type for a streamable input type. */
+  private def sumType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case _ => DoubleType
+  }
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** A/B escape hatch while the r16 optimization round measures the
+    * streaming pass against the r15 windowed form on real queries
+    * (set spark.graft.ranks.stream=false to force the windowed form). */
+  private def streamEnabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.ranks.stream")
+      .forall(_.toBoolean)
+
+  /** Slice-local rank plus the k×|groups| slice-count relation — the
+    * shared core of rowNumber and quantilesCont. */
+  private def rankedLocal(df: DataFrame, group: String,
+      orderCols: Seq[Column]): (DataFrame, DataFrame) = {
+    val sliced = pinSliced(df, col(group) +: orderCols)
+    val local =
+      if (streamEnabled(df))
+        streamPass(sliced, group,
+          Seq(StructField("_lrn", IntegerType, nullable = false))) { () =>
+          var rn = 0
+          _ => { rn += 1; Seq(rn) }
+        }
+      else sliced.withColumn("_lrn", row_number().over(
+        Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)))
+    val sliceCounts = sliced.groupBy(col("_slice"), col(group))
+      .agg(count(lit(1)).as("_n"))
+    (local, sliceCounts)
+  }
+
+  /** offset = rows of the same group in earlier slices (k×|groups| rows,
+    * broadcast back). */
+  private def offsetsOf(sliceCounts: DataFrame, group: String): DataFrame =
+    sliceCounts
+      .withColumn("_off", sum(col("_n")).over(
+        Window.partitionBy(col(group)).orderBy(col("_slice"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_slice"), col(group),
+        coalesce(col("_off"), lit(0L)).as("_off"))
 
   /** Exact interpolated p-quantile per group (quantile_cont semantics:
     * value at position (n−1)p, linear interpolation between the two
-    * straddling rows). Built on rowNumber, so the per-group sort runs as
-    * parallel range-partitioned local sorts instead of one task per group
-    * — the scale replacement for the built-in `percentile`, which sorts
-    * each group single-threaded. Returns (group, as).
+    * straddling rows). Built on the slice decomposition, so the
+    * per-group sort runs as parallel range-partitioned local sorts
+    * instead of one task per group — the scale replacement for the
+    * built-in `percentile`, which sorts each group single-threaded.
+    * Returns (group, as).
     *
     * NULL values are excluded before ranking, matching `percentile` /
     * `quantile_cont`. One divergence: a group whose values are ALL null
@@ -66,14 +171,22 @@ object Ranks {
     * sorts); the interpolation is k-row arithmetic. Callers needing
     * p50+p90 (q116) or three quartiles (q85) pay one rank instead of
     * one per quantile. Per-p interpolation is the formula of the
-    * single-p form verbatim, so results are value-identical. */
+    * single-p form verbatim, so results are value-identical.
+    *
+    * r16: the per-group row count comes from the k×|groups| slice-count
+    * relation instead of a data-sized aggregate over the ranked output —
+    * the ranked relation now has exactly ONE consumer (the probe join),
+    * so the rank is evaluated once, not twice. */
   def quantilesCont(df: DataFrame, group: String, value: Column,
       ps: Seq[(Double, String)]): DataFrame = {
     require(ps.nonEmpty)
-    val ranked = rowNumber(
+    val (local, sliceCounts) = rankedLocal(
       df.select(col(group), value.as("_v")).filter(col("_v").isNotNull),
-      group, Seq(col("_v")), "_rn")
-    val counts0 = ranked.groupBy(col(group)).agg(count(lit(1)).as("_n"))
+      group, Seq(col("_v")))
+    val ranked = local.join(broadcast(offsetsOf(sliceCounts, group)),
+        Seq("_slice", group))
+      .withColumn("_rn", (col("_lrn") + col("_off")).cast("int"))
+    val counts0 = sliceCounts.groupBy(col(group)).agg(sum(col("_n")).as("_n"))
     val counts = ps.zipWithIndex.foldLeft(counts0) {
       case (acc, ((p, _), i)) =>
         acc.withColumn(s"_pos$i", (col("_n") - 1) * p)
@@ -112,10 +225,10 @@ object Ranks {
   /** runningSum for SEVERAL value columns of the same relation in ONE
     * range shuffle: the expensive part is the range repartition + local
     * sort; each additional running sum is one more accumulator riding the
-    * same slice-local window and the same k-row offsets relation. Callers
-    * needing two parallel CDFs (q141) pay one shuffle instead of two.
-    * Per-value semantics are runningSum's verbatim (including the typed
-    * zero on the offset coalesce). */
+    * same slice-local streaming pass and the same k-row offsets relation.
+    * Callers needing two parallel CDFs (q141) pay one shuffle instead of
+    * two. Per-value semantics are runningSum's verbatim (including the
+    * typed zero on the offset coalesce). */
   def runningSums(df: DataFrame, group: String, orderCols: Seq[Column],
       values: Seq[(Column, String)]): DataFrame = {
     require(values.nonEmpty)
@@ -123,11 +236,41 @@ object Ranks {
     val sliced = values.zipWithIndex.foldLeft(pinSliced(df, keys)) {
       case (acc, ((v, _), i)) => acc.withColumn(s"_v$i", v)
     }
-    val w = Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = values.indices.foldLeft(sliced) { (acc, i) =>
-      acc.withColumn(s"_run$i", sum(col(s"_v$i")).over(w))
-    }
+    val vTypes = values.indices.map(i => sliced.schema(s"_v$i").dataType)
+    val local =
+      if (vTypes.forall(streamableSum) && streamEnabled(df)) {
+        val vIdx = values.indices.map(i => sliced.schema.fieldIndex(s"_v$i"))
+        val integral = vTypes.map(isIntegral).toArray
+        val extra = values.indices.map(i =>
+          StructField(s"_run$i", sumType(vTypes(i)), nullable = true))
+        val nv = values.size
+        streamPass(sliced, group, extra) { () =>
+          val accL = new Array[Long](nv)
+          val accD = new Array[Double](nv)
+          val seen = new Array[Boolean](nv)
+          r => (0 until nv).map { i =>
+            if (!r.isNullAt(vIdx(i))) {
+              seen(i) = true
+              if (integral(i))
+                accL(i) += r.get(vIdx(i)).asInstanceOf[Number].longValue
+              else accD(i) += r.get(vIdx(i)).asInstanceOf[Number].doubleValue
+            }
+            if (!seen(i)) null
+            else if (integral(i)) java.lang.Long.valueOf(accL(i))
+            else java.lang.Double.valueOf(accD(i))
+          }
+        }
+      } else {
+        // decimal (and any exotic) running sums keep Spark's own window
+        // aggregation semantics — slice-local window over the pinned
+        // relation, exactly the r15 shape
+        val w = Window.partitionBy(col("_slice"), col(group))
+          .orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        values.indices.foldLeft(sliced) { (acc, i) =>
+          acc.withColumn(s"_run$i", sum(col(s"_v$i")).over(w))
+        }
+      }
     // typed zero (_t - _t below): coalescing with a double literal would
     // silently promote integral running sums to DoubleType and break
     // window-equivalence
@@ -165,9 +308,41 @@ object Ranks {
       value: Column, as: String): DataFrame = {
     val keys = col(group) +: orderCols
     val sliced = pinSliced(df, keys).withColumn("_v", value)
-    val local = sliced.withColumn("_run", max(col("_v")).over(
-      Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val vType = sliced.schema("_v").dataType
+    val local =
+      if (streamableSum(vType) && streamEnabled(df)) {
+        val vIdx = sliced.schema.fieldIndex("_v")
+        val intg = isIntegral(vType)
+        streamPass(sliced, group,
+          Seq(StructField("_run", vType, nullable = true))) { () =>
+          var seen = false
+          var mL = Long.MinValue
+          var mD = Double.NegativeInfinity
+          var boxed: Any = null
+          r => {
+            if (!r.isNullAt(vIdx)) {
+              if (intg) {
+                val v = r.get(vIdx).asInstanceOf[Number].longValue
+                if (!seen || v > mL) { mL = v; boxed = r.get(vIdx) }
+              } else {
+                val v = r.get(vIdx).asInstanceOf[Number].doubleValue
+                // NaN sorts above every double in Spark's ordering, and
+                // max propagates it the same way: v >= anything fails for
+                // NaN via >, so compare through Spark's semantics
+                if (!seen || java.lang.Double.compare(v, mD) > 0) {
+                  mD = v; boxed = r.get(vIdx)
+                }
+              }
+              seen = true
+            }
+            Seq(if (seen) boxed else null)
+          }
+        }
+      } else {
+        sliced.withColumn("_run", max(col("_v")).over(
+          Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      }
     val offsets = sliced.groupBy(col("_slice"), col(group))
       .agg(max(col("_v")).as("_t"))
       .withColumn("_off", max(col("_t")).over(
@@ -180,20 +355,49 @@ object Ranks {
   }
 
   /** rowNumber and runningSum fused: one range shuffle, one slice-local
-    * window evaluating both, one offsets aggregate carrying both the row
-    * count and the value total per (slice, group). Use when a caller needs
-    * the global row number AND a global prefix sum (q17): two separate
-    * decomposition calls would range-shuffle the data twice. */
+    * streaming pass evaluating both, one offsets aggregate carrying both
+    * the row count and the value total per (slice, group). Use when a
+    * caller needs the global row number AND a global prefix sum (q17):
+    * two separate decomposition calls would range-shuffle the data
+    * twice. */
   def rowNumberAndRunningSum(df: DataFrame, group: String,
       orderCols: Seq[Column], value: Column, rnAs: String,
       runAs: String): DataFrame = {
     val keys = col(group) +: orderCols
     val sliced = pinSliced(df, keys).withColumn("_v", value)
-    val w = Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)
-    val local = sliced
-      .withColumn("_lrn", row_number().over(w))
-      .withColumn("_run", sum(col("_v")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val vType = sliced.schema("_v").dataType
+    val local =
+      if (streamableSum(vType) && streamEnabled(df)) {
+        val vIdx = sliced.schema.fieldIndex("_v")
+        val intg = isIntegral(vType)
+        streamPass(sliced, group,
+          Seq(StructField("_lrn", IntegerType, nullable = false),
+            StructField("_run", sumType(vType), nullable = true))) { () =>
+          var rn = 0
+          var seen = false
+          var accL = 0L
+          var accD = 0.0
+          r => {
+            rn += 1
+            if (!r.isNullAt(vIdx)) {
+              seen = true
+              if (intg) accL += r.get(vIdx).asInstanceOf[Number].longValue
+              else accD += r.get(vIdx).asInstanceOf[Number].doubleValue
+            }
+            Seq(rn,
+              if (!seen) null
+              else if (intg) java.lang.Long.valueOf(accL)
+              else java.lang.Double.valueOf(accD))
+          }
+        }
+      } else {
+        val w = Window.partitionBy(col("_slice"), col(group))
+          .orderBy(orderCols: _*)
+        sliced
+          .withColumn("_lrn", row_number().over(w))
+          .withColumn("_run", sum(col("_v")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      }
     val wOff = Window.partitionBy(col(group)).orderBy(col("_slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sliced.groupBy(col("_slice"), col(group))
@@ -212,20 +416,8 @@ object Ranks {
 
   def rowNumber(df: DataFrame, group: String, orderCols: Seq[Column],
       as: String): DataFrame = {
-    val keys = col(group) +: orderCols
-    val sliced = pinSliced(df, keys)
-    // rank within (slice, group): slices are bounded by the range
-    // partitioner, so no window partition ever exceeds a slice
-    val local = sliced.withColumn("_lrn", row_number().over(
-      Window.partitionBy(col("_slice"), col(group)).orderBy(orderCols: _*)))
-    // offset = rows of the same group in earlier slices; k×|groups| rows
-    val offsets = sliced.groupBy(col("_slice"), col(group))
-      .agg(count(lit(1)).as("_n"))
-      .withColumn("_off", sum(col("_n")).over(
-        Window.partitionBy(col(group)).orderBy(col("_slice"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("_slice"), col(group), coalesce(col("_off"), lit(0L)).as("_off"))
-    local.join(broadcast(offsets), Seq("_slice", group))
+    val (local, sliceCounts) = rankedLocal(df, group, orderCols)
+    local.join(broadcast(offsetsOf(sliceCounts, group)), Seq("_slice", group))
       .withColumn(as, (col("_lrn") + col("_off")).cast("int"))
       .drop("_slice", "_lrn", "_off")
   }
