@@ -66,8 +66,13 @@ object Wave46Queries {
       graft.functions.HrwPack.register(s, ShardsOld, ShardsNew)
       val hKey = conv(substring(md5(concat(col("k").cast("string"),
         lit(":ring"))), 1, 13), 16, 10).cast("long") * 256L
-      val assigned = Tables.orders(s, d)
-        .select(col("o_orderkey").as("k"))
+      // fanOut (r16): the per-key hash grid is 13 md5s/row fused into
+      // HrwPack + two ring lookups — CPU-heavy map work that a
+      // single-file orders scan would otherwise run on ONE task (the
+      // q118 lesson; at cluster scale the many-file scan makes this the
+      // identity)
+      val assigned = graft.sources.Io.fanOut(Tables.orders(s, d)
+          .select(col("o_orderkey").as("k")))
         .withColumn("h", hKey)
         .withColumn("ring_old", ownerCol(ring(ShardsOld), col("h")))
         .withColumn("ring_new", ownerCol(ring(ShardsNew), col("h")))

@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   * 2-decimal doubles.
   *
   * Scale notes (100 TB): the EXACT side is the audit's deliberate
-  * expensive baseline — one Ranks.rowNumber pass (range-partitioned
-  * local sorts + broadcast slice offsets, the q61/q63 machinery; never
-  * one task). The estimate side ranks n/64 rows the same way. The five
-  * rank targets derive from 1-row count aggregates broadcast against
-  * the ranked relations — no data-sized join, no second sort. */
+  * expensive baseline — one fused Ranks pass (range-partitioned local
+  * sorts + broadcast slice offsets, the q61/q63 machinery; never one
+  * task) that carries BOTH ranks: the global row number and, as a
+  * running count of the sample flag, the sample-internal rank (r16 —
+  * the r15 form ranked the sample in a second full Ranks pipeline; the
+  * subset's rank is a prefix sum over the same order, so one range
+  * shuffle serves both sides). The five rank targets derive from a
+  * 1-row count aggregate broadcast against the ranked relation — no
+  * data-sized join, no second sort. */
 object Wave50Queries {
 
   private val Ps = Seq(25L, 50L, 75L, 90L, 99L)
@@ -40,31 +44,42 @@ object Wave50Queries {
   private val q228 = GQuery(
     "q228_sample_quantile",
     (s, d) => {
+      // r16 optimization (guide §2.4: one pass, not two): the sample is a
+      // SUBSET of the full relation under the same total order, so its
+      // rank is the inclusive running count of the sample flag — one
+      // fused Ranks.rowNumberAndRunningSum pass replaces the r15 shape's
+      // TWO independent rank pipelines (two range shuffles, two
+      // materializations). exact rank rn and sample rank srn are
+      // value-identical to the two-pass form: srn of a sample row =
+      // |sample rows with key ≤ its key| = its rank within the sample.
+      val samp = when(pmod(TextOps.shingleHash60(
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"), lit(":qs"))),
+        lit(SampleMod)) === 0, 1L).otherwise(0L)
       val li = Tables.lineitem(s, d).select(
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         col("l_orderkey"), col("l_linenumber"))
-      // ranked output feeds TWO subtrees (the count aggregate and the
-      // rank probe) — materialize per the Ranks multi-consumer rule
+      // ranked feeds the count aggregate and both rank probes —
+      // materialize per the Ranks multi-consumer rule
       // (WindowQueries q03 precedent; q233's sf1 row-loss lesson)
-      def ranked(df: org.apache.spark.sql.DataFrame) = Io.materialize(
-        Ranks.rowNumber(df.withColumn("_g", lit(0)), "_g",
-          Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), "rn"))
-      def pick(df: org.apache.spark.sql.DataFrame, nAs: String,
-          vAs: String) = {
-        val r = ranked(df)
-        val ks = r.agg(count(lit(1)).as(nAs))
-          .select(col(nAs), explode(array(Ps.map(p =>
-            struct(lit(p).as("p"),
-              expr(s"($p * $nAs + 99) div 100").as("k"))): _*)).as("x"))
-          .select(col("x.p").as("p"), col("x.k").as("k"), col(nAs))
-        r.join(broadcast(ks), col("rn").cast("long") === col("k"))
-          .select(col("p"), col(nAs), col("cents").as(vAs))
-      }
-      val exact = pick(li, "n", "exact_cents")
-      val est = pick(li.filter(pmod(TextOps.shingleHash60(
-        concat(col("l_orderkey").cast("string"), lit(":"),
-          col("l_linenumber").cast("string"), lit(":qs"))),
-        lit(SampleMod)) === 0), "m", "est_cents")
+      val ranked = Io.materialize(
+        Ranks.rowNumberAndRunningSum(
+          li.withColumn("_g", lit(0)).withColumn("_samp", samp), "_g",
+          Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+          col("_samp"), "rn", "srn"))
+      val ks = ranked.agg(count(lit(1)).as("n"), sum(col("_samp")).as("m"))
+        .select(col("n"), col("m"), explode(array(Ps.map(p =>
+          struct(lit(p).as("p"),
+            expr(s"($p * n + 99) div 100").as("kx"),
+            expr(s"($p * m + 99) div 100").as("ke"))): _*)).as("x"))
+        .select(col("x.p").as("p"), col("x.kx").as("kx"),
+          col("x.ke").as("ke"), col("n"), col("m"))
+      val exact = ranked.join(broadcast(ks),
+          col("rn").cast("long") === col("kx"))
+        .select(col("p"), col("n"), col("cents").as("exact_cents"))
+      val est = ranked.filter(col("_samp") === 1L)
+        .join(broadcast(ks), col("srn") === col("ke"))
+        .select(col("p"), col("m"), col("cents").as("est_cents"))
       exact.join(broadcast(est), "p")
         .select(col("p"), col("n"), col("exact_cents"), col("m"),
           col("est_cents"),
