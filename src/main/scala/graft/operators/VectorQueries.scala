@@ -580,6 +580,7 @@ object VectorQueries {
   private val q107 = GQuery(
     "q107_embedding_audit",
     (s, d) => {
+      graft.functions.VecDist.register(s)
       val qvecs = femb(s, d).select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
@@ -590,8 +591,10 @@ object VectorQueries {
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           e => e.getField("v")).as("cv"))
+      // fused native dot kernel (r16) — the aggregate(zip_with) form was
+      // interpreted per element, 3 dots × 64 dims per row
       def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        graft.functions.VecDist.dot(a, b)
       qvecs.join(broadcast(cent), "label")
         .select(col("label"),
           dot(col("qv"), col("qv")).as("nn"), dot(col("qv"), col("cv")).as("dd"),

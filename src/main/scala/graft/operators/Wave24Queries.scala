@@ -58,11 +58,11 @@ object Wave24Queries {
     * (array of the M per-subspace squared errors). */
   private[graft] def withCodes(df: DataFrame,
       books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]]): DataFrame = {
+    graft.functions.VecDist.register(df.sparkSession)
     val per = (0 until PqM).map { m =>
       val sv = slice(col("qv"), m * PqS + 1, PqS)
       val dists = array(books(m).map { case (_, cv) =>
-        aggregate(zip_with(sv, typedLit(cv), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
+        graft.functions.VecDist.l2sq(sv, typedLit(cv))
       }: _*)
       val ids = typedLit(books(m).map(_._1))
       struct(

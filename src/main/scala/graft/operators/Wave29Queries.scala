@@ -72,10 +72,12 @@ object Wave29Queries {
   private[operators] val AudModFloor = 50L
   private[operators] val AudTargetLog2 = 5
 
-  /** Exact integer squared L2 between two long-array columns. */
+  /** Exact integer squared L2 between two long-array columns — the
+    * fused native kernel (r16: the aggregate(zip_with) form was
+    * interpreted per element; callers must VecDist.register first,
+    * which every builder/helper with session access does). */
   private[operators] def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VecDist.l2sq(a, b)
 
   private def l2SeqSql(a: String, b: String, dim: Int): String =
     s"""list_sum(list_transform(range(1, ${dim + 1}),
@@ -103,6 +105,7 @@ object Wave29Queries {
     * (dist, cid) is unique per candidate. */
   private[graft] def assignResiduals(vecs: DataFrame, cents: DataFrame)
       : DataFrame = {
+    graft.functions.VecDist.register(vecs.sparkSession)
     val asg = vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         l2(col("qv"), col("cvec")).as("dist"))
@@ -124,7 +127,8 @@ object Wave29Queries {
     * limit); a stream encoder past that shards the centroid array by
     * cid range — same kernel per shard, outside fixture scope. */
   private[graft] def assignResidualsServing(vecs: DataFrame,
-      centsArr: DataFrame): DataFrame =
+      centsArr: DataFrame): DataFrame = {
+    graft.functions.VecDist.register(vecs.sparkSession)
     vecs.crossJoin(broadcast(centsArr))
       .withColumn("best", array_min(transform(col("cents"), c =>
         struct(l2(col("qv"), c.getField("cvec")).as("dist"),
@@ -134,6 +138,7 @@ object Wave29Queries {
         col("best").getField("cid").as("cid"),
         zip_with(col("qv"), col("best").getField("cvec"),
           (a, b) => a - b).as("qv"))
+  }
 
   /** Collapse a driver-held coarse codebook into the 1-row broadcastable
     * `cents` array [[assignResidualsServing]] consumes (the s32 ingest
@@ -268,6 +273,7 @@ object Wave29Queries {
   private[operators] def qMeta(idx: Index, queries: DataFrame): DataFrame = {
     val s = queries.sparkSession
     graft.functions.AdcSum.register(s, PqK)
+    graft.functions.VecDist.register(s)
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
     val probed = idx.cents.crossJoin(broadcast(queries))
       .select(col("q_id"), col("qqv"), col("cid"), col("cvec"),
@@ -277,9 +283,9 @@ object Wave29Queries {
       .select(col("q_id"), col("qqv"), col("cid"), col("cvec"))
     val qs = slice(col("qqv"), col("m") * PqS + 1, lit(PqS))
     val cs = slice(col("cvec"), col("m") * PqS + 1, lit(PqS))
-    val rq = zip_with(qs, cs, (a, b) => a - b)
-    val ad = aggregate(zip_with(rq, col("bv"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    // fused Σ((q−c)−b)² — the residual array zip_with(qs, cs, _-_) is
+    // never materialized (r16 VecDist kernel)
+    val ad = graft.functions.VecDist.residL2Sq(qs, cs, col("bv"))
     probed.crossJoin(broadcast(booksDf(s, idx.books)))
       .select(col("q_id"), col("qqv"), col("cid"), col("m"), col("c"),
         ad.as("ad"))

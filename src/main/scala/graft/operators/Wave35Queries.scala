@@ -63,6 +63,7 @@ object Wave35Queries {
   private val q213 = GQuery(
     "q213_ivf_retrain",
     (s, d) => {
+      graft.functions.VecDist.register(s)
       val n = Tables.embeddings(s, d).count()
       if (n == 0)
         Wave24Queries.qvecs(s, d).select(

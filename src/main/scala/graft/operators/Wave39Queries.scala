@@ -37,10 +37,11 @@ object Wave39Queries {
 
   private val Prefixes = Seq(16, 32)
 
-  /** Exact integer squared L2 over the first `p` dims. */
+  /** Exact integer squared L2 over the first `p` dims — slice stays
+    * (codegen-native copy), the fold is the fused r16 kernel instead of
+    * the interpreted aggregate(zip_with) lambda. */
   private def l2p(a: Column, b: Column, p: Int): Column =
-    aggregate(zip_with(slice(a, 1, p), slice(b, 1, p),
-      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    graft.functions.VecDist.l2sq(slice(a, 1, p), slice(b, 1, p))
 
   private def l2pSql(a: String, b: String, p: Int): String =
     s"""list_sum(list_transform(range(1, ${p + 1}),
@@ -50,6 +51,7 @@ object Wave39Queries {
   private val q217 = GQuery(
     "q217_dim_truncation",
     (s, d) => {
+      graft.functions.VecDist.register(s)
       val n = Tables.embeddings(s, d).count()
       if (n == 0)
         Wave24Queries.qvecs(s, d).select(

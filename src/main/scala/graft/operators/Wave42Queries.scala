@@ -41,13 +41,15 @@ object Wave42Queries {
 
   private val BitWidths = Seq(4, 8)
 
+  /** Fused native kernel (r16) — the aggregate(zip_with) form was
+    * interpreted per element inside the n·Q ranking expansion. */
   private def l2c(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VecDist.l2sq(a, b)
 
   private val q220 = GQuery(
     "q220_sq_recall",
     (s, d) => {
+      graft.functions.VecDist.register(s)
       val n = Tables.embeddings(s, d).count()
       if (n == 0)
         Wave24Queries.qvecs(s, d).select(

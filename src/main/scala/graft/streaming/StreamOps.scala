@@ -1398,6 +1398,7 @@ object StreamOps {
       books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
       k: Int): Dataset[AdcHit] = {
     import queries.sparkSession.implicits._
+    graft.functions.VecDist.register(queries.sparkSession)
     require(k > 0, s"k must be positive, got $k")
     // derive the empty-model result FROM the input (the ivfadcEncodeStream
     // pattern): emptyDataset is a BATCH relation, and returning it for a
@@ -1423,8 +1424,7 @@ object StreamOps {
         val sv = slice(col("qv"), m * S + 1, S)
         map_from_arrays(typedLit(books(m).map(_._1)),
           array(books(m).map { case (_, cv) =>
-            aggregate(zip_with(sv, typedLit(cv), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x)
+            graft.functions.VecDist.l2sq(sv, typedLit(cv))
           }: _*))
       }: _*))
       .drop("qv")
