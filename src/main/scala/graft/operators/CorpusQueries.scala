@@ -456,16 +456,26 @@ object CorpusQueries {
       val vocab = fdocs(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
         .agg(countDistinct(col("tok")).as("vv"))
-      // materialized: three consumers (two quantile boundaries + the
-      // bucket pass) would otherwise re-evaluate the model joins
-      val scores = graft.sources.Io.materialize(occ
-        .join(bc, "bg")
+      // r16 (guide §3.2): pre-join the MODEL relations — bc ⋈ wc ⋈ vocab
+      // are all aggregate-sized, so the per-bigram log-likelihood term
+      // collapses to one bg→term lookup BEFORE the corpus-sized join.
+      // The old form joined occ twice (bg, then w1) and re-split the
+      // bigram string PER OCCURRENCE ROW; now the string split and the
+      // log2 run once per DISTINCT bigram and occ does a single
+      // AQE-broadcast join. Per-row doubles are identical (same
+      // cbg/cw1/vv inputs), so the round-6 NLL is unchanged.
+      val model = bc
         .withColumn("w1", element_at(split(col("bg"), " "), 1))
         .join(wc, "w1")
         .crossJoin(broadcast(vocab))
+        .select(col("bg"),
+          log2((col("cbg") + lit(1.0)) / (col("cw1") + col("vv"))).as("term"))
+      // materialized: three consumers (two quantile boundaries + the
+      // bucket pass) would otherwise re-evaluate the model joins
+      val scores = graft.sources.Io.materialize(occ
+        .join(model, "bg")
         .groupBy(col("doc_id"))
-        .agg(round(-avg(log2((col("cbg") + lit(1.0)) / (col("cw1") + col("vv")))), 6)
-          .as("nll")))
+        .agg(round(-avg(col("term")), 6).as("nll")))
       // both tercile boundaries from ONE rank pass (quantilesCont —
       // value-identical to two single-p calls, half the Ranks stages)
       val b = Ranks.quantilesCont(scores.withColumn("g", lit(1)), "g",

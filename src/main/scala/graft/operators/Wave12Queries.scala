@@ -280,7 +280,15 @@ object Wave12Queries {
   private val q145 = GQuery(
     "q145_table_checksum",
     (s, d) => {
-      Tables.lineitem(s, d)
+      // fanOut BEFORE the canon+md5 projection (r16, guide §2.6): the
+      // single sf parquet file plans ~3 input splits, starving the only
+      // expensive stage; the 11-column projection is what shuffles (no
+      // text), and production many-file scans make fanOut the identity
+      graft.sources.Io.fanOut(Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate")))
         .select(graft.functions.TextOps.shingleHash60(lineitemCanon).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("_xor"),
