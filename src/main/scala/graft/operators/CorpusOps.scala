@@ -431,11 +431,14 @@ object CorpusOps {
     guard(Seq("pos", "sgh", "posts", "doc_id1", "doc_id2", "p1",
       "p2", "off", "grp", "span_tokens", "longest_span", "n_spans"),
       idCol)
+    // r16: native shingle-hash kernel — the transform(sequence…md5…)
+    // form interpreted a 6-node tree per shingle (guide §4; ~20 s CPU
+    // across q193's three passes at sf0.1), bit-identical output
+    graft.functions.ShingleHash60.register(toksDf.sparkSession, n)
     val postings = toksDf
       .filter(size(col("toks")) >= n)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => TextOps.shingleHash60(concat_ws(" ", slice(col("toks"), i, lit(n))))))
+        posexplode(graft.functions.ShingleHash60(col("toks"), n))
           .as(Seq("pos", "sgh")))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("sgh"))
     val matches = postings

@@ -134,19 +134,28 @@ object Wave30Queries {
   private val q205 = GQuery(
     "q205_source_collision_matrix",
     (s, d) => {
+      // r16: native shingle-hash kernel for the min fold (guide §4) —
+      // the transform(sequence…md5…) form was interpreted per shingle
+      graft.functions.ShingleHash60.register(s, ColMinN)
       val sh = Io.fanOut(Tables.documents(s, d)
         .select(col("source"), col("text")))
         .select(col("source"), TextOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= ColMinN)
         .select(col("source"),
-          array_min(transform(
-            sequence(lit(1), size(col("toks")) - (ColMinN - 1)),
-            i => TextOps.shingleHash60(
-              concat_ws(" ", slice(col("toks"), i, lit(ColMinN)))))).as("mh"))
+          array_min(graft.functions.ShingleHash60(col("toks"), ColMinN))
+            .as("mh"))
       val k = sh.groupBy(col("mh"), col("source")).agg(count(lit(1)).as("n"))
-      val kc = k
+      // materialized (r16): kc feeds BOTH sides of the self-join below.
+      // Unmaterialized, each side re-ran the whole scan→min-shingle→agg
+      // →window pipeline, and worse: the join's inferred isnotnull(mh)
+      // constraint — containing the entire md5 min-shingle fold — was
+      // pushed below the fanOut exchange onto the single-split scan
+      // (profiled: 1.36 s CPU on ONE task per side at sf0.1). One
+      // evaluation, narrow (mh, source, n, tot) blocks, md5 runs once
+      // on the fanned partitions.
+      val kc = Io.materialize(k
         .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("mh"))))
-        .filter(col("tot") <= ColCap)
+        .filter(col("tot") <= ColCap))
       kc.as("a").join(kc.as("b"),
           col("a.mh") === col("b.mh") && col("a.source") <= col("b.source"))
         .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
