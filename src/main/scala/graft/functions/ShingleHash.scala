@@ -126,3 +126,121 @@ object ShingleHash60 {
   /** Column API; requires register(spark, n) once per session. */
   def apply(toks: Column, n: Int): Column = call_function(name(n), toks)
 }
+
+/** DISTINCT-set variant (r17): hashes of the distinct shingle STRINGS in
+  * first-occurrence order — exactly
+  * `transform(array_distinct(TextOps.shingles(toks, n)), shingleHash60)`,
+  * the form every set-semantics LSH pipeline (shingleHashes →
+  * q24/q25/q31/q60/q68 + the decontamination family) derived through an
+  * interpreted higher-order transform + per-shingle string churn.
+  *
+  * Distinctness is decided on the SHINGLE STRING (byte equality), not on
+  * the 60-bit hash: two distinct strings whose md5-60 collide emit BOTH
+  * hash copies, exactly like the expression form and the DuckDB oracle's
+  * `list_distinct` — the kernel never conflates a collision with a
+  * duplicate. Null-token skipping, the size < n empty result and the
+  * null-array result match [[ShingleHash60]]. */
+case class ShingleHash60Distinct(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, s"shingle_hash60_distinct needs n > 0, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash60_distinct requires array<string> input, got $t")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleHash60Distinct.compute(toks.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHash60Distinct.compute($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHash60Distinct = copy(child = newChild)
+}
+
+object ShingleHash60Distinct {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val out = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  /** Invoked from both interpreted eval and generated code. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    val count = sz - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = new Array[Array[Byte]](sz)
+    var j = 0
+    while (j < sz) {
+      if (!toks.isNullAt(j)) bytes(j) = toks.getUTF8String(j).getBytes
+      j += 1
+    }
+    val digest = md.get()
+    val buf = out.get()
+    val res = new Array[Long](count)
+    var m = 0
+    // distinctness on the BUILT shingle bytes (ISO-8859-1 preserves the
+    // byte sequence 1:1, so String equality == byte equality); the built
+    // array also feeds md5 in one update, so the copy is not extra work
+    val seen = new java.util.HashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      var len = 0; var nt = 0
+      var k = i; val end = i + n
+      while (k < end) {
+        val b = bytes(k)
+        if (b != null) { len += b.length; nt += 1 }
+        k += 1
+      }
+      if (nt > 1) len += nt - 1 // single-space separators (concat_ws)
+      val sb = new Array[Byte](len)
+      var p = 0; var first = true
+      k = i
+      while (k < end) {
+        val b = bytes(k)
+        if (b != null) {
+          if (!first) { sb(p) = ' '; p += 1 }
+          System.arraycopy(b, 0, sb, p, b.length)
+          p += b.length
+          first = false
+        }
+        k += 1
+      }
+      if (seen.add(new String(sb, java.nio.charset.StandardCharsets.ISO_8859_1))) {
+        digest.reset()
+        digest.update(sb)
+        digest.digest(buf, 0, 16)
+        val hi = ((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
+          ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
+          ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
+          ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)
+        res(m) = hi >>> 4
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(res, m))
+  }
+
+  private def name(n: Int) = s"shingle_hash60_distinct_$n"
+
+  /** Idempotent per session; n baked into the name (several widths can
+    * coexist in one plan). */
+  def register(spark: SparkSession, n: Int): Unit =
+    Registry.ensure(spark, name(n))(
+      exprs => ShingleHash60Distinct(exprs.head, n))
+
+  /** Column API; requires register(spark, n) once per session. */
+  def apply(toks: Column, n: Int): Column = call_function(name(n), toks)
+}

@@ -209,10 +209,18 @@ object CorpusOps {
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     guard(Seq("toks", "sg", "sgh"), idCol, textCol)
+    // r17: the tokens→shingle-strings→md5 chain ran as an interpreted
+    // higher-order transform allocating 5 intermediates per shingle; the
+    // ShingleHash60Distinct kernel fuses it into one whole-stage-codegen
+    // call with IDENTICAL set semantics (distinct on the shingle STRING,
+    // not the hash — a 60-bit collision still emits both copies exactly
+    // like the expression form / the oracle's list_distinct).
+    graft.functions.ShingleHash60Distinct.register(docs.sparkSession, n)
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("sg"))
-      .select(col(idCol), TextOps.shingleHash60(col("sg")).as("sgh"))
+      .select(col(idCol),
+        explode(graft.functions.ShingleHash60Distinct(col("toks"), n))
+          .as("sgh"))
   }
 
   /** The DISTINCT shingle-hash set of a benchmark relation — the (tiny)
@@ -289,10 +297,13 @@ object CorpusOps {
   def repeatedPassages(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 20, minDocs: Int = 2, sampleCap: Int = 10): DataFrame = {
     guard(Seq("toks", "ps", "psh", "n_docs", "sample_docs"), idCol, textCol)
+    // r17: fused distinct-shingle-hash kernel (see shingleHashes)
+    graft.functions.ShingleHash60Distinct.register(docs.sparkSession, n)
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(TextOps.shingles(col("toks"), n)).as("ps"))
-      .select(col(idCol), TextOps.shingleHash60(col("ps")).as("psh"))
+      .select(col(idCol),
+        explode(graft.functions.ShingleHash60Distinct(col("toks"), n))
+          .as("psh"))
       .groupBy(col("psh"))
       .agg(count(lit(1)).as("n_docs"),
         slice(sort_array(collect_list(col(idCol))), 1, sampleCap).as("sample_docs"))

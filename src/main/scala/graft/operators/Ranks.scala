@@ -78,11 +78,23 @@ object Ranks {
       extra: Seq[StructField])(mk: () => Row => Seq[Any]): DataFrame = {
     val schema = StructType(sliced.schema.fields ++ extra)
     val gi = sliced.schema.fieldIndex(group)
+    val si = sliced.schema.fieldIndex("_slice")
     sliced.mapPartitions { it =>
+      // Invariant guard (r17, ADVICE r16): correctness of the streaming
+      // pass depends on Io.materialize preserving the checkpointed RDD's
+      // partition index (row._slice == this task's partition id) so that
+      // local ranks and the broadcast per-slice offsets line up. True for
+      // local/reliable checkpoint today; if a future materialize change
+      // (cache+count, parquet round-trip, coalescing) breaks it, fail
+      // loudly here instead of producing silently wrong global ranks.
+      val pid = org.apache.spark.TaskContext.getPartitionId()
       var cur: Any = null
       var started = false
       var f: Row => Seq[Any] = null
       it.map { r =>
+        if (r.getInt(si) != pid) throw new IllegalStateException(
+          s"Ranks.streamPass: _slice=${r.getInt(si)} read in partition " +
+            s"$pid — materialization no longer preserves partition order")
         val g = r.get(gi)
         if (!started || !java.util.Objects.equals(g, cur)) {
           f = mk(); cur = g; started = true

@@ -464,9 +464,9 @@ object VectorQueries {
     "q102_kmeans",
     (s, d) => {
       val dim = 64
+      graft.functions.MilliQuant.register(s)
       val qvecs = femb(s, d).select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+        graft.functions.MilliQuant(col("embedding")).as("qv"))
       var cents: Seq[(Long, IndexedSeq[Long])] =
         qvecs
           .withColumn("mkey", md5(col("vec_id").cast("string")))
@@ -479,10 +479,12 @@ object VectorQueries {
       // array, which a literal id lookup maps back — so an id surviving a
       // cluster drop-out keeps labeling the same centroid as the oracle.
       def assign(df: DataFrame): DataFrame = {
+        // r17: per-centroid distance via the VecDist codegen kernel —
+        // the aggregate(zip_with) form was interpreted per element
+        // (semantics bit-identical; see VecDist scaladoc)
+        graft.functions.VecDist.register(s)
         val dists = array(cents.map { case (_, cv) =>
-          aggregate(
-            zip_with(col("qv"), typedLit(cv), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x)
+          graft.functions.VecDist.l2sq(col("qv"), typedLit(cv))
         }: _*)
         val ids = typedLit(cents.map(_._1))
         df.withColumn("dists", dists)
@@ -581,9 +583,9 @@ object VectorQueries {
     "q107_embedding_audit",
     (s, d) => {
       graft.functions.VecDist.register(s)
+      graft.functions.MilliQuant.register(s)
       val qvecs = femb(s, d).select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+        graft.functions.MilliQuant(col("embedding")).as("qv"))
       val cent = qvecs
         .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
@@ -651,9 +653,10 @@ object VectorQueries {
     "q120_dim_variance",
     (s, d) => {
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      graft.functions.MilliQuant.register(s)
       graft.sources.Io.fanOut(emb(s, d).select(col("embedding")))
-        .select(posexplode(transform(col("embedding"),
-          x => round(x.cast("double") * 1000, 0).cast("long"))).as(Seq("pos", "v")))
+        .select(posexplode(graft.functions.MilliQuant(col("embedding")))
+          .as(Seq("pos", "v")))
         .groupBy((col("pos") + 1).as("dim"))
         .agg(count(lit(1)).as("n"),
           sum(col("v").cast(dec38)).as("s"),

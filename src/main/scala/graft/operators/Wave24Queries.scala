@@ -45,11 +45,14 @@ object Wave24Queries {
   private def femb(s: SparkSession, d: String): DataFrame =
     Io.fanOut(Tables.embeddings(s, d))
 
-  /** Milli-integerized vectors — the q102 exact-integer grid. */
-  private[graft] def qvecs(s: SparkSession, d: String): DataFrame =
+  /** Milli-integerized vectors — the q102 exact-integer grid. r17: the
+    * interpreted transform(round·cast) projection is now the MilliQuant
+    * codegen kernel (bit-identical; see its scaladoc + VecQuantSpec). */
+  private[graft] def qvecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MilliQuant.register(s)
     femb(s, d).select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+      graft.functions.MilliQuant(col("embedding")).as("qv"))
+  }
 
   /** Per-subspace code + min squared-L2 distance, MAP-ONLY: the M·K·S
     * codebook travels as literals (the q102/q90 driver-holds-only-model

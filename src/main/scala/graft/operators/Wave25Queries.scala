@@ -162,18 +162,18 @@ object Wave25Queries {
   private val q195 = GQuery(
     "q195_hard_negative_margin",
     (s, d) => {
+      graft.functions.MilliQuant.register(s)
+      graft.functions.VecDist.register(s)
       val e = Io.fanOut(Tables.embeddings(s, d))
         .select(col("vec_id"), (col("label") % 2).cast("int").as("y"),
-          transform(col("embedding"),
-            x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+          graft.functions.MilliQuant(col("embedding")).as("qv"))
       val queries = Tables.embeddings(s, d)
         .filter(col("vec_id") % mgMod(s, d) === 0)
         .select(col("vec_id").as("q_id"), (col("label") % 2).cast("int").as("q_y"),
-          transform(col("embedding"),
-            x => round(x.cast("double") * 1000, 0).cast("long")).as("qqv"))
-      val dist = aggregate(
-        zip_with(col("qv"), col("qqv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+          graft.functions.MilliQuant(col("embedding")).as("qqv"))
+      // r17: VecDist codegen kernel replaces the interpreted
+      // aggregate(zip_with) fold inside the n·Q expansion (bit-identical)
+      val dist = graft.functions.VecDist.l2sq(col("qv"), col("qqv"))
       e.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("q_y"), col("y"), dist.as("dist"))

@@ -62,10 +62,10 @@ object Wave26Queries {
   private val q197 = GQuery(
     "q197_split_mmd",
     (s, d) => {
+      graft.functions.MilliQuant.register(s)
       val e = Io.fanOut(Tables.embeddings(s, d))
         .select(splitCol.as("split"),
-          transform(col("embedding"),
-            x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+          graft.functions.MilliQuant(col("embedding")).as("qv"))
       val sums = e
         .select(col("split"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("split"), col("pos")).agg(sum(col("v")).as("sv"))

@@ -70,23 +70,40 @@ object Wave28Queries {
         require(PqM <= 100 && books.forall(_.forall(b => b._1 >= 0 && b._1 < 100))
           && qrows.forall(_._1 >= 0),
           s"ADC key packing needs 0 <= code < 100, m < 100, qid >= 0")
-        val adcFlat: Map[Long, Long] = qrows.flatMap { case (qid, qqv) =>
-          (0 until PqM).flatMap { m =>
+        // r17: the ADC table used to travel as a literal MAP keyed
+        // qid·10⁴+m·10²+c — but element_at on an ArrayBasedMapData
+        // literal is a LINEAR SCAN of all Q·M·K entries, ×4 per
+        // candidate pair inside the n·Q expansion (ProfileQuery put
+        // ~10 s CPU in that stage at sf0.1). Same exact longs now live
+        // in a FLAT literal array indexed (qid div mod)·400 + m·100 + c
+        // (query ids are the multiples of mod, so qid div mod is a
+        // dense 0..Q−1 index; m < 4, c < 100 by the guard above) —
+        // an O(1) codegen array read per lookup, value-identical.
+        val maxQid = if (qrows.isEmpty) 0L else qrows.map(_._1).max
+        val adcArr = new Array[Long](((maxQid / mod).toInt + 1) * 400)
+        qrows.foreach { case (qid, qqv) =>
+          (0 until PqM).foreach { m =>
             val qs = qqv.slice(m * PqS, (m + 1) * PqS)
-            books(m).map { case (c, cv) =>
-              (qid * 10000L + m * 100L + c) ->
+            books(m).foreach { case (c, cv) =>
+              adcArr(((qid / mod).toInt) * 400 + m * 100 + c.toInt) =
                 qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
             }
           }
-        }.toMap
-        val adcMap = typedLit(adcFlat)
+        }
+        val adcLit = typedLit(adcArr.toIndexedSeq)
         val adcDist = (0 until PqM).map { m =>
-          element_at(adcMap,
-            col("q_id") * 10000L + m * 100L + element_at(col("codes"), m + 1))
+          element_at(adcLit,
+            (expr(s"q_id DIV $mod") * 400L + m * 100L
+              + element_at(col("codes"), m + 1) + 1L).cast("int"))
         }.reduce(_ + _)
-        val exactDist = aggregate(
-          zip_with(col("qv"), col("qqv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
+        // r17: the exact-distance fold was the round-16 interpreted
+        // aggregate(zip_with) pattern — CodegenFallback, boxed, a
+        // 64-element intermediate array per candidate pair — inside the
+        // corpus×queries expansion (the query's dominant stage).
+        // VecDist.l2sq is the whole-stage-codegen kernel with
+        // bit-identical semantics (registered via withCodes above).
+        graft.functions.VecDist.register(s)
+        val exactDist = graft.functions.VecDist.l2sq(col("qv"), col("qqv"))
         // one logical scored relation, NEVER materialized: each consumer
         // below re-derives it as its own map-only broadcast pass
         val scored = corpus.crossJoin(broadcast(queries))
@@ -101,11 +118,21 @@ object Wave28Queries {
         // per-query heaps (WindowGroupLimit; PlanShapeSpec locks it).
         // These TWO passes are the only corpus scans: the exact NN and
         // its ADC rank fall out of the heap outputs below.
-        val adcTop = scored.withColumn("ark10", row_number().over(wAdc))
-          .filter(col("ark10") <= AudK)
-          .select(col("q_id"), col("nbr"), col("ark10"))
-        val exTop = scored.withColumn("xrk", row_number().over(wEx))
-          .filter(col("xrk") <= AudK).select(col("q_id"), col("nbr"), col("xrk"))
+        // r17: MATERIALIZE both Q·10-row heap outputs — each is consumed
+        // twice below (hits + nn1Rank), and Spark re-derives an
+        // unmaterialized subtree per consumer, so the "two corpus passes"
+        // actually ran four corpus scans + encodes per execution
+        // (ProfileQuery: 4 heavy 32-task stages per rep). Pinning the two
+        // tiny relations restores the intended two passes; released per
+        // query via Io.releaseTransient.
+        val adcTop = graft.sources.Io.materialize(
+          scored.withColumn("ark10", row_number().over(wAdc))
+            .filter(col("ark10") <= AudK)
+            .select(col("q_id"), col("nbr"), col("ark10")))
+        val exTop = graft.sources.Io.materialize(
+          scored.withColumn("xrk", row_number().over(wEx))
+            .filter(col("xrk") <= AudK)
+            .select(col("q_id"), col("nbr"), col("xrk")))
         val hits = exTop.join(adcTop, Seq("q_id", "nbr"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
         // exact NN = the xrk = 1 heap row; its ADC rank (when ≤ 10) is

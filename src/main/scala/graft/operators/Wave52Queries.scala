@@ -49,30 +49,55 @@ object Wave52Queries {
   private val q230 = GQuery(
     "q230_ivm_delta",
     (s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
-        col("l_quantity").cast("long").as("qty"),
-        (pmod(h60tag(":ivm"), lit(InsMod)) === 0).as("ins"),
-        (pmod(h60tag(":ivmdel"), lit(DelMod)) === 0).as("del"))
-      val v0 = li.filter(!col("ins")).groupBy(col("flag"), col("status"))
-        .agg(sum(col("qty")).as("q"), count(lit(1)).as("n"))
-      val delta = li.filter(col("ins"))
-        .select(col("flag"), col("status"), col("qty"), lit(1L).as("sgn"))
-        .unionAll(li.filter(!col("ins") && col("del"))
-          .select(col("flag"), col("status"), col("qty"), lit(-1L).as("sgn")))
-        .groupBy(col("flag"), col("status"))
-        .agg(sum(col("sgn") * col("qty")).as("dq"), sum(col("sgn")).as("dn"))
-      val maintained = v0.join(delta, Seq("flag", "status"), "full")
+      // r17 (guide §2.3/§2.4): the r14 form consumed `li` from FOUR
+      // subtrees (v0, both delta branches, recomputed) — Spark plans no
+      // common-subexpression reuse across joins, so lineitem was scanned
+      // four times and the two md5-based split hashes were recomputed in
+      // every scan (~7 md5 evaluations per base row), then three
+      // group-sized shuffles met in two full joins. Every consumer is an
+      // aggregate over the SAME (flag, status) groups, so one
+      // conditionally-aggregated pass (fanned out of the starved
+      // single-file scan, the q224 precedent) computes all six partial
+      // aggregates in a single scan + single shuffle. The full-join null
+      // semantics are reproduced exactly below: v0/delta absence ↔ the
+      // conditional sums go NULL (coalesced like the old join), the
+      // maintained side exists iff m_cnt > 0, the recompute side iff it
+      // has ≥1 contributing row, and a group on neither side — possible
+      // when every row is a non-insert delete — is dropped, as the old
+      // maintained-filter ∘ full-join did. Oracle-verified identical.
+      val li = graft.sources.Io.fanOut(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
+        .select(
+          col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+          col("l_quantity").cast("long").as("qty"),
+          (pmod(h60tag(":ivm"), lit(InsMod)) === 0).as("ins"),
+          (pmod(h60tag(":ivmdel"), lit(DelMod)) === 0).as("del"))
+      val g = li.groupBy(col("flag"), col("status")).agg(
+        // v0: base view over the non-insert rows (NULL when none)
+        sum(when(!col("ins"), col("qty"))).as("q"),
+        count(when(!col("ins"), lit(1))).as("n"),
+        // delta: +1 per insert, −1 per delete of a base row (NULL when
+        // the group has neither — exactly "absent from delta")
+        sum(when(col("ins"), col("qty"))
+          .otherwise(when(col("del"), -col("qty")))).as("dq"),
+        sum(when(col("ins"), lit(1L))
+          .otherwise(when(col("del"), lit(-1L)))).as("dn"),
+        // recompute: ground truth over (base ∖ deletes) ∪ inserts
+        sum(when(col("ins") || !col("del"), col("qty"))).as("r_qty"),
+        count(when(col("ins") || !col("del"), lit(1))).as("r_cnt_raw"))
+      g.withColumn("m_qty0",
+          coalesce(col("q"), lit(0L)) + coalesce(col("dq"), lit(0L)))
+        .withColumn("m_cnt0",
+          col("n") + coalesce(col("dn"), lit(0L)))
+        .withColumn("has_m", col("m_cnt0") > 0)
+        .withColumn("has_r", col("r_cnt_raw") > 0)
+        .filter(col("has_m") || col("has_r"))
         .select(col("flag"), col("status"),
-          (coalesce(col("q"), lit(0L)) + coalesce(col("dq"), lit(0L)))
-            .as("m_qty"),
-          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-            .as("m_cnt"))
-        .filter(col("m_cnt") > 0)
-      val recomputed = li.filter((!col("ins") && !col("del")) || col("ins"))
-        .groupBy(col("flag"), col("status"))
-        .agg(sum(col("qty")).as("r_qty"), count(lit(1)).as("r_cnt"))
-      maintained.join(recomputed, Seq("flag", "status"), "full")
+          when(col("has_m"), col("m_qty0")).as("m_qty"),
+          when(col("has_m"), col("m_cnt0")).as("m_cnt"),
+          when(col("has_r"), col("r_qty")).as("r_qty"),
+          when(col("has_r"), col("r_cnt_raw")).as("r_cnt"))
         .select(col("flag"), col("status"), col("m_qty"), col("m_cnt"),
           col("r_qty"), col("r_cnt"),
           (col("m_qty") === col("r_qty")).as("qty_ok"),

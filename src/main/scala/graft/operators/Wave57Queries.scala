@@ -44,13 +44,15 @@ object Wave57Queries {
   private val q235 = GQuery(
     "q235_kmv_jaccard",
     (s, d) => {
+      // r17: fused distinct-shingle-hash kernel (see CorpusOps
+      // .shingleHashes) — the trailing distinct() is unchanged
+      graft.functions.ShingleHash60Distinct.register(s, 3)
       val sh = Io.materialize(
         Io.fanOut(Tables.documents(s, d)
           .filter(col("source").isin(Srcs: _*))
           .select(col("source"), col("text")))
-          .select(col("source"), explode(TextOps.shingles(
-            TextOps.tokens(col("text")), 3)).as("shingle"))
-          .select(col("source"), TextOps.shingleHash60(col("shingle")).as("h"))
+          .select(col("source"), explode(graft.functions.ShingleHash60Distinct(
+            TextOps.tokens(col("text")), 3)).as("h"))
           .distinct())
       val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val exact = sh.as("a").join(sh.as("b"),

@@ -65,14 +65,17 @@ object Wave62Queries {
       val f = Io.materialize(
         base.select(col("doc_id"), col("split"), col("toks"), col("nt"),
           col("pass")))
+      // r17: fused distinct-shingle-hash kernel (see CorpusOps
+      // .shingleHashes); downstream distinct()/join semantics unchanged
+      graft.functions.ShingleHash60Distinct.register(s, ShingleN)
       val testSet = f.filter(col("split") === "test")
-        .select(explode(TextOps.shingles(col("toks"), ShingleN)).as("sg"))
-        .select(TextOps.shingleHash60(col("sg")).as("sgh"))
+        .select(explode(graft.functions.ShingleHash60Distinct(
+          col("toks"), ShingleN)).as("sgh"))
         .distinct()
       val contam = f.filter(col("split") === "train" && col("pass"))
         .select(col("doc_id"),
-          explode(TextOps.shingles(col("toks"), ShingleN)).as("sg"))
-        .select(col("doc_id"), TextOps.shingleHash60(col("sg")).as("sgh"))
+          explode(graft.functions.ShingleHash60Distinct(
+            col("toks"), ShingleN)).as("sgh"))
         .join(broadcast(testSet), "sgh")
         .select(col("doc_id"))
         .distinct()

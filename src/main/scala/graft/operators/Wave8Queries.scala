@@ -403,9 +403,9 @@ object Wave8Queries {
     "q132_principal_dir",
     (s, d) => {
       val dec38 = DecimalType(38, 0)
+      graft.functions.MilliQuant.register(s)
       Io.fanOut(Tables.embeddings(s, d).select(col("embedding")))
-        .select(transform(col("embedding"),
-          x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+        .select(graft.functions.MilliQuant(col("embedding")).as("qv"))
         .withColumn("t", aggregate(col("qv"), lit(0L), (a, x) => a + x))
         .select(col("t"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy((col("pos") + 1).as("dim"))

@@ -1355,9 +1355,9 @@ object StreamOps {
     if (books.isEmpty)
       return vectors.select(col("vec_id"), lit("").as("code_str"))
         .filter(lit(false))
+    graft.functions.MilliQuant.register(vectors.sparkSession)
     val milli = vectors.select(col("vec_id"),
-      org.apache.spark.sql.functions.transform(col("embedding"),
-        x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+      graft.functions.MilliQuant(col("embedding")).as("qv"))
     graft.operators.Wave24Queries.withCodes(milli, books)
       .select(col("vec_id"),
         concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))"))
@@ -1399,6 +1399,7 @@ object StreamOps {
       k: Int): Dataset[AdcHit] = {
     import queries.sparkSession.implicits._
     graft.functions.VecDist.register(queries.sparkSession)
+    graft.functions.MilliQuant.register(queries.sparkSession)
     require(k > 0, s"k must be positive, got $k")
     // derive the empty-model result FROM the input (the ivfadcEncodeStream
     // pattern): emptyDataset is a BATCH relation, and returning it for a
@@ -1413,13 +1414,11 @@ object StreamOps {
     val coded = graft.sources.Io.materializePinned(
       graft.operators.Wave24Queries.withCodes(
         corpus.select(col("vec_id"),
-          org.apache.spark.sql.functions.transform(col("embedding"),
-            x => round(x.cast("double") * 1000, 0).cast("long")).as("qv")),
+          graft.functions.MilliQuant(col("embedding")).as("qv")),
         books)
         .select(col("vec_id").as("nbr"), col("codes")))
     val staged = queries.select(col("vec_id").as("q_id"),
-        org.apache.spark.sql.functions.transform(col("embedding"),
-          x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+        graft.functions.MilliQuant(col("embedding")).as("qv"))
       .withColumn("qtab", array((0 until M).map { m =>
         val sv = slice(col("qv"), m * S + 1, S)
         map_from_arrays(typedLit(books(m).map(_._1)),
@@ -1546,9 +1545,9 @@ object StreamOps {
     val centsArr = graft.sources.Io.materializePinned(
       graft.operators.Wave29Queries.centroidArrayDf(
         vectors.sparkSession, cents))
+    graft.functions.MilliQuant.register(vectors.sparkSession)
     val milli = vectors.select(col("vec_id"),
-      org.apache.spark.sql.functions.transform(col("embedding"),
-        x => round(x.cast("double") * 1000, 0).cast("long")).as("qv"))
+      graft.functions.MilliQuant(col("embedding")).as("qv"))
     graft.operators.Wave24Queries.withCodes(
       graft.operators.Wave29Queries.assignResidualsServing(milli, centsArr),
       books)

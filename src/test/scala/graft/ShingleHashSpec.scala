@@ -69,4 +69,45 @@ class ShingleHashSpec extends SparkSpec {
       .select(element_at(ShingleHash60(col("toks"), 2), 1)).as[Long].head()
     assert(viaKernel == viaSql)
   }
+
+  /** The exact distinct-set expression the r17 kernel replaced (the
+    * shingleHashes chain): hash each element of the string-distinct
+    * shingle set, first-occurrence order. */
+  private def oldDistinctForm(toks: org.apache.spark.sql.Column, n: Int) =
+    transform(TextOps.shingles(toks, n), s => TextOps.shingleHash60(s))
+
+  test("distinct kernel equals the expression form on fixture corpus text") {
+    for (n <- Seq(2, 3, 5, 20)) {
+      graft.functions.ShingleHash60Distinct.register(spark, n)
+      val docs = graft.sources.Tables.documents(spark, sfSmoke)
+        .select(split(col("text"), " ").as("toks"))
+      val diff = docs
+        .select(graft.functions.ShingleHash60Distinct(col("toks"), n).as("a"),
+          oldDistinctForm(col("toks"), n).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .count()
+      assert(diff == 0L, s"n=$n: distinct kernel diverges from expression form")
+    }
+  }
+
+  test("distinct kernel edges: repeats, empties, nulls, short arrays") {
+    graft.functions.ShingleHash60Distinct.register(spark, 2)
+    val rows = Seq(
+      Some(Seq("a", "b", "a", "b", "a")),   // repeated shingles collapse
+      Some(Seq("a", "a", "a")),             // all-equal
+      Some(Seq("", "", "a", "")),           // empty tokens kept as strings
+      Some(Seq("x", null, "x", null, "x")), // concat_ws null-skip: "x" vs "x x"
+      Some(Seq("a")),                       // size < n -> empty
+      Some(Seq[String]()),                  // empty -> empty
+      None                                  // null array -> null
+    ).toDF("toks")
+    val got = rows
+      .select(graft.functions.ShingleHash60Distinct(col("toks"), 2).as("a"),
+        when(col("toks").isNotNull, oldDistinctForm(col("toks"), 2)).as("b"))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), s"null array: $r")
+      else assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"row $r")
+    }
+  }
 }
