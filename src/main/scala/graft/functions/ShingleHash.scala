@@ -127,6 +127,96 @@ object ShingleHash60 {
   def apply(toks: Column, n: Int): Column = call_function(name(n), toks)
 }
 
+/** Positional n-gram STRINGS (r17): the shingle strings themselves, for
+  * pipelines whose n-gram is the value or key downstream (bigram LM
+  * counts q57/q75/q82/q101/q227, trigram repetition q67/q70/q240) —
+  * exactly `transform(sequence(1, size-(n-1)),
+  *           i => concat_ws(" ", slice(toks, i, n)))`
+  * (and the element_at bigram form, which builds the same strings),
+  * minus the interpreted higher-order transform and its per-element
+  * slice/sequence churn. Null tokens are skipped like concat_ws; null
+  * ARRAY → null (call sites explode, where null and the old form's
+  * empty array are indistinguishable, or coalesce explicitly);
+  * size < n → empty array. */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"shingle_strings needs n > 0, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_strings requires array<string> input, got $t")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleStrings.compute(toks.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleStrings.compute($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleStrings = copy(child = newChild)
+}
+
+object ShingleStrings {
+
+  /** Invoked from both interpreted eval and generated code. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    val count = sz - (n - 1)
+    if (count <= 0)
+      return new GenericArrayData(
+        Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    val bytes = new Array[Array[Byte]](sz)
+    var j = 0
+    while (j < sz) {
+      if (!toks.isNullAt(j)) bytes(j) = toks.getUTF8String(j).getBytes
+      j += 1
+    }
+    val res = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+    var i = 0
+    while (i < count) {
+      var len = 0; var nt = 0
+      var k = i; val end = i + n
+      while (k < end) {
+        val b = bytes(k)
+        if (b != null) { len += b.length; nt += 1 }
+        k += 1
+      }
+      if (nt > 1) len += nt - 1
+      val sb = new Array[Byte](len)
+      var p = 0; var first = true
+      k = i
+      while (k < end) {
+        val b = bytes(k)
+        if (b != null) {
+          if (!first) { sb(p) = ' '; p += 1 }
+          System.arraycopy(b, 0, sb, p, b.length)
+          p += b.length
+          first = false
+        }
+        k += 1
+      }
+      res(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(sb)
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  private def name(n: Int) = s"shingle_strings_$n"
+
+  /** Idempotent per session; n baked into the name. */
+  def register(spark: SparkSession, n: Int): Unit =
+    Registry.ensure(spark, name(n))(exprs => ShingleStrings(exprs.head, n))
+
+  /** Column API; requires register(spark, n) once per session. */
+  def apply(toks: Column, n: Int): Column = call_function(name(n), toks)
+}
+
 /** DISTINCT-set variant (r17): hashes of the distinct shingle STRINGS in
   * first-occurrence order — exactly
   * `transform(array_distinct(TextOps.shingles(toks, n)), shingleHash60)`,

@@ -66,16 +66,20 @@ object CorpusQueries {
     * global sort. */
   private val q57 = GQuery(
     "q57_ngram_counts",
-    (s, d) =>
+    (s, d) => {
+      // r17: native positional-bigram kernel replaces the interpreted
+      // higher-order transform (identical strings; explode drops the
+      // null-vs-empty difference on null toks)
+      graft.functions.ShingleStrings.register(s, 2)
       fdocs(s, d)
-        // toks must be an attribute before the lambda references it —
-        // lambda bodies re-evaluate non-attribute expressions per element
         .select(tokens(col("text")).as("toks"))
-        .select(explode(graft.functions.TextOps.bigrams(col("toks"))).as("bigram"))
+        .select(explode(graft.functions.ShingleStrings(col("toks"), 2))
+          .as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 5)
         .orderBy(col("cnt").desc, col("bigram"))
-        .limit(100),
+        .limit(100)
+    },
     Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
                  b AS (SELECT unnest(list_transform(range(1, len(toks)),
                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
@@ -121,12 +125,15 @@ object CorpusQueries {
     * one map-only projection (explode of the per-row bigram array), w1
     * split back out of the bigram string map-side. */
   private def bigramOccurrences(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
+      d: String): org.apache.spark.sql.DataFrame = {
+    // r17: native positional-bigram kernel (see q57)
+    graft.functions.ShingleStrings.register(s, 2)
     fdocs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(graft.functions.TextOps.bigrams(col("toks"))).as("bg"))
+        explode(graft.functions.ShingleStrings(col("toks"), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
+  }
 
   /** q75 — bigram-LM coherence score (wave 3): the n-gram quality filter
     * a curation pipeline runs with a corpus-trained LM. Per document:
@@ -246,10 +253,12 @@ object CorpusQueries {
   private val q82 = GQuery(
     "q82_bigram_novelty",
     (s, d) => {
+      graft.functions.ShingleStrings.register(s, 2)
       val db = fdocs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(array_distinct(graft.functions.TextOps.bigrams(col("toks")))).as("bg"))
+          explode(array_distinct(
+            graft.functions.ShingleStrings(col("toks"), 2))).as("bg"))
       val dfRel = db.groupBy(col("bg")).agg(count(lit(1)).as("df"))
       db.join(dfRel, "bg")
         .groupBy(col("doc_id"))
@@ -444,11 +453,12 @@ object CorpusQueries {
   private val q101 = GQuery(
     "q101_perplexity_bucket",
     (s, d) => {
+      graft.functions.ShingleStrings.register(s, 2)
       val occ = graft.sources.Io.materialize(
         fdocs(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"),
-            explode(graft.functions.TextOps.bigrams(col("toks"))).as("bg")))
+            explode(graft.functions.ShingleStrings(col("toks"), 2)).as("bg")))
       val bc = occ.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
       val wc = bc
         .withColumn("w1", element_at(split(col("bg"), " "), 1))

@@ -30,17 +30,20 @@ object CurationQueries {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
   /** Non-distinct token trigrams (repetition counting needs occurrences,
-    * unlike TextOps.shingles which dedups for set semantics). */
+    * unlike TextOps.shingles which dedups for set semantics). r17: the
+    * interpreted transform is now the ShingleStrings kernel (identical
+    * strings); the coalesce preserves the old empty-array-on-null-toks
+    * total semantics (kernel nulls on null input). Callers must
+    * ShingleStrings.register(s, 3) once. */
   private[operators] def trigrams(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(graft.functions.ShingleStrings(toks, 3),
+      array().cast("array<string>"))
 
   /** Shared by q67/q70: doc_id, n_tokens, diversity (distinct/total
     * tokens), rep (duplicate-trigram fraction). All map-only — three
     * narrow projections, no shuffle. */
-  private[operators] def repetitionFeatures(s: SparkSession, d: String): DataFrame =
+  private[operators] def repetitionFeatures(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ShingleStrings.register(s, 3)
     withToks(s, d)
       .select(col("doc_id"), col("toks"), trigrams(col("toks")).as("tri"))
       .select(col("doc_id"),
@@ -51,6 +54,7 @@ object CurationQueries {
           lit(1.0) - size(array_distinct(col("tri"))).cast("double")
             / size(col("tri")))
           .otherwise(lit(0.0)).as("rep"))
+  }
 
   /** q66 — fixed-size overlapping chunking (32-token chunks, stride 24):
     * the context-window preparation step for training / RAG indexing.

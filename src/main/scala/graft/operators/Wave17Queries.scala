@@ -55,13 +55,18 @@ object Wave17Queries {
   private val q159 = GQuery(
     "q159_dsir_importance",
     (s, d) => {
+      // r17: the bigram-string build + md5 expression chain is exactly
+      // the POSITIONAL ShingleHash60 kernel at n = 2 (same concat_ws
+      // string, same md5-60 parse) — one codegen call, no intermediate
+      // bigram strings, no interpreted transform.
+      graft.functions.ShingleHash60.register(s, 2)
       val grams = graft.sources.Io.materialize(
         graft.sources.Io.fanOut(Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("lang"), col("text")))
           .select(col("doc_id"), col("source"), col("lang"),
-            explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("g"))
-          .withColumn("b",
-            pmod(TextOps.shingleHash60(col("g")), lit(DsirBuckets)))
+            explode(graft.functions.ShingleHash60(
+              TextOps.tokens(col("text")), 2)).as("gh"))
+          .withColumn("b", pmod(col("gh"), lit(DsirBuckets)))
           .groupBy(col("doc_id"), col("source"), col("lang"), col("b"))
           .agg(count(lit(1)).as("cnt")))
       val lm = grams.groupBy(col("b")).agg(

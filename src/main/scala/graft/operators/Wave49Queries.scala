@@ -44,9 +44,12 @@ object Wave49Queries {
   private val q227 = GQuery(
     "q227_kn_bigram",
     (s, d) => {
+      // r17: native positional-bigram kernel (see q57)
+      graft.functions.ShingleStrings.register(s, 2)
       val base = Io.fanOut(Tables.documents(s, d).select(col("text")))
         .select(TextOps.tokens(col("text")).as("toks"))
-      val bg = base.select(explode(TextOps.bigrams(col("toks"))).as("b"))
+      val bg = base.select(
+          explode(graft.functions.ShingleStrings(col("toks"), 2)).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c12"))
         .select(split(col("b"), " ").getItem(0).as("w1"),
           split(col("b"), " ").getItem(1).as("w2"), col("c12"))

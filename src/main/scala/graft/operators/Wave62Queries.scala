@@ -42,6 +42,7 @@ object Wave62Queries {
   private val q240 = GQuery(
     "q240_curation_e2e",
     (s, d) => {
+      graft.functions.ShingleStrings.register(s, 3)
       val raw = Io.fanOut(Tables.documents(s, d)
         .select(col("doc_id"), col("text")))
       val base = raw.select(col("doc_id"),
