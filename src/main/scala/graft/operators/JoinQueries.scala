@@ -224,9 +224,14 @@ object JoinQueries {
   private val q64 = GQuery(
     "q64_salted_join",
     (s, d) => {
-      val fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-      val dim = Tables.orders(s, d)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      // r17 (guide §2.6): the single-file fixture scans planned 3 splits
+      // for the fact and ONE for the dim — the ×8 dim explode (1.2M rows,
+      // 54 MB of shuffle write at sf0.1) ran on a single task. fanOut is
+      // identity on production many-file scans.
+      val fact = graft.sources.Io.fanOut(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")))
+      val dim = graft.sources.Io.fanOut(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")))
       graft.operators.Skew.saltedJoin(fact, dim, "l_orderkey", 8)
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))

@@ -73,13 +73,37 @@ object Ranks {
     * appends `extra` columns computed by a per-group accumulator that is
     * re-created whenever the group value changes (groups are contiguous
     * within a sorted slice; a slice boundary is a partition boundary, so
-    * state never crosses it). `mk` builds the per-group row function. */
+    * state never crosses it). `mk` builds the per-group row function.
+    *
+    * r17 REWRITE: the pass now runs on InternalRow over
+    * `queryExecution.toRdd` and rebuilds the DataFrame through
+    * GraftSqlShim.internalCreateDataFrame. The r16 form
+    * (Dataset.mapPartitions + Encoders.row) round-tripped every row
+    * through EXTERNAL objects — UTF8String→String, DateType→
+    * java.sql.Date, Decimal→BigDecimal on the way out and back — and
+    * the r17 sf1 A/B (spark.graft.ranks.stream on/off, adjacent JVMs,
+    * 15 Ranks consumers) measured that boxing at 1.1–1.5× of WHOLE-query
+    * wall time: the windowed fallback with its extra full-data
+    * Exchange+Sort was beating the streaming pass locally. The
+    * InternalRow form emits one reused JoinedRow(input, extras) per row
+    * (the scan exec's UnsafeProjection materializes it immediately) —
+    * no per-field conversion at all.
+    *
+    * Row-reuse contract: upstream `toRdd` iterators may reuse the input
+    * row buffer, so the group value is defensively copied when stored
+    * across rows, and nothing else is retained. */
   private def streamPass(sliced: DataFrame, group: String,
-      extra: Seq[StructField])(mk: () => Row => Seq[Any]): DataFrame = {
+      extra: Seq[StructField])(
+      mk: () => org.apache.spark.sql.catalyst.InternalRow => Seq[Any])
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     val schema = StructType(sliced.schema.fields ++ extra)
     val gi = sliced.schema.fieldIndex(group)
+    val gType = sliced.schema(group).dataType
     val si = sliced.schema.fieldIndex("_slice")
-    sliced.mapPartitions { it =>
+    val nExtra = extra.size
+    val rdd = sliced.queryExecution.toRdd.mapPartitions { it =>
       // Invariant guard (r17, ADVICE r16): correctness of the streaming
       // pass depends on Io.materialize preserving the checkpointed RDD's
       // partition index (row._slice == this task's partition id) so that
@@ -88,20 +112,55 @@ object Ranks {
       // (cache+count, parquet round-trip, coalescing) breaks it, fail
       // loudly here instead of producing silently wrong global ranks.
       val pid = org.apache.spark.TaskContext.getPartitionId()
+      val extras = new Array[Any](nExtra)
+      val extrasRow = new GenericInternalRow(extras)
+      val joined = new JoinedRow
       var cur: Any = null
       var started = false
-      var f: Row => Seq[Any] = null
+      var f: InternalRow => Seq[Any] = null
       it.map { r =>
         if (r.getInt(si) != pid) throw new IllegalStateException(
           s"Ranks.streamPass: _slice=${r.getInt(si)} read in partition " +
             s"$pid — materialization no longer preserves partition order")
-        val g = r.get(gi)
+        val g = r.get(gi, gType)
         if (!started || !java.util.Objects.equals(g, cur)) {
-          f = mk(); cur = g; started = true
+          f = mk()
+          // copy object-typed group values: the input row buffer may be
+          // reused by the upstream iterator after next()
+          cur = g match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case s: InternalRow => s.copy()
+            case other => other
+          }
+          started = true
         }
-        Row.fromSeq(r.toSeq ++ f(r))
+        val ex = f(r)
+        var i = 0
+        while (i < nExtra) { extras(i) = ex(i); i += 1 }
+        joined(r, extrasRow): InternalRow
       }
-    }(Encoders.row(schema))
+    }
+    org.apache.spark.sql.GraftSqlShim.internalCreateDataFrame(
+      sliced.sparkSession, rdd, schema)
+  }
+
+  /** Unboxed long/double field accessors for the streaming accumulators
+    * (InternalRow getters are type-specific). */
+  private def longGetter(dt: DataType, i: Int)
+      : org.apache.spark.sql.catalyst.InternalRow => Long = dt match {
+    case ByteType => r => r.getByte(i).toLong
+    case ShortType => r => r.getShort(i).toLong
+    case IntegerType => r => r.getInt(i).toLong
+    case LongType => r => r.getLong(i)
+    case other => throw new IllegalArgumentException(s"not integral: $other")
+  }
+
+  private def doubleGetter(dt: DataType, i: Int)
+      : org.apache.spark.sql.catalyst.InternalRow => Double = dt match {
+    case FloatType => r => r.getFloat(i).toDouble
+    case DoubleType => r => r.getDouble(i)
+    case other => throw new IllegalArgumentException(s"not fractional: $other")
   }
 
   /** Streaming accumulators cover exactly the types whose Spark window
@@ -253,6 +312,10 @@ object Ranks {
       if (vTypes.forall(streamableSum) && streamEnabled(df)) {
         val vIdx = values.indices.map(i => sliced.schema.fieldIndex(s"_v$i"))
         val integral = vTypes.map(isIntegral).toArray
+        val getL = values.indices.map(i =>
+          if (integral(i)) longGetter(vTypes(i), vIdx(i)) else null).toArray
+        val getD = values.indices.map(i =>
+          if (!integral(i)) doubleGetter(vTypes(i), vIdx(i)) else null).toArray
         val extra = values.indices.map(i =>
           StructField(s"_run$i", sumType(vTypes(i)), nullable = true))
         val nv = values.size
@@ -263,9 +326,8 @@ object Ranks {
           r => (0 until nv).map { i =>
             if (!r.isNullAt(vIdx(i))) {
               seen(i) = true
-              if (integral(i))
-                accL(i) += r.get(vIdx(i)).asInstanceOf[Number].longValue
-              else accD(i) += r.get(vIdx(i)).asInstanceOf[Number].doubleValue
+              if (integral(i)) accL(i) += getL(i)(r)
+              else accD(i) += getD(i)(r)
             }
             if (!seen(i)) null
             else if (integral(i)) java.lang.Long.valueOf(accL(i))
@@ -325,6 +387,8 @@ object Ranks {
       if (streamableSum(vType) && streamEnabled(df)) {
         val vIdx = sliced.schema.fieldIndex("_v")
         val intg = isIntegral(vType)
+        // boxed through get(i, vType): a fresh box per read, safe to
+        // retain across (possibly buffer-reused) input rows
         streamPass(sliced, group,
           Seq(StructField("_run", vType, nullable = true))) { () =>
           var seen = false
@@ -334,15 +398,15 @@ object Ranks {
           r => {
             if (!r.isNullAt(vIdx)) {
               if (intg) {
-                val v = r.get(vIdx).asInstanceOf[Number].longValue
-                if (!seen || v > mL) { mL = v; boxed = r.get(vIdx) }
+                val v = r.get(vIdx, vType).asInstanceOf[Number].longValue
+                if (!seen || v > mL) { mL = v; boxed = r.get(vIdx, vType) }
               } else {
-                val v = r.get(vIdx).asInstanceOf[Number].doubleValue
+                val v = r.get(vIdx, vType).asInstanceOf[Number].doubleValue
                 // NaN sorts above every double in Spark's ordering, and
                 // max propagates it the same way: v >= anything fails for
                 // NaN via >, so compare through Spark's semantics
                 if (!seen || java.lang.Double.compare(v, mD) > 0) {
-                  mD = v; boxed = r.get(vIdx)
+                  mD = v; boxed = r.get(vIdx, vType)
                 }
               }
               seen = true
@@ -382,6 +446,8 @@ object Ranks {
       if (streamableSum(vType) && streamEnabled(df)) {
         val vIdx = sliced.schema.fieldIndex("_v")
         val intg = isIntegral(vType)
+        val getL = if (intg) longGetter(vType, vIdx) else null
+        val getD = if (!intg) doubleGetter(vType, vIdx) else null
         streamPass(sliced, group,
           Seq(StructField("_lrn", IntegerType, nullable = false),
             StructField("_run", sumType(vType), nullable = true))) { () =>
@@ -393,8 +459,8 @@ object Ranks {
             rn += 1
             if (!r.isNullAt(vIdx)) {
               seen = true
-              if (intg) accL += r.get(vIdx).asInstanceOf[Number].longValue
-              else accD += r.get(vIdx).asInstanceOf[Number].doubleValue
+              if (intg) accL += getL(r)
+              else accD += getD(r)
             }
             Seq(rn,
               if (!seen) null

@@ -29,8 +29,16 @@ object Skew {
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltedBig = big.withColumn("_salt", rowSalt(salts))
+    // SHUFFLE_HASH on the dimension side (r17, guide §3.1): the salted
+    // dim partition (|dim| / salts·shuffle-width rows) is exactly the
+    // "moderately small per partition" build side the guide names, and
+    // salting exists precisely because this dim was NOT broadcastable —
+    // the default sort-merge paid two full sorts (fact + dim×salts) that
+    // the hash build skips. Join semantics are unchanged (same keys,
+    // same rows); only the physical strategy is pinned.
     val saltedDim = dim
       .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+      .hint("shuffle_hash")
     saltedBig.join(saltedDim,
         saltedBig(key) === saltedDim(key) && saltedBig("_salt") === saltedDim("_salt"))
       .drop(saltedDim(key)).drop("_salt")
