@@ -118,33 +118,33 @@ object Wave28Queries {
         // per-query heaps (WindowGroupLimit; PlanShapeSpec locks it).
         // These TWO passes are the only corpus scans: the exact NN and
         // its ADC rank fall out of the heap outputs below.
-        // r17: MATERIALIZE both Q·10-row heap outputs — each is consumed
-        // twice below (hits + nn1Rank), and Spark re-derives an
-        // unmaterialized subtree per consumer, so the "two corpus passes"
-        // actually ran four corpus scans + encodes per execution
-        // (ProfileQuery: 4 heavy 32-task stages per rep). Pinning the two
-        // tiny relations restores the intended two passes; released per
-        // query via Io.releaseTransient.
-        val adcTop = graft.sources.Io.materialize(
-          scored.withColumn("ark10", row_number().over(wAdc))
-            .filter(col("ark10") <= AudK)
-            .select(col("q_id"), col("nbr"), col("ark10")))
-        val exTop = graft.sources.Io.materialize(
-          scored.withColumn("xrk", row_number().over(wEx))
-            .filter(col("xrk") <= AudK)
-            .select(col("q_id"), col("nbr"), col("xrk")))
-        val hits = exTop.join(adcTop, Seq("q_id", "nbr"))
-          .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
-        // exact NN = the xrk = 1 heap row; its ADC rank (when ≤ 10) is
-        // its ark10 in the ADC heap — a Q-row left join, no extra scan.
-        // An absent match IS the "missed" bucket (ark > 10 under the old
-        // rank-by-count), value-identical by construction.
-        val nn1Rank = exTop.filter(col("xrk") === 1)
-          .join(adcTop, Seq("q_id", "nbr"), "left")
-          .select(col("q_id"), col("ark10").as("ark"))
+        // r17: each heap output used to feed TWO consumers (hits +
+        // nn1Rank), and Spark re-derives an unmaterialized subtree per
+        // consumer — the "two corpus passes" actually ran FOUR corpus
+        // scans + encodes per execution (ProfileQuery: 4 heavy 32-task
+        // stages per rep). Instead of materializing (which serializes
+        // the passes into sequential checkpoint jobs — tried, it traded
+        // CPU for wall), the two consumers FUSE into one left join +
+        // one per-query aggregate, so each heap has exactly one
+        // consumer and both corpus passes run as parallel stages of the
+        // single final job. Value-identical: h was the inner-join count
+        // per query (≡ count of non-null ark10 on the left join, keys
+        // unique in both heaps; a query with zero overlap contributed
+        // NULL before and 0 now — indistinguishable under the final
+        // sum); ark was the xrk=1 row's ark10-or-NULL (≡ min over the
+        // single xrk=1 row).
+        val adcTop = scored.withColumn("ark10", row_number().over(wAdc))
+          .filter(col("ark10") <= AudK)
+          .select(col("q_id"), col("nbr"), col("ark10"))
+        val exTop = scored.withColumn("xrk", row_number().over(wEx))
+          .filter(col("xrk") <= AudK)
+          .select(col("q_id"), col("nbr"), col("xrk"))
+        val perQ = exTop.join(adcTop, Seq("q_id", "nbr"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("ark10")).as("h"),
+            min(when(col("xrk") === 1, col("ark10"))).as("ark"))
         queries.select(col("q_id"))
-          .join(hits, Seq("q_id"), "left")
-          .join(nn1Rank, Seq("q_id"), "left")
+          .join(perQ, Seq("q_id"), "left")
           .agg(count(lit(1)).as("n_queries"),
             coalesce(sum(col("h")), lit(0L)).as("recall10_hits"),
             sum(when(col("ark") === 1, 1L).otherwise(0L)).as("nn1_at_1"),
